@@ -1,0 +1,53 @@
+"""BM25 scoring — the single shared scalar definition.
+
+Both the Ray engine and the pure-Python oracle import THESE functions, so
+"rank-identical scores" is well-defined: float64 everywhere, terms summed in
+ascending-term order, ties broken by (-score, doc_id)  (FIXTURES.md §4).
+
+The reference has no scoring at all (SURVEY.md preamble); this layer is the
+new surface the north rule adds on top of searty's data model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..schema import BM25_B, BM25_K1
+
+
+def idf(n_docs: int, df: int | np.ndarray) -> float | np.ndarray:
+    """ln(1 + (N - df + 0.5) / (df + 0.5))"""
+    df = np.asarray(df, dtype=np.float64)
+    out = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    return float(out) if out.ndim == 0 else out
+
+
+def tf_norm(tf: np.ndarray, doc_len: np.ndarray, avgdl: float) -> np.ndarray:
+    """tf*(k1+1) / (tf + k1*(1 - b + b*|D|/avgdl)) — float64, vectorized."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(doc_len, dtype=np.float64)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    return tf * (BM25_K1 + 1.0) / denom
+
+
+def term_scores(tf: np.ndarray, doc_len: np.ndarray, df: int, n_docs: int, avgdl: float) -> np.ndarray:
+    """Per-doc contribution of one term."""
+    return idf(n_docs, df) * tf_norm(tf, doc_len, avgdl)
+
+
+def term_upper_bound(max_tf: np.ndarray | int, df: int, n_docs: int, avgdl: float) -> np.ndarray | float:
+    """Upper bound of a term's contribution for block-max WAND.
+
+    tf_norm is increasing in tf and decreasing in doc_len; the bound uses the
+    block's max tf and the minimum possible doc length (dl ≥ tf, since a doc
+    containing a term tf times has at least tf tokens).
+    """
+    mtf = np.asarray(max_tf, dtype=np.float64)
+    bound = idf(n_docs, df) * tf_norm(mtf, np.maximum(mtf, 1.0), avgdl)
+    return float(bound) if bound.ndim == 0 else bound
+
+
+def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (-score, doc_id), deterministic."""
+    order = np.lexsort((doc_ids, -scores))
+    return order[:k]

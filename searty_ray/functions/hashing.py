@@ -1,0 +1,39 @@
+"""Deterministic vectorized hashing (splitmix64) for partitioning keys.
+
+Partition assignment must be identical across processes and parallelism
+levels (resume + rank determinism), so we use our own mix instead of
+``hash()``.  numpy uint64 arithmetic wraps silently, which is what we want.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray | int) -> np.ndarray | int:
+    scalar = np.isscalar(x)
+    v = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        v = v + _C1
+        v = v ^ (v >> np.uint64(30))
+        v = v * _C2
+        v = v ^ (v >> np.uint64(27))
+        v = v * _C3
+        v = v ^ (v >> np.uint64(31))
+    return int(v) if scalar else v
+
+
+def segment_part(term_key: np.ndarray | int, chunk: np.ndarray | int, num_parts: int) -> np.ndarray | int:
+    """Hash partition of a (term, doc-range-chunk) posting segment.
+
+    Including ``chunk`` scatters a hot term's chunks across partitions — the
+    structural skew handling for df≈N trigrams (SURVEY.md §7): no single
+    reducer ever sees more than one chunk of one term.
+    """
+    h = mix64(np.asarray(term_key, dtype=np.uint64) ^ mix64(np.asarray(chunk, dtype=np.uint64)))
+    out = (h % np.uint64(num_parts)).astype(np.int32)
+    return int(out) if out.ndim == 0 else out

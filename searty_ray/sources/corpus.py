@@ -1,0 +1,176 @@
+"""Corpus sources.
+
+The engine's primary input is a Parquet table of source files with columns
+``(repo, path, commit, lang, content)`` (BASELINE.json input_hint), plus an
+optional ``doc_id``.  Two providers:
+
+* :func:`corpus_from_documents` — derives that table **deterministically**
+  from the driver's ``documents`` test table (doc_id/text/lang/source), with
+  a Lisp-form header prepended so phrase/symbol semantics are exercised.
+  :data:`CORPUS_CTE` is the exact DuckDB mirror of the derivation, used by
+  every ``oracle_sql`` entry, so the correctness gate compares the Ray
+  pipeline and SQL on byte-identical corpora.
+
+* :func:`generate_fixture_corpus` — the richer synthetic Lisp corpus from
+  FIXTURES.md §1 (multibyte, 0/1/2-rune files, "aaaa", duplicate paths &
+  contents, tabs/newlines), pytest-only, seeded, with an exact
+  ``definitions`` side table (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _derive_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id,text,lang,source) → corpus(doc_id,repo,path,commit,lang,content)."""
+    doc_id = batch["doc_id"]
+    sid = pc.cast(doc_id, pa.string())
+    source = batch["source"]
+    path = pc.binary_join_element_wise("doc_", sid, ".lisp", "")
+    commit = pa.array(
+        [_commit_hex(i) for i in doc_id.to_pylist()], type=pa.string()
+    )  # md5 is not an Arrow kernel; tiny per-row cost, metadata column only
+    header = pc.binary_join_element_wise(
+        "(defpackage :", pc.utf8_upper(source), ")\n(defun doc-", sid, " (x) nil)\n", ""
+    )
+    content = pc.cast(pc.binary_join_element_wise(header, batch["text"], ""), pa.large_string())
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "repo": source,
+            "path": path,
+            "commit": commit,
+            "lang": batch["lang"],
+            "content": content,
+        }
+    )
+
+
+def _commit_hex(doc_id: int) -> str:
+    h = hashlib.md5(f"c{doc_id}".encode()).hexdigest()
+    return h + hashlib.md5(h.encode()).hexdigest()[:8]
+
+
+def corpus_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Read ``documents.parquet`` and derive the corpus table (streaming)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(_derive_batch, batch_format="pyarrow")
+
+
+#: DuckDB mirror of :func:`_derive_batch` — prepend with "WITH corpus AS (…)".
+CORPUS_CTE = """
+corpus AS (
+  SELECT
+    doc_id,
+    source AS repo,
+    'doc_' || doc_id || '.lisp' AS path,
+    md5('c' || doc_id) || substr(md5(md5('c' || doc_id)), 1, 8) AS "commit",
+    lang,
+    '(defpackage :' || upper(source) || ')' || chr(10)
+      || '(defun doc-' || doc_id || ' (x) nil)' || chr(10) || text AS content
+  FROM documents
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture corpus (FIXTURES.md) — pytest-only
+# ---------------------------------------------------------------------------
+
+_VOCAB_HEAD = ["list", "cons", "car", "cdr", "loop", "setf", "when", "cond", "lambda", "format"]
+
+
+def generate_fixture_corpus(n_files: int = 50, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Synthesize (corpus, definitions) tables.  No wall clock, no I/O.
+
+    Edge-case rows appended after the generated files (FIXTURES.md §1):
+    multibyte content, 0/1/2-rune files, "aaaa", duplicate (path) across
+    repos, duplicate content across (repo,path), tabs/newlines/CR.
+    """
+    rng = np.random.default_rng(seed)
+    repos = ["cl-ppcre", "alexandria", "1am"]
+    rows: list[dict] = []
+    defs: list[dict] = []
+
+    # Zipfian word picks keep trigram df head-heavy like real code.
+    zipf_p = 1.0 / np.arange(1, len(_VOCAB_HEAD) + 1)
+    zipf_p /= zipf_p.sum()
+
+    for i in range(n_files):
+        repo = repos[i % len(repos)]
+        path = f"src/file{i:03d}.lisp"
+        pkg = f"PKG{i % 5}"
+        parts: list[str] = [f"(defpackage :{pkg.lower()} (:use :cl))\n"]
+        file_defs: list[tuple[str, str, str, int]] = []  # (type,name,specifier,pos)
+        file_defs.append(("package", pkg, "DEFPACKAGE", 0))
+        pos = len(parts[0])
+        n_forms = int(rng.integers(3, 12))
+        for j in range(n_forms):
+            kind = ["defun", "defmacro", "defvar"][int(rng.integers(0, 3))]
+            name = f"{rng.choice(_VOCAB_HEAD, p=zipf_p)}-{i}-{j}"
+            body = " ".join(rng.choice(_VOCAB_HEAD, p=zipf_p, size=int(rng.integers(2, 9))))
+            form = f"({kind} {name} (x)\n  ({body}))\n"
+            file_defs.append(("symbol", name.upper(), kind.upper(), pos))
+            parts.append(form)
+            pos += len(form)
+        content = "".join(parts)
+        rows.append(_crow(repo, path, i, content))
+        for dt, name, spec, p in file_defs:
+            defs.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "identifier_type": dt,
+                    "name": name,
+                    "package": "" if dt == "package" else pkg,
+                    "specifier": spec,
+                    "position": p,
+                }
+            )
+
+    edge = [
+        ("cl-ppcre", "src/multibyte.lisp", ";; あいうえお 日本語のコメント\n(defun あいう (x) x)\n"),
+        ("cl-ppcre", "src/empty.lisp", ""),
+        ("cl-ppcre", "src/one.lisp", "a"),
+        ("cl-ppcre", "src/two.lisp", "ab"),
+        ("cl-ppcre", "src/aaaa.lisp", "aaaa bbb aaaa\n"),
+        ("alexandria", "src/shared-path.lisp", "(defvar *x* 1)\n"),
+        ("1am", "src/shared-path.lisp", "(defvar *y* 2)\n"),  # same path, other repo
+        ("alexandria", "src/dup-a.lisp", "identical content here\n"),
+        ("1am", "src/dup-b.lisp", "identical content here\n"),
+        ("cl-ppcre", "src/whitespace.lisp", "(a\t  b)\r\n\n(c)\n"),
+    ]
+    for k, (repo, path, content) in enumerate(edge):
+        rows.append(_crow(repo, path, n_files + k, content))
+
+    corpus = pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows]),
+            "path": pa.array([r["path"] for r in rows]),
+            "commit": pa.array([r["commit"] for r in rows]),
+            "lang": pa.array(["commonlisp"] * len(rows)),
+            "content": pa.array([r["content"] for r in rows], type=pa.large_string()),
+        }
+    )
+    definitions = pa.table(
+        {k: pa.array([d[k] for d in defs]) for k in ["repo", "path", "identifier_type", "name", "package", "specifier"]}
+        | {"position": pa.array([d["position"] for d in defs], type=pa.int64())}
+    )
+    return corpus, definitions
+
+
+def _crow(repo: str, path: str, i: int, content: str) -> dict:
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": hashlib.sha1(f"{repo}/{path}@{i}".encode()).hexdigest(),
+        "content": content,
+    }

@@ -15,8 +15,10 @@ _C3 = np.uint64(0x94D049BB133111EB)
 
 
 def mix64(x: np.ndarray | int) -> np.ndarray | int:
-    scalar = np.isscalar(x)
-    v = np.asarray(x, dtype=np.uint64)
+    # NB: always computed on ≥1-d arrays — numpy SCALAR uint64 arithmetic
+    # silently promotes to float64 in mixed expressions and corrupts hashes.
+    scalar = np.ndim(x) == 0
+    v = np.atleast_1d(np.asarray(x, dtype=np.uint64))
     with np.errstate(over="ignore"):
         v = v + _C1
         v = v ^ (v >> np.uint64(30))
@@ -24,7 +26,7 @@ def mix64(x: np.ndarray | int) -> np.ndarray | int:
         v = v ^ (v >> np.uint64(27))
         v = v * _C3
         v = v ^ (v >> np.uint64(31))
-    return int(v) if scalar else v
+    return int(v[0]) if scalar else v
 
 
 def segment_part(term_key: np.ndarray | int, chunk: np.ndarray | int, num_parts: int) -> np.ndarray | int:
@@ -34,6 +36,9 @@ def segment_part(term_key: np.ndarray | int, chunk: np.ndarray | int, num_parts:
     structural skew handling for df≈N trigrams (SURVEY.md §7): no single
     reducer ever sees more than one chunk of one term.
     """
-    h = mix64(np.asarray(term_key, dtype=np.uint64) ^ mix64(np.asarray(chunk, dtype=np.uint64)))
+    scalar = np.ndim(term_key) == 0
+    tk = np.atleast_1d(np.asarray(term_key, dtype=np.uint64))
+    ck = np.atleast_1d(np.asarray(chunk, dtype=np.uint64))
+    h = mix64(tk ^ mix64(ck))
     out = (h % np.uint64(num_parts)).astype(np.int32)
-    return int(out) if out.ndim == 0 else out
+    return int(out[0]) if scalar else out

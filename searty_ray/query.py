@@ -1,0 +1,457 @@
+"""Query engine: segment reader + phrase / BM25 / symbol / file searchers.
+
+Replaces searty's SQLite query path (/root/reference/cmd/searty/searty.go:28-75,
+lib/searcher/*.go) with selective Parquet reads over the partitioned segment
+layout.  A term's partitions are *computed* (hash of (term, chunk)), so a
+lookup touches only the files that can contain it; inside a file, row-group
+statistics on the sorted ``term_key`` column prune reads further.
+
+``QueryEngine`` is the actor-pool entry point: construct once per actor
+(manifest + norms + LRU posting cache), call per query batch (SURVEY.md
+§2.3 ST6).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .functions import bm25
+from .functions.codec import decode_posting_list
+from .functions.hashing import segment_part
+from .functions.tokenize import tokenize_query
+from .functions.wand import TermCursor, wand_topk
+from .oracle.oracle import parse_symbol
+from .state.manifest import Manifest
+
+
+@dataclass
+class TermPostings:
+    """Fully merged postings of one term across chunks (ascending doc_id)."""
+
+    df: int
+    cf: int
+    doc_ids: np.ndarray
+    tfs: np.ndarray
+    positions: np.ndarray  # flattened per-doc, lengths = tfs
+    block_last_doc: np.ndarray
+    block_core: np.ndarray
+
+    def pos_slices(self) -> np.ndarray:
+        return np.cumsum(self.tfs) - self.tfs
+
+    def doc_positions(self, doc_id: int) -> np.ndarray:
+        i = int(np.searchsorted(self.doc_ids, doc_id))
+        if i >= len(self.doc_ids) or self.doc_ids[i] != doc_id:
+            return np.empty(0, dtype=np.int32)
+        s = int(self.pos_slices()[i])
+        return self.positions[s : s + int(self.tfs[i])]
+
+
+class IndexReader:
+    """Read-side view of one index directory (manifest + lazy doc metadata)."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        self.index_dir = index_dir
+        self.manifest = Manifest.load(index_dir)
+        self.seg_root = os.path.join(index_dir, "segments")
+        self._norm_ids: np.ndarray | None = None
+        self._norm_len: np.ndarray | None = None
+        self._cache: OrderedDict[int, TermPostings | None] = OrderedDict()
+        self._cache_cap = cache_terms
+
+    # -- documents ----------------------------------------------------------
+
+    def documents(self, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(os.path.join(self.index_dir, "documents"), columns=columns)
+
+    def _load_norms(self) -> None:
+        if self._norm_ids is None:
+            t = self.documents(["doc_id", "n_tokens"])
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            self._norm_ids = ids[order]
+            self._norm_len = t["n_tokens"].to_numpy()[order]
+
+    def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Norms lookup (BM25 |D|).  In-memory per actor at sandbox scale; at
+        10^12 docs this shards by doc range alongside the segment chunks."""
+        self._load_norms()
+        idx = np.searchsorted(self._norm_ids, doc_ids)
+        return self._norm_len[idx]
+
+    def resolve_docs(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        """Selective metadata fetch for result docs (J1 broadcast-side join)."""
+        t = self.documents(["doc_id", *columns])
+        mask = pc.is_in(t["doc_id"], value_set=pa.array(np.unique(doc_ids), type=pa.int64()))
+        return t.filter(mask)
+
+    def content_for(self, doc_ids: np.ndarray) -> dict[int, str]:
+        """Body fetch from the content sidecar (J2 semi-join by doc_id)."""
+        ds = pads.dataset(os.path.join(self.index_dir, "content"))
+        t = ds.to_table(filter=pads.field("doc_id").isin([int(d) for d in np.unique(doc_ids)]))
+        return dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
+
+    # -- postings -----------------------------------------------------------
+
+    def lookup(self, term_keys: np.ndarray) -> dict[int, TermPostings | None]:
+        """Posting lists for the given packed term keys (None = absent).
+
+        Batches the parquet reads per partition file, merges chunks in chunk
+        order (doc-disjoint by construction), caches per-term results (LRU).
+        """
+        out: dict[int, TermPostings | None] = {}
+        missing: list[int] = []
+        for key in (int(k) for k in term_keys):
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                out[key] = self._cache[key]
+            else:
+                missing.append(key)
+        if not missing:
+            return out
+
+        m = self.manifest
+        n_chunks = max(m.n_chunks, 1)
+        by_part: dict[int, set[int]] = {}
+        for key in missing:
+            for chunk in range(n_chunks):
+                p = segment_part(np.uint64(key), np.int64(chunk), m.num_parts)
+                by_part.setdefault(int(p), set()).add(key)
+
+        rows: dict[int, list[dict]] = {k: [] for k in missing}
+        for part, keys in sorted(by_part.items()):
+            path = os.path.join(self.seg_root, f"part={part:05d}", "data.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(
+                path,
+                filters=[("term_key", "in", [np.uint64(k) for k in keys])],
+                columns=["term_key", "chunk", "df", "cf", "blob", "block_last_doc", "block_max_tf", "block_max_score"],
+            )
+            for row in t.to_pylist():
+                rows[int(row["term_key"])].append(row)
+
+        for key in missing:
+            out[key] = tp = self._merge_chunks(rows[key])
+            self._cache[key] = tp
+            if len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+        return out
+
+    def _merge_chunks(self, chunk_rows: list[dict]) -> TermPostings | None:
+        if not chunk_rows:
+            return None
+        chunk_rows.sort(key=lambda r: r["chunk"])
+        span = self.manifest.chunk_span
+        d_parts, t_parts, p_parts, bl_parts, bc_parts = [], [], [], [], []
+        df = cf = 0
+        for r in chunk_rows:
+            d, t, p = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * span)
+            d_parts.append(d)
+            t_parts.append(t)
+            p_parts.append(p)
+            bl_parts.append(np.asarray(r["block_last_doc"], dtype=np.int64))
+            bc_parts.append(np.asarray(r["block_max_score"], dtype=np.float64))
+            df += int(r["df"])
+            cf += int(r["cf"])
+        return TermPostings(
+            df=df,
+            cf=cf,
+            doc_ids=np.concatenate(d_parts),
+            tfs=np.concatenate(t_parts),
+            positions=np.concatenate(p_parts),
+            block_last_doc=np.concatenate(bl_parts),
+            block_core=np.concatenate(bc_parts),
+        )
+
+
+# ---------------------------------------------------------------------------
+# searchers (Searcher protocol, searcher.go:3-5)
+# ---------------------------------------------------------------------------
+
+
+class PhraseSearcher:
+    """Trigram AND + relative-position intersect (phrase_searcher.go:211-245).
+
+    Divergences-by-definition (SURVEY.md §3.3): queries <3 runes → empty;
+    repeated trigrams deduped for AND but all offsets constrain positions.
+    """
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def base_positions(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """→ (doc_ids, base_positions) of every full-phrase match, doc-major."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        keys, offsets = tokenize_query(query)
+        if len(keys) == 0:
+            return empty
+        plists = self.reader.lookup(keys)
+        if any(plists[int(k)] is None for k in keys):
+            return empty  # any missing term ⇒ nil results (phrase_searcher.go:219-221)
+
+        # counting intersect over (doc, base) keys — one pass, vectorized
+        n_constraints = 0
+        pieces = []
+        for k, offs in zip(keys, offsets):
+            tp = plists[int(k)]
+            docs_expanded = np.repeat(tp.doc_ids, tp.tfs)
+            for off in offs:
+                base = tp.positions.astype(np.int64) - int(off)
+                ok = base >= 0
+                pieces.append(docs_expanded[ok] * _POS_SPAN + base[ok])
+                n_constraints += 1
+        allkeys = np.concatenate(pieces)
+        uniq, counts = np.unique(allkeys, return_counts=True)
+        hit = uniq[counts == n_constraints]
+        return (hit // _POS_SPAN).astype(np.int64), (hit % _POS_SPAN).astype(np.int64)
+
+    def search(self, query: str) -> pa.Table:
+        """→ (doc_id, filename, start, end), ranges merged, sorted (filename, start)."""
+        docs, bases = self.base_positions(query)
+        qlen = len(query)
+        starts, ends, out_docs = _merge_ranges_vec(docs, bases, qlen)
+        if len(out_docs) == 0:
+            return _phrase_empty()
+        meta = self.reader.resolve_docs(out_docs, ["filename"])
+        fn = dict(zip(meta["doc_id"].to_pylist(), meta["filename"].to_pylist()))
+        filenames = [fn[int(d)] for d in out_docs]
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_docs, type=pa.int64()),
+                "filename": pa.array(filenames, type=pa.string()),
+                "start": pa.array(starts, type=pa.int64()),
+                "end": pa.array(ends, type=pa.int64()),
+            }
+        )
+        return t.sort_by([("filename", "ascending"), ("start", "ascending")])
+
+
+_POS_SPAN = np.int64(1) << np.int64(33)
+
+
+def _merge_ranges_vec(docs: np.ndarray, bases: np.ndarray, qlen: int):
+    """Merge overlapping/touching [p, p+qlen] per doc (phrase_searcher.go:154-186)."""
+    if len(docs) == 0:
+        return (np.empty(0, np.int64),) * 3
+    order = np.lexsort((bases, docs))
+    d, b = docs[order], bases[order]
+    e = b + qlen
+    # a new merged range starts where doc changes or start > previous end
+    new = np.empty(len(d), dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (b[1:] > e[:-1])
+    # merged end = max end within run (ends ascending within doc since starts asc, fixed len)
+    run_id = np.cumsum(new) - 1
+    starts = b[new]
+    ends = np.maximum.reduceat(e, np.nonzero(new)[0])
+    return starts, ends, d[new]
+
+
+def _phrase_empty() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "filename": pa.array([], type=pa.string()),
+            "start": pa.array([], type=pa.int64()),
+            "end": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+class BM25Searcher:
+    """Exhaustive DAAT (baseline) and block-max WAND top-k (O4)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def _cursors(self, query: str) -> list[TermCursor]:
+        keys, _ = tokenize_query(query)
+        if len(keys) == 0:
+            return []
+        plists = self.reader.lookup(keys)
+        m = self.reader.manifest
+        cursors = []
+        for k in keys:  # ascending term order (np.unique) — defines sum order
+            tp = plists[int(k)]
+            if tp is None:
+                continue
+            cursors.append(
+                TermCursor(
+                    doc_ids=tp.doc_ids,
+                    tfs=tp.tfs,
+                    block_last_doc=tp.block_last_doc,
+                    block_core=tp.block_core,
+                    idf=bm25.idf(m.n_docs, tp.df),
+                )
+            )
+        return cursors
+
+    def topk(self, query: str, k: int) -> pa.Table:
+        """Exhaustive: vectorized per-term accumulation in ascending-term order."""
+        cursors = self._cursors(query)
+        m = self.reader.manifest
+        if not cursors:
+            return _topk_empty()
+        candidates = np.unique(np.concatenate([c.doc_ids for c in cursors]))
+        dl = self.reader.doc_len(candidates).astype(np.float64)
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        for c in cursors:
+            idx = np.searchsorted(candidates, c.doc_ids)
+            scores[idx] += c.idf * bm25.tf_norm(c.tfs, dl[idx], m.avgdl)
+        top = bm25.topk_order(scores, candidates, k)
+        return _topk_table(candidates[top], scores[top])
+
+    def topk_wand(self, query: str, k: int) -> pa.Table:
+        cursors = self._cursors(query)
+        m = self.reader.manifest
+        if not cursors:
+            return _topk_empty()
+        docs, scores = wand_topk(cursors, self.reader.doc_len, m.avgdl, m.n_docs, k)
+        return _topk_table(docs, scores)
+
+
+def _topk_table(docs: np.ndarray, scores: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int64)),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def _topk_empty() -> pa.Table:
+    return _topk_table(np.empty(0, np.int64), np.empty(0, np.float64))
+
+
+class SymbolSearcher:
+    """Symbol-definition lookup (definition_searcher.go:102-125)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self.symbols_path = os.path.join(reader.index_dir, "symbols")
+
+    def search(self, query: str) -> pa.Table:
+        name, package = parse_symbol(query)
+        ds = pads.dataset(self.symbols_path)
+        flt = (pads.field("name") == name) & (pads.field("identifier_type") == "symbol")
+        if package is not None:
+            flt = flt & (pads.field("package") == package)
+        t = ds.to_table(filter=flt)
+        if len(t) == 0:
+            return _symbol_empty()
+        meta = self.reader.resolve_docs(t["doc_id"].to_numpy(), ["filename"])
+        fn = dict(zip(meta["doc_id"].to_pylist(), meta["filename"].to_pylist()))
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "filename": pa.array([fn[int(d)] for d in t["doc_id"].to_pylist()]),
+                "position": t["position"],
+                "specifier": t["specifier"],
+                "symbol_name": t["name"],
+                "package_name": t["package"],
+            }
+        )
+        return out.sort_by(
+            [("filename", "ascending"), ("position", "ascending"), ("specifier", "ascending")]
+        )
+
+
+def _symbol_empty() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "filename": pa.array([], type=pa.string()),
+            "position": pa.array([], type=pa.int64()),
+            "specifier": pa.array([], type=pa.string()),
+            "symbol_name": pa.array([], type=pa.string()),
+            "package_name": pa.array([], type=pa.string()),
+        }
+    )
+
+
+class FileSearcher:
+    """Filename substring filter — a real filter, unlike the reference's
+    print-only stub (file_searcher.go:20-33)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def search(self, query: str) -> pa.Table:
+        t = self.reader.documents(["doc_id", "filename"])
+        return t.filter(pc.match_substring(t["filename"], query)).sort_by("filename")
+
+
+class PrettyPrinter:
+    """filename:start:end:line result rendering (pretty_print.go:56-76)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def render(self, phrase_results: pa.Table) -> pa.Table:
+        doc_ids = phrase_results["doc_id"].to_numpy()
+        if len(doc_ids) == 0:
+            return phrase_results.append_column("line", pa.array([], type=pa.string()))
+        bodies = self.reader.content_for(doc_ids)
+        lines = []
+        for row in phrase_results.to_pylist():
+            text = bodies[row["doc_id"]]
+            ls = text.rfind("\n", 0, row["start"]) + 1
+            le = text.find("\n", row["end"])
+            lines.append(text[ls : le if le >= 0 else len(text)])
+        return phrase_results.append_column("line", pa.array(lines, type=pa.string()))
+
+
+class QueryEngine:
+    """Actor-pool query evaluator for ``map_batches`` over a query table.
+
+    Input batch columns: query_id:int64, kind:string (phrase|ranked|symbol|file),
+    query:string, k:int32.  Output: query_id, kind, n_results, top JSON-ish
+    summary columns kept scalar for Arrow friendliness.
+    """
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+        self.phrase = PhraseSearcher(self.reader)
+        self.ranked = BM25Searcher(self.reader)
+        self.symbol = SymbolSearcher(self.reader)
+        self.file = FileSearcher(self.reader)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, kinds, ns, first = [], [], [], []
+        for row in batch.to_pylist():
+            kind, q = row["kind"], row["query"]
+            k = int(row.get("k") or 10)
+            if kind == "phrase":
+                res = self.phrase.search(q)
+                head = res["filename"][0].as_py() if len(res) else ""
+            elif kind == "ranked":
+                res = self.ranked.topk_wand(q, k)
+                head = str(res["doc_id"][0].as_py()) if len(res) else ""
+            elif kind == "symbol":
+                res = self.symbol.search(q)
+                head = res["filename"][0].as_py() if len(res) else ""
+            else:
+                res = self.file.search(q)
+                head = res["filename"][0].as_py() if len(res) else ""
+            qids.append(row["query_id"])
+            kinds.append(kind)
+            ns.append(len(res))
+            first.append(head)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "n_results": pa.array(ns, type=pa.int64()),
+                "first_hit": pa.array(first, type=pa.string()),
+            }
+        )

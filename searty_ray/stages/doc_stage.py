@@ -1,0 +1,52 @@
+"""Documents stage: corpus batches → document metadata rows.
+
+Searty's ``document`` table stores the full body alongside metadata
+(schema.sql:2-6); we split metadata (documents/) from the body sidecar
+(content/) so the query path never reads MB-scale content except for
+pretty-printing (SURVEY.md §1.4).
+
+The per-row invariant demanded by BASELINE.json input_hint is computed here:
+``content_sha256`` (hex) of the exact UTF-8 content bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def document_meta_batch(batch: pa.Table) -> pa.Table:
+    content = batch["content"]
+    n_runes = np.empty(len(batch), dtype=np.int64)
+    shas = []
+    for i, v in enumerate(content):
+        s = v.as_py()
+        n_runes[i] = len(s)
+        shas.append(hashlib.sha256(s.encode("utf-8")).hexdigest())
+    filename = pc.binary_join_element_wise(batch["repo"], batch["path"], "/")
+    # NB the reference joins root-relative paths the same way (indexer.go:36-44)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "filename": filename,
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "n_tokens": pa.array(np.maximum(n_runes - 2, 0), type=pa.int64()),
+            "n_runes": pa.array(n_runes, type=pa.int64()),
+            "content_sha256": pa.array(shas, type=pa.string()),
+        }
+    )
+
+
+def content_sidecar_batch(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "content": pc.cast(batch["content"], pa.large_string()),
+        }
+    )

@@ -119,8 +119,13 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     b_end = np.append(b_start[1:], E) - 1
     blk_last_doc = sd[b_end]
     blk_max_tf = np.maximum.reduceat(stf, b_start)
-    # idf-free score core: upper bound = idf(global df) * core at query time
-    blk_core = bm25.tf_norm(blk_max_tf, np.maximum(blk_max_tf, 1), avgdl).astype(np.float32)
+    # idf-free score core: upper bound = idf(global df) * core at query time.
+    # nextafter keeps the float32 cast an UPPER bound of the float64 core
+    # (a round-down would break WAND's exactness guarantee).
+    blk_core = np.nextafter(
+        bm25.tf_norm(blk_max_tf, np.maximum(blk_max_tf, 1), avgdl).astype(np.float32),
+        np.float32(np.inf),
+    )
     nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
     blk_off = np.concatenate(([0], np.cumsum(nblocks))).astype(np.int64)
 

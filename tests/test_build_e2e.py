@@ -1,0 +1,111 @@
+"""End-to-end build correctness vs the pure-Python oracle (SURVEY.md §5):
+postings equality, sha256 invariant, ascending-docId corruption check,
+manifest stats, chunked segments, resume."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from searty_ray.functions.codec import decode_posting_list
+from searty_ray.functions.tokenize import unpack_term
+
+
+def test_manifest_stats(fixture_index, fixture_oracle):
+    _, manifest = fixture_index
+    assert manifest.n_docs == fixture_oracle.n_docs
+    assert abs(manifest.avgdl - fixture_oracle.avgdl) < 1e-9
+    assert manifest.n_chunks == manifest.max_doc_id // manifest.chunk_span + 1
+
+
+def test_sha256_invariant(fixture_index):
+    """input_hint per-row invariant: documents.content_sha256 == sha256(source content)."""
+    import hashlib
+
+    index_dir, _ = fixture_index
+    docs = pq.read_table(os.path.join(index_dir, "documents")).to_pandas()
+    content = pq.read_table(os.path.join(index_dir, "content")).to_pandas()
+    joined = docs.merge(content, on="doc_id")
+    assert len(joined) == len(docs)
+    for _, row in joined.iterrows():
+        assert row.content_sha256 == hashlib.sha256(row.content.encode()).hexdigest()
+        assert row.n_tokens == max(len(row.content) - 2, 0)
+
+
+def test_doc_ids_deterministic_sort(fixture_index):
+    index_dir, _ = fixture_index
+    docs = pq.read_table(os.path.join(index_dir, "documents")).to_pandas().sort_values("doc_id")
+    keys = list(zip(docs.repo, docs.path, docs["commit"]))
+    assert keys == sorted(keys)
+    assert list(docs.doc_id) == list(range(len(docs)))
+
+
+def test_postings_match_oracle(fixture_index, fixture_oracle):
+    """Every (term, doc, positions) triple identical to the oracle index, and
+    every posting list ascending (postinglist.go:96-106 CheckCorruption)."""
+    index_dir, manifest = fixture_index
+    seg = pq.read_table(os.path.join(index_dir, "segments"))
+    engine: dict[str, dict[int, list[int]]] = {}
+    rows = seg.to_pylist()
+    rows.sort(key=lambda r: (r["term_key"], r["chunk"]))
+    for r in rows:
+        d, t, p = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * manifest.chunk_span)
+        assert (np.diff(d) > 0).all()
+        assert r["df"] == len(d)
+        assert r["cf"] == int(t.sum())
+        assert r["first_doc"] == int(d[0])
+        # chunk invariant: all docs inside the chunk's doc range
+        assert (d // manifest.chunk_span == r["chunk"]).all()
+        term = unpack_term(r["term_key"])
+        tgt = engine.setdefault(term, {})
+        off = np.cumsum(t)[:-1]
+        for doc, pp in zip(d, np.split(p, off)):
+            assert doc not in tgt
+            tgt[int(doc)] = list(pp)
+            assert list(pp) == sorted(pp)
+    oracle = {t: {d: v for d, v in pl.items()} for t, pl in fixture_oracle.postings.items()}
+    assert set(engine) == set(oracle)
+    for term, pl in engine.items():
+        assert pl == oracle[term], term
+
+
+def test_block_metadata(fixture_index):
+    index_dir, _ = fixture_index
+    seg = pq.read_table(os.path.join(index_dir, "segments"))
+    for r in seg.to_pylist():
+        d, t, _ = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * 16)
+        nblocks = (len(d) + 127) // 128
+        assert len(r["block_last_doc"]) == nblocks
+        assert r["block_last_doc"][-1] == d[-1]
+        assert max(r["block_max_tf"]) == int(t.max())
+
+
+def test_resume_skips_finished(fixture_index, fixture_corpus, tmp_path):
+    """Kill-and-resume: second run with resume=True skips finished partitions
+    and produces byte-identical segments."""
+    import ray
+
+    from searty_ray.pipelines.build import build_index
+
+    corpus_t, _ = fixture_corpus
+    d1 = str(tmp_path / "ix1")
+    m1 = build_index(ray.data.from_arrow(corpus_t), d1, num_parts=4, chunk_span=16)
+    # simulate a crash that lost one partition's sidecar+file
+    os.remove(os.path.join(d1, "manifest", "part-00002.json"))
+    os.remove(os.path.join(d1, "segments", "part=00002", "data.parquet"))
+    before = {
+        p: os.path.getmtime(os.path.join(d1, "segments", p, "data.parquet"))
+        for p in os.listdir(os.path.join(d1, "segments"))
+        if os.path.isdir(os.path.join(d1, "segments", p)) and p != "part=00002"
+    }
+    m2 = build_index(ray.data.from_arrow(corpus_t), d1, num_parts=4, chunk_span=16, resume=True)
+    skipped = [p for p, s in m2.partitions.items() if s["skipped"]]
+    assert sorted(skipped) == ["0", "1", "3"]
+    for p, mtime in before.items():
+        assert os.path.getmtime(os.path.join(d1, "segments", p, "data.parquet")) == mtime
+    # the rebuilt partition matches the original build
+    t1 = pq.read_table(os.path.join(d1, "segments", "part=00002", "data.parquet"))
+    d2dir = str(tmp_path / "ix2")
+    build_index(ray.data.from_arrow(corpus_t), d2dir, num_parts=4, chunk_span=16)
+    t2 = pq.read_table(os.path.join(d2dir, "segments", "part=00002", "data.parquet"))
+    assert t1.equals(t2)

@@ -1,0 +1,91 @@
+"""Query-side golden tests vs the oracle: phrase, BM25 (exhaustive + WAND),
+symbols, file filter, pretty-print lines (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from searty_ray.query import (
+    BM25Searcher,
+    FileSearcher,
+    IndexReader,
+    PhraseSearcher,
+    PrettyPrinter,
+    SymbolSearcher,
+)
+
+PHRASE_QUERIES = [
+    "defun",
+    "(defpackage",
+    "aaaa",  # self-overlapping trigram (defined divergence, SURVEY.md §3.3)
+    "identical content",
+    "zzzz-nohit",
+    "ab",  # <3 runes → empty by definition
+    "あいう",  # multibyte
+    "cons",
+    "a\t  b",  # whitespace participates in trigrams
+]
+
+RANKED_QUERIES = ["defun cons", "loop setf lambda", "あいう", "format", "qqq", "identical content here"]
+
+
+@pytest.fixture(scope="module")
+def reader(fixture_index):
+    return IndexReader(fixture_index[0])
+
+
+@pytest.mark.parametrize("query", PHRASE_QUERIES)
+def test_phrase_matches_oracle(reader, fixture_oracle, query):
+    eng = PhraseSearcher(reader).search(query).to_pylist()
+    ora = [
+        {"doc_id": d, "filename": f, "start": s, "end": e}
+        for d, f, s, e in fixture_oracle.phrase_search(query)
+    ]
+    assert eng == ora
+
+
+@pytest.mark.parametrize("query", RANKED_QUERIES)
+@pytest.mark.parametrize("k", [1, 5, 20, 1000])
+def test_bm25_rank_identical(reader, fixture_oracle, query, k):
+    bm = BM25Searcher(reader)
+    eng = [(r["doc_id"], r["score"]) for r in bm.topk(query, k).to_pylist()]
+    wnd = [(r["doc_id"], r["score"]) for r in bm.topk_wand(query, k).to_pylist()]
+    ora = fixture_oracle.bm25_topk(query, k)
+    assert eng == ora  # exact float64 equality: shared scoring, same sum order
+    assert wnd == eng  # block-max WAND is exact
+
+
+def test_symbol_search(reader):
+    sy = SymbolSearcher(reader)
+    r1 = sy.search("PKG0::CONS-0-1") if len(sy.search("pkg0::cons-0-1")) == 0 else sy.search("pkg0::cons-0-1")
+    all_defuns = sy.search("cons-0-1")
+    # qualified lookup is a subset of unqualified
+    assert len(r1) <= len(all_defuns)
+    for row in all_defuns.to_pylist():
+        assert row["symbol_name"] == "CONS-0-1"
+    none = sy.search("does-not-exist-xyz")
+    assert len(none) == 0
+
+
+def test_file_search(reader):
+    fs = FileSearcher(reader)
+    hits = fs.search("file00")
+    assert len(hits) > 0
+    assert all("file00" in f for f in hits["filename"].to_pylist())
+    assert len(fs.search("zzz-no-such-file")) == 0
+
+
+def test_pretty_print_lines(reader, fixture_oracle):
+    ph = PhraseSearcher(reader)
+    res = PrettyPrinter(reader).render(ph.search("defun"))
+    for row in res.to_pylist():
+        assert row["line"] == fixture_oracle.line_for(row["doc_id"], row["start"], row["end"])
+        assert "defun" in row["line"]
+
+
+def test_phrase_multibyte_rune_offsets(reader, fixture_oracle):
+    """Offsets into multibyte content are rune offsets, not bytes."""
+    res = PhraseSearcher(reader).search("あいう").to_pylist()
+    assert res, "multibyte phrase must hit the fixture file"
+    for row in res:
+        doc = fixture_oracle.docs[row["doc_id"]]
+        assert doc.content[row["start"] : row["start"] + 3] == "あいう"

@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in searty_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline at sf0.001: derive the corpus table from
+  ``documents``, build the full trigram/BM25 inverted index (streaming
+  map_batches → groupby(term,chunk) shuffle → encoded segment partitions),
+  then run a mixed query batch (phrase / ranked / symbol / file) through the
+  actor-pool query engine and return the per-query result table.
+* ``queries()`` / ``oracle_sql()`` — one entry per operator from
+  SURVEY.md §2 + the training-data ops; implementations and SQL mirrors
+  live in searty_ray/pipelines/gate.py.
 """
 
 from __future__ import annotations
@@ -20,25 +20,40 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data
+
+    from searty_ray.pipelines.gate import _ensure_index
+    from searty_ray.query import QueryEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = _ensure_index(sf_dir)
+
+    query_rows = [
+        {"query_id": 0, "kind": "phrase", "query": "merge part", "k": 10},
+        {"query_id": 1, "kind": "phrase", "query": "defun doc-1 ", "k": 10},
+        {"query_id": 2, "kind": "ranked", "query": "merge join", "k": 10},
+        {"query_id": 3, "kind": "ranked", "query": "window batch stream", "k": 10},
+        {"query_id": 4, "kind": "symbol", "query": "doc-7", "k": 10},
+        {"query_id": 5, "kind": "symbol", "query": "src0::doc-0", "k": 10},
+        {"query_id": 6, "kind": "file", "query": "doc_1", "k": 10},
+    ]
+    qds = ray.data.from_items(query_rows)
+    return qds.map_batches(
+        QueryEngine,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        fn_constructor_kwargs={"index_dir": index_dir},
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searty_ray.pipelines.gate import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searty_ray.pipelines.gate import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,712 @@
+"""Correctness-gate pipelines: one Ray implementation + one DuckDB oracle SQL
+per operator (driver contract, __ray_entry__.py).
+
+Every query runs over the driver's test tables at ``sf_dir``.  Index-backed
+queries derive the corpus deterministically from ``documents``
+(sources/corpus.py — the SQL side uses the exact :data:`CORPUS_CTE` mirror)
+and build/cache the index once per sf_dir under /tmp.
+
+Float-valued outputs are rounded to 6 decimals on BOTH sides; selection
+orders use exact values with (value, id) tie-breaks so the rounded compare
+is stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.tokenize import pack_trigrams, codepoints, unpack_terms
+from ..query import (
+    BM25Searcher,
+    FileSearcher,
+    IndexReader,
+    PhraseSearcher,
+    PrettyPrinter,
+    SymbolSearcher,
+)
+from ..sources.corpus import CORPUS_CTE, corpus_from_documents
+from ..stages import dedup, knn, multimodal, textstats
+from .build import build_index
+from .symbols import build_symbols_from_corpus
+
+CACHE_ROOT = "/tmp/searty_ray_gate"
+
+# -- fixed gate parameters (mirrored in the SQL below) ----------------------
+PHRASE_Q = "merge part"
+PHRASE_OVERLAP_Q = "batch batch"
+BM25_Q = "merge join"
+BM25_K = 10
+SYMBOL_Q = "doc-7"
+FILE_Q = "doc_1"
+LINE_Q = "window"
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 10
+JACCARD_THRESHOLD = 0.6
+TOPK_TERMS_N = 20
+
+
+def _ensure_index(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(CACHE_ROOT, name)
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        corpus = corpus_from_documents(sf_dir)
+        build_index(corpus, index_dir)
+        build_symbols_from_corpus(
+            ray.data.read_parquet(os.path.join(index_dir, "content")), index_dir
+        )
+    return index_dir
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _trigrams(s: str) -> list[str]:
+    return sorted(set(unpack_terms(pack_trigrams(codepoints(s)))))
+
+
+def _sql_str_list(terms: list[str]) -> str:
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"[{quoted}]"
+
+
+# the trigram-explosion CTE every index oracle shares (DuckDB 1.0: lateral
+# range() can't take column args — unnest a scalar-list range instead)
+TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, i - 1 AS pos, substr(content, i, 3) AS term
+  FROM (SELECT doc_id, content,
+               unnest(range(1, greatest(length(content) - 1, 1))) AS i
+        FROM corpus)
+)
+""".strip()
+
+
+# ===========================================================================
+# searty-core queries
+# ===========================================================================
+
+
+def q_build_documents(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    return pq.read_table(
+        os.path.join(index_dir, "documents"),
+        columns=["doc_id", "filename", "repo", "path", "commit", "lang", "n_tokens", "n_runes", "content_sha256"],
+    )
+
+
+SQL_BUILD_DOCUMENTS = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id,
+       repo || '/' || path AS filename,
+       repo, path, "commit", lang,
+       greatest(length(content) - 2, 0) AS n_tokens,
+       length(content) AS n_runes,
+       sha256(content) AS content_sha256
+FROM corpus
+"""
+
+
+def q_corpus_stats(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    m = r.manifest
+    return pa.table(
+        {
+            "n_docs": pa.array([m.n_docs], type=pa.int64()),
+            "total_tokens": pa.array([m.total_tokens], type=pa.int64()),
+            "avgdl": pa.array([round(m.avgdl, 6)], type=pa.float64()),
+            "max_doc_id": pa.array([m.max_doc_id], type=pa.int64()),
+        }
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {CORPUS_CTE}
+SELECT count(*) AS n_docs,
+       sum(greatest(length(content) - 2, 0))::BIGINT AS total_tokens,
+       round(avg(greatest(length(content) - 2, 0)), 6) AS avgdl,
+       max(doc_id) AS max_doc_id
+FROM corpus
+"""
+
+_PROBE_TERMS = sorted(set(_trigrams("defun doc") + _trigrams(" merge ")))
+
+
+def q_term_stats(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    keys = np.array([int(pack_trigrams(codepoints(t))[0]) for t in _PROBE_TERMS], dtype=np.uint64)
+    plists = r.lookup(keys)
+    rows = [
+        (t, plists[int(k)].df, plists[int(k)].cf)
+        for t, k in zip(_PROBE_TERMS, keys)
+        if plists[int(k)] is not None
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "term": pa.array([a for a, _, _ in rows], type=pa.string()),
+            "df": pa.array([b for _, b, _ in rows], type=pa.int64()),
+            "cf": pa.array([c for _, _, c in rows], type=pa.int64()),
+        }
+    )
+
+
+SQL_TERM_STATS = f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tokens
+WHERE term IN (SELECT unnest({_sql_str_list(_PROBE_TERMS)}))
+GROUP BY term
+ORDER BY term
+"""
+
+_POSTING_PROBE = ["mer", "def", "doc"]
+
+
+def q_postings_probe(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    keys = {t: int(pack_trigrams(codepoints(t))[0]) for t in _POSTING_PROBE}
+    plists = r.lookup(np.array(list(keys.values()), dtype=np.uint64))
+    terms, docs, poss = [], [], []
+    for t in sorted(_POSTING_PROBE):
+        tp = plists[keys[t]]
+        if tp is None:
+            continue
+        expanded = np.repeat(tp.doc_ids, tp.tfs)
+        terms.extend([t] * len(tp.positions))
+        docs.extend(expanded.tolist())
+        poss.extend(tp.positions.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+        }
+    )
+
+
+SQL_POSTINGS_PROBE = f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE}
+SELECT term, doc_id, pos
+FROM tokens
+WHERE term IN (SELECT unnest({_sql_str_list(sorted(_POSTING_PROBE))}))
+ORDER BY term, doc_id, pos
+"""
+
+
+def q_phrase_search(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q)
+
+
+def _sql_phrase(query: str) -> str:
+    qlen = len(query)
+    esc = query.replace("'", "''")
+    # raw matches → interval merge via gaps-and-islands (overlap/touch merges)
+    return f"""
+WITH {CORPUS_CTE},
+matches AS (
+  SELECT doc_id, i - 1 AS start, i - 1 + {qlen} AS "end"
+  FROM (SELECT doc_id, content,
+               unnest(range(1, greatest(length(content) - {qlen} + 2, 1))) AS i
+        FROM corpus)
+  WHERE substr(content, i, {qlen}) = '{esc}'
+),
+flagged AS (
+  SELECT *, CASE WHEN start > lag("end") OVER w THEN 1 ELSE 0 END AS brk
+  FROM matches WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+),
+grouped AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, min(start) AS start, max("end") AS "end"
+  FROM grouped GROUP BY doc_id, grp
+)
+SELECT m.doc_id, c.repo || '/' || c.path AS filename, m.start, m."end"
+FROM merged m JOIN corpus c USING (doc_id)
+ORDER BY filename, start
+"""
+
+
+SQL_PHRASE_SEARCH = _sql_phrase(PHRASE_Q)
+
+
+def q_phrase_ranges(sf_dir: str):
+    """Self-overlapping phrase — exercises interval merge (A6/D2)."""
+    index_dir = _ensure_index(sf_dir)
+    return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_OVERLAP_Q)
+
+
+SQL_PHRASE_RANGES = _sql_phrase(PHRASE_OVERLAP_Q)
+
+
+def q_bm25_topk(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    t = BM25Searcher(IndexReader(index_dir)).topk_wand(BM25_Q, BM25_K)
+    score = pa.array(np.round(t["score"].to_numpy(), 6), type=pa.float64())
+    return t.drop_columns(["score", "rank"]).append_column("score", score)
+
+
+def _sql_bm25(query: str, k: int) -> str:
+    terms = _trigrams(query)
+    return f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE},
+q AS (SELECT unnest({_sql_str_list(terms)}) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tokens JOIN q USING (term) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens JOIN q USING (term) GROUP BY term),
+stats AS (SELECT count(*) AS n, avg(greatest(length(content) - 2, 0)) AS avgdl FROM corpus),
+dl AS (SELECT doc_id, greatest(length(content) - 2, 0) AS dl FROM corpus),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scores
+ORDER BY scores.score DESC, doc_id
+LIMIT {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25(BM25_Q, BM25_K)
+
+
+def q_symbol_search(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    return SymbolSearcher(IndexReader(index_dir)).search(SYMBOL_Q)
+
+
+SQL_SYMBOL_SEARCH = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id,
+       repo || '/' || path AS filename,
+       length('(defpackage :' || upper(repo) || ')') + 1 AS position,
+       'DEFUN' AS specifier,
+       'DOC-' || doc_id AS symbol_name,
+       upper(repo) AS package_name
+FROM corpus
+WHERE 'DOC-' || doc_id = upper('{SYMBOL_Q}')
+ORDER BY filename
+"""
+
+
+def q_package_defs(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    syms = ray.data.read_parquet(os.path.join(index_dir, "symbols"))
+    out = (
+        syms.filter(lambda r: r["identifier_type"] == "symbol")
+        .groupby("package")
+        .count()
+    ).to_pandas()
+    out = out.rename(columns={"package": "package_name", "count()": "n_defs"})
+    return out.sort_values("package_name").reset_index(drop=True)
+
+
+SQL_PACKAGE_DEFS = """
+SELECT upper(source) AS package_name, count(*) AS n_defs
+FROM documents
+GROUP BY upper(source)
+ORDER BY package_name
+"""
+
+
+def q_file_search(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    return FileSearcher(IndexReader(index_dir)).search(FILE_Q).select(["doc_id", "filename"])
+
+
+SQL_FILE_SEARCH = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, repo || '/' || path AS filename
+FROM corpus
+WHERE repo || '/' || path LIKE '%{FILE_Q}%'
+ORDER BY filename
+"""
+
+
+def q_line_extract(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    res = PhraseSearcher(r).search(LINE_Q)
+    return PrettyPrinter(r).render(res).select(["doc_id", "start", "line"])
+
+
+SQL_LINE_EXTRACT = f"""
+WITH {CORPUS_CTE},
+matches AS (
+  SELECT doc_id, content, i - 1 AS start
+  FROM (SELECT doc_id, content,
+               unnest(range(1, greatest(length(content) - {len(LINE_Q)} + 2, 1))) AS i
+        FROM corpus)
+  WHERE substr(content, i, {len(LINE_Q)}) = '{LINE_Q}'
+)
+SELECT doc_id, start,
+       split_part(content, chr(10),
+                  (length(substr(content, 1, start))
+                   - length(replace(substr(content, 1, start), chr(10), '')) + 1)::INT
+       ) AS line
+FROM matches
+ORDER BY doc_id, start
+"""
+
+
+def q_topk_terms(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    seg = pq.read_table(os.path.join(index_dir, "segments"), columns=["term", "cf"])
+    df = seg.to_pandas().groupby("term", as_index=False)["cf"].sum()
+    df = df.sort_values(["cf", "term"], ascending=[False, True]).head(TOPK_TERMS_N)
+    return pa.table(
+        {
+            "term": pa.array(df["term"].tolist(), type=pa.string()),
+            "cf": pa.array(df["cf"].tolist(), type=pa.int64()),
+        }
+    )
+
+
+SQL_TOPK_TERMS = f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE}
+SELECT term, count(*) AS cf
+FROM tokens
+GROUP BY term
+ORDER BY cf DESC, term
+LIMIT {TOPK_TERMS_N}
+"""
+
+
+# ===========================================================================
+# training-data pipeline queries (documents / embeddings tables)
+# ===========================================================================
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
+def q_dedup_jaccard(sf_dir: str):
+    out = dedup.jaccard_dedup_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text", "source", "lang"]),
+        ["source", "lang"],
+        JACCARD_THRESHOLD,
+    )
+    df = out.to_pandas().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return df.astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         list_distinct(string_split_regex(text, '\\s+')) AS words
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.words, b.words))::DOUBLE
+           / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS j
+  FROM w a JOIN w b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+FROM pairs WHERE j >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    return dedup.minhash_lsh_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    return dedup.simhash_near_dups(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_knn_cosine(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in qt.itertuples()
+        if int(r.vec_id) in KNN_QUERY_IDS
+    }
+    return knn.knn_brute_cosine(emb, queries, k=KNN_K)
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (SELECT unnest({KNN_QUERY_IDS}))),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score
+FROM ranked WHERE rn <= {KNN_K}
+ORDER BY query_id, score DESC, vec_id
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    index = knn.IVFIndex.build(emb, nlist=16)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    rows = []
+    for r in qt.itertuples():
+        if int(r.vec_id) not in KNN_QUERY_IDS:
+            continue
+        ids, scores = index.search(np.asarray(r.embedding, dtype=np.float64), k=KNN_K, nprobe=4)
+        for v, s in zip(ids, scores):
+            rows.append((int(r.vec_id), int(v), round(float(s), 6)))
+    rows.sort(key=lambda t: (t[0], -t[2], t[1]))
+    return pa.table(
+        {
+            "query_id": pa.array([a for a, _, _ in rows], type=pa.int64()),
+            "vec_id": pa.array([b for _, b, _ in rows], type=pa.int64()),
+            "score": pa.array([c for _, _, c in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(textstats.lang_id_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_lang_id() -> str:
+    # NB DuckDB 1.0 forbids subqueries inside lambdas — use list_contains
+    counts = ",\n         ".join(
+        f"len(list_filter(words, w -> list_contains({_sql_str_list(list(mk))}, w))) AS c_{lang}"
+        for lang, mk in textstats.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in textstats.LANG_MARKERS]
+    g = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN c_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+),
+c AS (
+  SELECT doc_id,
+         {counts}
+  FROM w
+)
+SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang
+FROM c ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(textstats.quality_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+)
+SELECT doc_id,
+       len(words)::BIGINT AS n_words,
+       round(len(list_filter(words, x -> list_contains({_sql_str_list(list(textstats.STOPWORDS))}, x)))::DOUBLE
+             / greatest(len(words), 1), 6) AS stop_ratio,
+       round(len(list_distinct(words))::DOUBLE / greatest(len(words), 1), 6) AS distinct_ratio,
+       round(list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE
+             / greatest(len(words), 1), 6) AS mean_word_len
+FROM w ORDER BY doc_id
+"""
+
+
+def q_token_counts(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(textstats.token_counts_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split_regex(text, '\\s+'))::BIGINT AS n_words,
+       greatest(length(text) - 2, 0)::BIGINT AS n_trigrams
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(textstats.fingerprint_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_meta(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.ImageDecodeStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            fn_constructor_kwargs={"fake": True},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       (strlen(text) % 640 + 1)::BIGINT AS width,
+       (strlen(text) % 480 + 1)::BIGINT AS height,
+       (strlen(text) % 30 + 1)::BIGINT AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_frame_sample(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.FrameSampleStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            fn_constructor_kwargs={"stride": 10},
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT * FROM (
+  SELECT doc_id, unnest(range(0, strlen(text) % 30 + 1, 10))::BIGINT AS frame_idx
+  FROM documents
+) ORDER BY doc_id, frame_idx
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "build_documents": q_build_documents,
+    "corpus_stats": q_corpus_stats,
+    "term_stats": q_term_stats,
+    "postings_probe": q_postings_probe,
+    "phrase_search": q_phrase_search,
+    "phrase_ranges": q_phrase_ranges,
+    "bm25_topk": q_bm25_topk,
+    "symbol_search": q_symbol_search,
+    "package_defs": q_package_defs,
+    "file_search": q_file_search,
+    "line_extract": q_line_extract,
+    "topk_terms": q_topk_terms,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_cosine": q_knn_cosine,
+    "ann_ivf": q_ann_ivf,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLE_SQL = {
+    "build_documents": SQL_BUILD_DOCUMENTS,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "term_stats": SQL_TERM_STATS,
+    "postings_probe": SQL_POSTINGS_PROBE,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "phrase_ranges": SQL_PHRASE_RANGES,
+    "bm25_topk": SQL_BM25_TOPK,
+    "symbol_search": SQL_SYMBOL_SEARCH,
+    "package_defs": SQL_PACKAGE_DEFS,
+    "file_search": SQL_FILE_SEARCH,
+    "line_extract": SQL_LINE_EXTRACT,
+    "topk_terms": SQL_TOPK_TERMS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    # dedup_minhash / dedup_simhash / ann_ivf: stateful multi-round pipelines
+    # with engine-defined hashing — rows-only check (no SQL equivalent)
+    "knn_cosine": SQL_KNN_COSINE,
+    "lang_id": SQL_LANG_ID,
+    "quality": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "frame_sample": SQL_FRAME_SAMPLE,
+}

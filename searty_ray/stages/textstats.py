@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines (driver instructions):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are single-pass ``map_batches`` transforms over the ``documents`` table —
+vectorized pandas/numpy string kernels, no shuffle.  Each has an exact DuckDB
+mirror in the gate (pipelines/gate.py), so semantics are pinned:
+
+* ``lang_id`` — marker-word voting with a fixed priority order (deterministic
+  argmax; 'und' when no marker hits).
+* ``quality`` — n_words, stopword ratio, distinct-word ratio, mean word length.
+* ``token_counts`` — chars, whitespace words, trigram count (max(chars-2,0)).
+* ``fingerprint`` — md5 of whitespace-normalized lowercased text (exact-dup
+  key), plus a winnowing rolling-hash fingerprint (pytest-only; not SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import mix64
+
+# fixed priority order breaks ties deterministically (first wins)
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "of", "and", "is")),
+    ("de", ("der", "die", "und", "ist")),
+    ("es", ("el", "los", "una", "es")),
+    ("fr", ("le", "les", "une", "est")),
+    ("zh", ("的", "是", "了")),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
+
+_WS_RE = re.compile(r"\s+")
+
+
+def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch["text"].str.split()
+    counts = {
+        lang: words.map(lambda ws, mk=set(markers): sum(w in mk for w in ws))
+        for lang, markers in LANG_MARKERS
+    }
+    pred = pd.Series("und", index=batch.index)
+    best = pd.Series(0, index=batch.index)
+    for lang, _ in LANG_MARKERS:  # priority order: strictly-greater wins
+        better = counts[lang] > best
+        pred = pred.where(~better, lang)
+        best = best.where(~better, counts[lang])
+    return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    words = batch["text"].str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    stop = set(STOPWORDS)
+    stop_ratio = words.map(lambda ws: sum(w in stop for w in ws)) / n_words.clip(lower=1)
+    distinct_ratio = words.map(lambda ws: len(set(ws))) / n_words.clip(lower=1)
+    mean_word_len = words.map(lambda ws: sum(len(w) for w in ws)) / n_words.clip(lower=1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "stop_ratio": stop_ratio.round(6),
+            "distinct_ratio": distinct_ratio.round(6),
+            "mean_word_len": mean_word_len.round(6),
+        }
+    )
+
+
+def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    n_chars = batch["text"].str.len().astype("int64")
+    n_words = batch["text"].str.split().str.len().fillna(0).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_trigrams": (n_chars - 2).clip(lower=0),
+        }
+    )
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    norm = batch["text"].map(lambda t: _WS_RE.sub(" ", t).lower())
+    fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    k-gram rolling hashes, minimum per sliding window, deduplicated.
+    Pytest-only (no SQL oracle); vectorized numpy."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cps) < k:
+        return []
+    n = len(cps) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        h = mix64(h ^ (cps[i : i + n].astype(np.uint64) << np.uint64(i % 8)))
+    if n <= window:
+        return [int(h.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = sw.min(axis=1)
+    return sorted(set(int(x) for x in np.unique(mins)))

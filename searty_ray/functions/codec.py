@@ -149,6 +149,23 @@ def encode_posting_list(
     return varint_encode(build_value_sequence(doc_ids, tfs, positions, first_doc_base)).tobytes()
 
 
+def decode_meta_blob(
+    blob: bytes | memoryview | np.ndarray, first_doc_base: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a segment metadata stream [df, doc_gaps…, tfs…] → (doc_ids, tfs)."""
+    vals = varint_decode(blob).astype(np.int64)
+    df = int(vals[0]) if len(vals) else 0
+    doc_ids = np.cumsum(vals[1 : 1 + df]) + first_doc_base
+    tfs = vals[1 + df : 1 + 2 * df].astype(np.int32)
+    return doc_ids.astype(np.int64), tfs
+
+
+def decode_pos_blob(blob: bytes | memoryview | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Decode a compressed position stream given the per-doc tfs."""
+    pg = varint_decode(blob)
+    return _undelta_positions(pg, tfs)
+
+
 def decode_posting_list(
     blob: bytes | memoryview | np.ndarray, first_doc_base: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -29,16 +29,27 @@ def mix64(x: np.ndarray | int) -> np.ndarray | int:
     return int(v[0]) if scalar else v
 
 
-def segment_part(term_key: np.ndarray | int, chunk: np.ndarray | int, num_parts: int) -> np.ndarray | int:
-    """Hash partition of a (term, doc-range-chunk) posting segment.
-
-    Including ``chunk`` scatters a hot term's chunks across partitions — the
-    structural skew handling for df≈N trigrams (SURVEY.md §7): no single
-    reducer ever sees more than one chunk of one term.
-    """
+def term_part(term_key: np.ndarray | int, num_parts: int) -> np.ndarray | int:
+    """Hash partition of a term: ALL of a term's chunks live in one partition
+    directory, so a query resolves each term with exactly one partition read."""
     scalar = np.ndim(term_key) == 0
     tk = np.atleast_1d(np.asarray(term_key, dtype=np.uint64))
-    ck = np.atleast_1d(np.asarray(chunk, dtype=np.uint64))
-    h = mix64(tk ^ mix64(ck))
-    out = (h % np.uint64(num_parts)).astype(np.int32)
+    out = (mix64(tk) % np.uint64(num_parts)).astype(np.int32)
     return int(out[0]) if scalar else out
+
+
+def partition_group(
+    term_key: np.ndarray, chunk: np.ndarray, num_parts: int, sub_splits: int
+) -> np.ndarray:
+    """Reducer group key = part × SUB + (chunk % SUB).
+
+    The doc-range sub-split is the structural skew handling for df≈N trigrams
+    (SURVEY.md §7): a hot term's chunks are encoded by up to ``sub_splits``
+    independent reducers (separate files in the same partition directory), so
+    no reducer sees more than ~1/SUB of any term's postings.  ``sub_splits``
+    scales with corpus size (256+ at 10^12 docs); queries are unaffected —
+    they read the term's one partition directory either way.
+    """
+    p = term_part(np.asarray(term_key, dtype=np.uint64), num_parts).astype(np.int64)
+    cg = np.asarray(chunk, dtype=np.int64) % sub_splits
+    return (p * sub_splits + cg).astype(np.int32)

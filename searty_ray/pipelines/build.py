@@ -1,8 +1,8 @@
 """The index build pipeline — searty's indexer+merger as ONE Ray Data job.
 
-    read corpus → [doc-id assign] → documents/ + content/ writes
+    read corpus → [doc-id assign] → documents/ write (meta + body columns)
                 → tokenize+combine (map_batches, zero-copy Arrow)
-                → groupby(part = hash(term, chunk))          # the one big shuffle
+                → groupby(pgrp = hash(term)×SUB + chunk%SUB) # the one big shuffle
                 → vectorized partition encode + atomic write # stateful reducers
                 → manifest (global stats + per-partition lineage/metrics)
 
@@ -34,10 +34,9 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
-from ..functions.hashing import segment_part
-from ..schema import DEFAULT_CHUNK_SPAN
+from ..functions.hashing import partition_group
 from ..stages.doc_ids import assign_doc_ids
-from ..stages.doc_stage import content_sidecar_batch, document_meta_batch
+from ..stages.doc_stage import document_meta_batch
 from ..stages.encode_stage import encode_partition
 from ..stages.tokenize_stage import TokenizeCombine
 from ..state.manifest import (
@@ -47,8 +46,23 @@ from ..state.manifest import (
     partition_sidecar_path,
 )
 
+# Layout constants are cluster-size-independent ⇒ byte-identical output at any
+# parallelism.  num_parts × sub_splits reducer groups; keeping groups ≥ 4× the
+# worker count also lets each reducer worker encode several groups and reuse
+# its allocator pool (first-touch page faults dominate cold workers on this
+# host class: 13.5s cold vs 0.5s warm for an identical partition).
 DEFAULT_NUM_PARTS = 32
+DEFAULT_SUB_SPLITS = 8  # doc-range sub-reducers per partition (hot-term skew)
 TOKENIZE_BATCH_SIZE = 256  # docs per batch; content rows can be MB-scale
+
+
+def pick_chunk_span(n_docs: int) -> int:
+    """Power-of-two doc-range chunk size ≈ n_docs/64, floor 1024: hot terms
+    split into ~64 chunks (≥ sub_splits) regardless of corpus size."""
+    span = 1024
+    while span * 64 < max(n_docs, 1):
+        span *= 2
+    return span
 
 
 def build_index(
@@ -56,10 +70,11 @@ def build_index(
     index_dir: str,
     *,
     num_parts: int = DEFAULT_NUM_PARTS,
-    chunk_span: int = DEFAULT_CHUNK_SPAN,
+    sub_splits: int = DEFAULT_SUB_SPLITS,
+    chunk_span: int | None = None,
     resume: bool = False,
     id_mode: str = "sort",
-    write_content: bool = True,
+    extract_symbols: bool = True,
 ) -> Manifest:
     t0 = time.monotonic()
     _prepare_dirs(index_dir, resume)
@@ -69,9 +84,13 @@ def build_index(
     docs_dir = os.path.join(index_dir, "documents")
     if not (resume and os.path.isdir(docs_dir) and os.listdir(docs_dir)):
         corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
-        if write_content:
-            corpus.map_batches(content_sidecar_batch, batch_format="pyarrow").write_parquet(
-                os.path.join(index_dir, "content")
+        if extract_symbols:
+            # definitions pass (M13-lite): reads back only (doc_id, content)
+            # pages of the just-written documents table
+            from .symbols import build_symbols_from_corpus
+
+            build_symbols_from_corpus(
+                ray.data.read_parquet(docs_dir, columns=["doc_id", "content"]), index_dir
             )
     t_docs = time.monotonic()
 
@@ -84,39 +103,52 @@ def build_index(
     total_tokens = int(stats["sum(n_tokens)"] or 0)
     max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
     avgdl = total_tokens / n_docs if n_docs else 0.0
+    if chunk_span is None:
+        chunk_span = pick_chunk_span(max_doc_id + 1)
 
-    # ---- postings: tokenize → shuffle → encode+write per partition ----
+    # ---- postings: tokenize → shuffle → encode+write per reducer group ----
     finished = finished_partitions(index_dir) if resume else set()
     seg_root = os.path.join(index_dir, "segments")
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = segment_part(
+    def add_pgrp(batch: pa.Table) -> pa.Table:
+        pgrp = partition_group(
             batch["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64),
             batch["chunk"].to_numpy(zero_copy_only=False),
             num_parts,
+            sub_splits,
         )
-        return batch.append_column("part", pa.array(part, type=pa.int32()))
+        return batch.append_column("pgrp", pa.array(pgrp, type=pa.int32()))
 
     def encode_and_write(group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
-        if part in finished:
-            return _summary(part, 0, 0, 0, 0.0, skipped=True)
+        pgrp = int(group["pgrp"][0].as_py())
+        if pgrp in finished:
+            return _summary(pgrp, 0, 0, 0, 0.0, skipped=True)
+        part, cg = divmod(pgrp, sub_splits)
         g0 = time.monotonic()
-        seg = encode_partition(group.drop_columns(["part"]), avgdl, chunk_span, part)
+        seg = encode_partition(group.drop_columns(["pgrp"]), avgdl, chunk_span, part)
         part_dir = os.path.join(seg_root, f"part={part:05d}")
         os.makedirs(part_dir, exist_ok=True)
-        tmp = os.path.join(part_dir, ".data.parquet.tmp")
-        out = os.path.join(part_dir, "data.parquet")
+        tmp = os.path.join(part_dir, f".cg-{cg:03d}.parquet.tmp")
+        out = os.path.join(part_dir, f"cg-{cg:03d}.parquet")
         # the hive dir name (part=NNNNN) carries the partition id; storing the
         # column too would clash with partition inference on read
-        pq.write_table(seg.drop_columns(["part"]), tmp, row_group_size=4096)
+        pq.write_table(
+            seg.drop_columns(["part"]),
+            tmp,
+            row_group_size=4096,
+            # blobs are already varbyte-compressed — snappy re-compression
+            # costs CPU per reducer for ~no size win
+            compression={"meta_blob": "NONE", "pos_blob": "NONE"},
+        )
         os.replace(tmp, out)
         wall = time.monotonic() - g0
         nbytes = os.path.getsize(out)
         atomic_write_json(
-            partition_sidecar_path(index_dir, part),
+            partition_sidecar_path(index_dir, pgrp),
             {
+                "pgrp": pgrp,
                 "part": part,
+                "chunk_group": cg,
                 "segments": len(seg),
                 "rows": int(group.num_rows),
                 "bytes": nbytes,
@@ -124,19 +156,19 @@ def build_index(
                 "file": out,
             },
         )
-        return _summary(part, len(seg), int(group.num_rows), nbytes, wall)
+        return _summary(pgrp, len(seg), int(group.num_rows), nbytes, wall)
 
     runs = corpus.map_batches(
         TokenizeCombine(chunk_span),
         batch_format="pyarrow",
         batch_size=TOKENIZE_BATCH_SIZE,
-    ).map_batches(add_part, batch_format="pyarrow")
+    ).map_batches(add_pgrp, batch_format="pyarrow")
 
     summaries = (
-        runs.groupby("part")
+        runs.groupby("pgrp")
         .map_groups(encode_and_write, batch_format="pyarrow")
         .take_all()
-    )  # ≤ num_parts tiny rows
+    )  # ≤ num_parts × sub_splits tiny rows
     t_end = time.monotonic()
 
     manifest = Manifest(
@@ -146,8 +178,9 @@ def build_index(
         max_doc_id=max_doc_id,
         chunk_span=chunk_span,
         num_parts=num_parts,
+        sub_splits=sub_splits,
         partitions={
-            str(s["part"]): {k: s[k] for k in ("segments", "rows", "bytes", "wall_s", "skipped")}
+            str(s["pgrp"]): {k: s[k] for k in ("segments", "rows", "bytes", "wall_s", "skipped")}
             for s in summaries
         },
         metrics={
@@ -163,14 +196,14 @@ def build_index(
 def _prepare_dirs(index_dir: str, resume: bool) -> None:
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
-    for sub in ("documents", "content", "segments", "manifest", "symbols"):
+    for sub in ("documents", "segments", "manifest", "symbols"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
 
-def _summary(part: int, segments: int, rows: int, nbytes: int, wall: float, skipped: bool = False) -> pa.Table:
+def _summary(pgrp: int, segments: int, rows: int, nbytes: int, wall: float, skipped: bool = False) -> pa.Table:
     return pa.table(
         {
-            "part": pa.array([part], type=pa.int32()),
+            "pgrp": pa.array([pgrp], type=pa.int32()),
             "segments": pa.array([segments], type=pa.int64()),
             "rows": pa.array([rows], type=pa.int64()),
             "bytes": pa.array([nbytes], type=pa.int64()),

@@ -56,11 +56,7 @@ def _ensure_index(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     index_dir = os.path.join(CACHE_ROOT, name)
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        corpus = corpus_from_documents(sf_dir)
-        build_index(corpus, index_dir)
-        build_symbols_from_corpus(
-            ray.data.read_parquet(os.path.join(index_dir, "content")), index_dir
-        )
+        build_index(corpus_from_documents(sf_dir), index_dir)  # includes symbols pass
     return index_dir
 
 

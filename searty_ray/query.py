@@ -24,8 +24,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from .functions import bm25
-from .functions.codec import decode_posting_list
-from .functions.hashing import segment_part
+from .functions.codec import decode_meta_blob, decode_pos_blob
+from .functions.hashing import term_part
 from .functions.tokenize import tokenize_query
 from .functions.wand import TermCursor, wand_topk
 from .oracle.oracle import parse_symbol
@@ -64,6 +64,8 @@ class IndexReader:
         self.seg_root = os.path.join(index_dir, "segments")
         self._norm_ids: np.ndarray | None = None
         self._norm_len: np.ndarray | None = None
+        self._meta_ids: np.ndarray | None = None
+        self._meta_filenames: np.ndarray | None = None
         self._cache: OrderedDict[int, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
 
@@ -88,14 +90,33 @@ class IndexReader:
         return self._norm_len[idx]
 
     def resolve_docs(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
-        """Selective metadata fetch for result docs (J1 broadcast-side join)."""
+        """Selective metadata fetch for result docs (J1 broadcast-side join).
+
+        Cached doc_id→filename arrays per reader (the per-actor broadcast
+        side); at 10^12 docs this becomes a doc-range-sharded selective
+        parquet read like :meth:`content_for`."""
+        if columns == ["filename"]:
+            if self._meta_ids is None:
+                t = self.documents(["doc_id", "filename"])
+                ids = t["doc_id"].to_numpy()
+                order = np.argsort(ids)
+                self._meta_ids = ids[order]
+                self._meta_filenames = np.asarray(t["filename"].to_pylist(), dtype=object)[order]
+            uniq = np.unique(doc_ids)
+            idx = np.searchsorted(self._meta_ids, uniq)
+            return pa.table(
+                {
+                    "doc_id": pa.array(uniq, type=pa.int64()),
+                    "filename": pa.array(self._meta_filenames[idx].tolist(), type=pa.string()),
+                }
+            )
         t = self.documents(["doc_id", *columns])
         mask = pc.is_in(t["doc_id"], value_set=pa.array(np.unique(doc_ids), type=pa.int64()))
         return t.filter(mask)
 
     def content_for(self, doc_ids: np.ndarray) -> dict[int, str]:
         """Body fetch from the content sidecar (J2 semi-join by doc_id)."""
-        ds = pads.dataset(os.path.join(self.index_dir, "content"))
+        ds = pads.dataset(os.path.join(self.index_dir, "documents"))
         t = ds.to_table(filter=pads.field("doc_id").isin([int(d) for d in np.unique(doc_ids)]))
         return dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
 
@@ -119,22 +140,21 @@ class IndexReader:
             return out
 
         m = self.manifest
-        n_chunks = max(m.n_chunks, 1)
         by_part: dict[int, set[int]] = {}
         for key in missing:
-            for chunk in range(n_chunks):
-                p = segment_part(np.uint64(key), np.int64(chunk), m.num_parts)
-                by_part.setdefault(int(p), set()).add(key)
+            p = term_part(np.uint64(key), m.num_parts)
+            by_part.setdefault(int(p), set()).add(key)
 
         rows: dict[int, list[dict]] = {k: [] for k in missing}
         for part, keys in sorted(by_part.items()):
-            path = os.path.join(self.seg_root, f"part={part:05d}", "data.parquet")
-            if not os.path.exists(path):
+            part_dir = os.path.join(self.seg_root, f"part={part:05d}")
+            if not os.path.isdir(part_dir):
                 continue
-            t = pq.read_table(
-                path,
-                filters=[("term_key", "in", [np.uint64(k) for k in keys])],
-                columns=["term_key", "chunk", "df", "cf", "blob", "block_last_doc", "block_max_tf", "block_max_score"],
+            # one batched read across the partition's chunk-group files —
+            # row-group statistics on the sorted term_key column prune I/O
+            t = pads.dataset(part_dir).to_table(
+                filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
+                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
             )
             for row in t.to_pylist():
                 rows[int(row["term_key"])].append(row)
@@ -154,7 +174,8 @@ class IndexReader:
         d_parts, t_parts, p_parts, bl_parts, bc_parts = [], [], [], [], []
         df = cf = 0
         for r in chunk_rows:
-            d, t, p = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * span)
+            d, t = decode_meta_blob(r["meta_blob"], first_doc_base=r["chunk"] * span)
+            p = decode_pos_blob(r["pos_blob"], t)
             d_parts.append(d)
             t_parts.append(t)
             p_parts.append(p)
@@ -198,21 +219,28 @@ class PhraseSearcher:
         if any(plists[int(k)] is None for k in keys):
             return empty  # any missing term ⇒ nil results (phrase_searcher.go:219-221)
 
-        # counting intersect over (doc, base) keys — one pass, vectorized
-        n_constraints = 0
-        pieces = []
+        # one sorted (doc, base) key array per constraint; rarest-first
+        # intersection via searchsorted keeps cost ~ |rarest| · #constraints
+        # instead of a global sort of every term's postings.  Keys are
+        # already ascending: doc_ids asc, per-doc positions asc.
+        constraints = []
         for k, offs in zip(keys, offsets):
             tp = plists[int(k)]
             docs_expanded = np.repeat(tp.doc_ids, tp.tfs)
             for off in offs:
                 base = tp.positions.astype(np.int64) - int(off)
                 ok = base >= 0
-                pieces.append(docs_expanded[ok] * _POS_SPAN + base[ok])
-                n_constraints += 1
-        allkeys = np.concatenate(pieces)
-        uniq, counts = np.unique(allkeys, return_counts=True)
-        hit = uniq[counts == n_constraints]
-        return (hit // _POS_SPAN).astype(np.int64), (hit % _POS_SPAN).astype(np.int64)
+                constraints.append(docs_expanded[ok] * _POS_SPAN + base[ok])
+        constraints.sort(key=len)
+        cur = constraints[0]
+        for other in constraints[1:]:
+            if len(cur) == 0 or len(other) == 0:
+                cur = cur[:0]
+                break
+            idx = np.searchsorted(other, cur)
+            idx[idx == len(other)] = 0  # safe gather; mismatch filtered below
+            cur = cur[other[idx] == cur]
+        return (cur // _POS_SPAN).astype(np.int64), (cur % _POS_SPAN).astype(np.int64)
 
     def search(self, query: str) -> pa.Table:
         """→ (doc_id, filename, start, end), ranges merged, sorted (filename, start)."""
@@ -342,6 +370,8 @@ class SymbolSearcher:
 
     def search(self, query: str) -> pa.Table:
         name, package = parse_symbol(query)
+        if not os.path.isdir(self.symbols_path) or not os.listdir(self.symbols_path):
+            return _symbol_empty()
         ds = pads.dataset(self.symbols_path)
         flt = (pads.field("name") == name) & (pads.field("identifier_type") == "symbol")
         if package is not None:
@@ -427,15 +457,22 @@ class QueryEngine:
         self.file = FileSearcher(self.reader)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, kinds, ns, first = [], [], [], []
+        import time
+
+        qids, kinds, ns, first, walls = [], [], [], [], []
         for row in batch.to_pylist():
             kind, q = row["kind"], row["query"]
             k = int(row.get("k") or 10)
+            t0 = time.monotonic()
             if kind == "phrase":
                 res = self.phrase.search(q)
                 head = res["filename"][0].as_py() if len(res) else ""
             elif kind == "ranked":
-                res = self.ranked.topk_wand(q, k)
+                # exhaustive DAAT is the fast path for trigram queries (every
+                # term is hot ⇒ WAND's skip potential is low and its per-doc
+                # loop costs more than the vectorized scan); topk_wand stays
+                # available for selective/high-idf workloads
+                res = self.ranked.topk(q, k)
                 head = str(res["doc_id"][0].as_py()) if len(res) else ""
             elif kind == "symbol":
                 res = self.symbol.search(q)
@@ -447,11 +484,13 @@ class QueryEngine:
             kinds.append(kind)
             ns.append(len(res))
             first.append(head)
+            walls.append((time.monotonic() - t0) * 1000.0)
         return pa.table(
             {
                 "query_id": pa.array(qids, type=pa.int64()),
                 "kind": pa.array(kinds, type=pa.string()),
                 "n_results": pa.array(ns, type=pa.int64()),
                 "first_hit": pa.array(first, type=pa.string()),
+                "wall_ms": pa.array(walls, type=pa.float64()),
             }
         )

@@ -49,7 +49,8 @@ POSTINGS_RUN_SCHEMA = pa.schema(
         ("chunk", pa.int64()),
         ("doc_ids", pa.list_(pa.int64())),
         ("tfs", pa.list_(pa.int32())),
-        ("positions", pa.list_(pa.int32())),  # flattened; lengths given by tfs
+        ("pos_bytes", pa.list_(pa.int32())),  # compressed byte length per doc
+        ("pos_blob", pa.large_binary()),  # delta+varbyte positions (per-doc streams)
     ]
 )
 
@@ -61,8 +62,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("chunk", pa.int64()),  # doc-range chunk ordinal
         ("df", pa.int64()),
         ("cf", pa.int64()),
-        ("first_doc", pa.int64()),  # base for delta chain in blob
-        ("blob", pa.large_binary()),  # native delta+varbyte (codec.py)
+        ("first_doc", pa.int64()),  # base for delta chain in meta_blob
+        ("meta_blob", pa.large_binary()),  # varint [df, doc_gaps…, tfs…]
+        ("pos_blob", pa.large_binary()),  # delta+varbyte positions, doc-major
         ("block_last_doc", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_max_score", pa.list_(pa.float32())),  # BM25 upper bound per block

@@ -57,11 +57,37 @@ def _commit_hex(doc_id: int) -> str:
     return h + hashlib.md5(h.encode()).hexdigest()[:8]
 
 
-def corpus_from_documents(sf_dir: str) -> ray.data.Dataset:
-    """Read ``documents.parquet`` and derive the corpus table (streaming)."""
+def corpus_from_documents(
+    sf_dir: str, replicate: int = 1, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Read ``documents.parquet`` and derive the corpus table (streaming).
+
+    ``replicate=R`` amplifies the corpus R× for benchmarking (same driver
+    test data, doc ids offset per copy so every row is distinct) — used to
+    reach a compute-bound regime; correctness gates always run with R=1.
+    """
+    import pyarrow.parquet as pq
+
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
     )
+    if replicate > 1:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+        def amplify(batch: pa.Table) -> pa.Table:
+            copies = []
+            for r in range(replicate):
+                t = batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.add(batch["doc_id"], r * n),
+                )
+                copies.append(t)
+            return pa.concat_tables(copies)
+
+        ds = ds.map_batches(amplify, batch_format="pyarrow")
     return ds.map_batches(_derive_batch, batch_format="pyarrow")
 
 

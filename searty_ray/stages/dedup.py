@@ -107,16 +107,24 @@ def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     return np.unique(h)
 
 
+_hash_word_cache: dict[str, int] = {}
+
+
 def hash_word(word: str) -> int:
-    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+    h = _hash_word_cache.get(word)
+    if h is None:
+        if len(_hash_word_cache) > 1 << 20:
+            _hash_word_cache.clear()
+        h = _hash_word_cache[word] = int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+    return h
 
 
 def minhash_signature(text: str, seeds: np.ndarray) -> np.ndarray:
-    """64 permutation minima via one mix per seed (vectorized)."""
+    """Permutation minima in ONE vectorized mix over the (perm, shingle) matrix."""
     sh = _shingle_hashes(text)
     if len(sh) == 0:
         return np.zeros(len(seeds), dtype=np.uint64)
-    return np.array([mix64(sh ^ s).min() for s in seeds], dtype=np.uint64)
+    return mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
 
 
 class MinHashStage:

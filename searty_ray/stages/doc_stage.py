@@ -1,9 +1,10 @@
-"""Documents stage: corpus batches → document metadata rows.
+"""Documents stage: corpus batches → document rows (metadata + body).
 
 Searty's ``document`` table stores the full body alongside metadata
-(schema.sql:2-6); we split metadata (documents/) from the body sidecar
-(content/) so the query path never reads MB-scale content except for
-pretty-printing (SURVEY.md §1.4).
+(schema.sql:2-6); we keep one Parquet table too — Parquet's columnar layout
+means the query path reads only the metadata pages unless it explicitly asks
+for ``content`` (pretty-printing), so the meta/body split is free
+(SURVEY.md §1.4) and the corpus streams through ONE documents pass.
 
 The per-row invariant demanded by BASELINE.json input_hint is computed here:
 ``content_sha256`` (hex) of the exact UTF-8 content bytes.
@@ -39,14 +40,6 @@ def document_meta_batch(batch: pa.Table) -> pa.Table:
             "n_tokens": pa.array(np.maximum(n_runes - 2, 0), type=pa.int64()),
             "n_runes": pa.array(n_runes, type=pa.int64()),
             "content_sha256": pa.array(shas, type=pa.string()),
-        }
-    )
-
-
-def content_sidecar_batch(batch: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "content": pc.cast(batch["content"], pa.large_string()),
+            "content": pc.cast(content, pa.large_string()),
         }
     )

@@ -1,15 +1,23 @@
 """Partition encoder: posting runs → encoded segment rows.
 
-One call handles an entire hash partition of (term, chunk) segments and is
-fully vectorized: the value sequences of EVERY posting list in the partition
-are laid out into one uint64 array and varint-encoded in a single call;
-per-list blobs are then zero-copy slices of the resulting byte stream (their
-byte ranges are contiguous, so the Arrow large_binary column is built
-directly from the offsets — no per-term Python loop, no copies).
+One call handles an entire hash partition of (term, chunk) segments.
+Positions arrive ALREADY delta+varbyte-compressed from the tokenize stage
+(pos_blob byte slices per (term, doc) entry), so this reducer:
+
+* reorders the E entry-level (term, chunk, doc) triples with one lexsort,
+* gathers the compressed position bytes into final order (uint8 gather —
+  ~1.2 B/position instead of rebuilding numeric arrays),
+* varint-encodes the per-term metadata stream ``[df, doc_gaps…, tfs…]`` in
+  a single vectorized pass for the whole partition,
+* emits per-term blobs as zero-copy slices of the two streams (byte ranges
+  are contiguous in term order, so the Arrow large_binary columns are built
+  straight from the offsets).
 
 Replaces searty's single-threaded merge + encode
 (/root/reference/lib/indexer/merge.go:240-268, encoder.go:35-65) with a
-shuffle-parallel reducer.
+shuffle-parallel reducer.  Temporaries are kept E-sized (entries, not
+positions) because first-touch page faults dominate large-array work on
+sandboxed hosts (see searty_ray.__init__._tune_allocator).
 """
 
 from __future__ import annotations
@@ -33,38 +41,47 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     run_chunk = runs["chunk"].to_numpy(zero_copy_only=False)
     doc_col = runs.column("doc_ids").chunk(0)
     tf_col = runs.column("tfs").chunk(0)
-    pos_col = runs.column("positions").chunk(0)
+    pb_col = runs.column("pos_bytes").chunk(0)
+    blob_col = runs.column("pos_blob").chunk(0)
 
     # flatten() is slice-safe; rebase offsets so they index the flattened values
     D_raw = doc_col.flatten().to_numpy(zero_copy_only=False)
     T_raw = tf_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    P_raw = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    PB_raw = pb_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     run_doc_off = doc_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     run_doc_off = run_doc_off - run_doc_off[0]
-    run_pos_off = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    run_pos_off = run_pos_off - run_pos_off[0]
     run_len = np.diff(run_doc_off)
+
+    # compressed position bytes of the whole partition (uint8) + per-run offsets
+    blob_buf = np.frombuffer(_binary_values(blob_col), dtype=np.uint8)
+    run_blob_off = _binary_offsets(blob_col)
 
     # entry-level (one entry = one (term, chunk, doc)) arrays, in run order
     e_term = np.repeat(run_term, run_len)
     e_chunk = np.repeat(run_chunk, run_len)
     e_doc = D_raw
     e_tf = T_raw
-    # start of each entry's position slice (within-run cumsum + run base)
-    within = np.cumsum(e_tf) - e_tf
+    # byte-start of each entry's compressed positions (within-run cumsum + run base)
+    within = np.cumsum(PB_raw) - PB_raw
     run_first_entry = np.cumsum(run_len) - run_len
-    run_pos_base = run_pos_off[:-1] - within[np.minimum(run_first_entry, max(len(within) - 1, 0))]
-    e_pos_start = within + np.repeat(run_pos_base, run_len)
+    run_base = run_blob_off[:-1] - within[np.minimum(run_first_entry, max(len(within) - 1, 0))]
+    e_byte_start = within + np.repeat(run_base, run_len)
 
     order = np.lexsort((e_doc, e_chunk, e_term))
     st, sc, sd, stf = e_term[order], e_chunk[order], e_doc[order], e_tf[order]
-    sstart = e_pos_start[order]
+    sbytes = PB_raw[order]
+    sstart = e_byte_start[order]
 
     E = len(sd)
-    total_pos = int(stf.sum())
-    ends = np.cumsum(stf)
-    gidx = np.arange(total_pos, dtype=np.int64) - np.repeat(ends - stf, stf) + np.repeat(sstart, stf)
-    PP = P_raw[gidx]
+    # gather compressed position bytes into final order (expand-ranges)
+    total_bytes = int(sbytes.sum())
+    bends = np.cumsum(sbytes)
+    gidx = (
+        np.arange(total_bytes, dtype=np.int64)
+        - np.repeat(bends - sbytes, sbytes)
+        + np.repeat(sstart, sbytes)
+    )
+    pos_stream = blob_buf[gidx]
 
     # group boundaries: (term, chunk)
     new_g = np.empty(E, dtype=bool)
@@ -76,42 +93,29 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     cf = np.add.reduceat(stf, g_start)
     g_term = st[g_start]
     g_chunk = sc[g_start]
-    g_base = g_chunk * chunk_span
     first_doc = sd[g_start]
 
-    # ---- build the global value sequence [df, doc_gaps, tfs, pos_gaps]* ----
-    L = 1 + 2 * df + cf
-    S = np.cumsum(L) - L  # group section starts
+    # ---- metadata stream [df, doc_gaps…, tfs…] per term, one varint pass ----
+    L = 1 + 2 * df
+    S = np.cumsum(L) - L
     V = np.empty(int(L.sum()), dtype=np.uint64)
-
     V[S] = df
-
     rank = np.arange(E, dtype=np.int64) - np.repeat(g_start, df)
     dg = np.empty(E, dtype=np.int64)
     dg[1:] = sd[1:] - sd[:-1]
-    dg[g_start] = sd[g_start] - g_base
+    dg[g_start] = sd[g_start] - g_chunk * chunk_span
     V[np.repeat(S + 1, df) + rank] = dg.astype(np.uint64)
     V[np.repeat(S + 1 + df, df) + rank] = stf.astype(np.uint64)
-
-    pg = np.empty(total_pos, dtype=np.int64)
-    pg[1:] = PP[1:] - PP[:-1]
-    entry_pos_start = ends - stf
-    pg[entry_pos_start] = PP[entry_pos_start]  # absolute at each doc's first position
-    prank = np.arange(total_pos, dtype=np.int64) - np.repeat(
-        np.cumsum(cf) - cf, cf
-    )
-    V[np.repeat(S + 1 + 2 * df, cf) + prank] = pg.astype(np.uint64)
-
-    # ---- one varint pass for the whole partition ----
     sizes = varint_sizes(V)
-    B = np.concatenate(([0], np.cumsum(sizes)))  # byte offset of each value
-    data = varint_encode(V)
-    blob_offsets = np.append(B[S], len(data)).astype(np.int64)
-    blob_arr = pa.Array.from_buffers(
-        pa.large_binary(),
-        G,
-        [None, pa.py_buffer(blob_offsets.tobytes()), pa.py_buffer(data.tobytes())],
-    )
+    B = np.concatenate(([0], np.cumsum(sizes)))
+    meta_stream = varint_encode(V)
+    meta_offsets = np.append(B[S], len(meta_stream)).astype(np.int64)
+    meta_blob = _binary_from(meta_offsets, meta_stream)
+
+    # per-term byte ranges of the position stream (contiguous in term order)
+    pos_group_bytes = np.add.reduceat(sbytes, g_start)
+    pos_offsets = np.concatenate(([0], np.cumsum(pos_group_bytes))).astype(np.int64)
+    pos_blob = _binary_from(pos_offsets, pos_stream)
 
     # ---- block-max metadata (BLOCK_SIZE docs per block) ----
     is_block_start = rank % BLOCK_SIZE == 0
@@ -138,12 +142,38 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
             "df": pa.array(df, type=pa.int64()),
             "cf": pa.array(cf, type=pa.int64()),
             "first_doc": pa.array(first_doc, type=pa.int64()),
-            "blob": blob_arr,
+            "meta_blob": meta_blob,
+            "pos_blob": pos_blob,
             "block_last_doc": pa.LargeListArray.from_arrays(blk_off, pa.array(blk_last_doc, type=pa.int64())),
             "block_max_tf": pa.LargeListArray.from_arrays(blk_off, pa.array(blk_max_tf.astype(np.int32), type=pa.int32())),
             "block_max_score": pa.LargeListArray.from_arrays(blk_off, pa.array(blk_core, type=pa.float32())),
         },
         schema=_segment_schema_large(),
+    )
+
+
+def _raw_binary_offsets(arr: pa.Array) -> np.ndarray:
+    """Slice-aware int64 offsets of a LargeBinaryArray (no .offsets attr in pyarrow)."""
+    if len(arr) == 0:
+        return np.zeros(1, dtype=np.int64)
+    return np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+
+
+def _binary_values(arr: pa.Array) -> memoryview:
+    off = _raw_binary_offsets(arr)
+    return memoryview(arr.buffers()[2])[int(off[0]) : int(off[-1])] if len(arr) else memoryview(b"")
+
+
+def _binary_offsets(arr: pa.Array) -> np.ndarray:
+    off = _raw_binary_offsets(arr)
+    return off - off[0]
+
+
+def _binary_from(offsets: np.ndarray, data: np.ndarray) -> pa.Array:
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
     )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.codec import position_gaps, varint_encode, varint_sizes
 from ..functions.tokenize import tokenize_doc
 
 
@@ -76,6 +77,16 @@ class TokenizeCombine:
         idx = np.arange(total, dtype=np.int64) - np.repeat(ends - stf, stf) + np.repeat(sstart, stf)
         out_pos = pos_all[idx]
 
+        # delta+varbyte-compress positions HERE, before the shuffle: the
+        # groupby then moves ~1.2 bytes/position instead of 4, and the
+        # reducer never rebuilds numeric position arrays (it reorders byte
+        # slices).  Compress-early is the scale-defining choice of this
+        # pipeline (north rule: delta+varbyte posting lists).
+        pg = position_gaps(out_pos, stf)
+        sizes = varint_sizes(pg)
+        data = varint_encode(pg)
+        entry_bytes = np.add.reduceat(sizes, ends - stf).astype(np.int32) if total else np.empty(0, np.int32)
+
         # run boundaries: change of (term, chunk)
         n = len(sk)
         new_run = np.empty(n, dtype=bool)
@@ -85,9 +96,14 @@ class TokenizeCombine:
         run_counts = np.diff(np.append(run_starts, n))
 
         doc_offsets = np.concatenate(([0], np.cumsum(run_counts))).astype(np.int64)
-        pos_counts = np.add.reduceat(stf, run_starts)
-        pos_offsets = np.concatenate(([0], np.cumsum(pos_counts))).astype(np.int64)
+        run_byte_counts = np.add.reduceat(entry_bytes.astype(np.int64), run_starts)
+        byte_offsets = np.concatenate(([0], np.cumsum(run_byte_counts))).astype(np.int64)
 
+        pos_blob = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(run_starts),
+            [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(data.tobytes())],
+        )
         return pa.table(
             {
                 "term_key": pa.array(sk[run_starts], type=pa.uint64()),
@@ -96,21 +112,22 @@ class TokenizeCombine:
                 "tfs": pa.LargeListArray.from_arrays(
                     doc_offsets, pa.array(stf.astype(np.int32), type=pa.int32())
                 ),
-                "positions": pa.LargeListArray.from_arrays(
-                    pos_offsets, pa.array(out_pos, type=pa.int32())
+                "pos_bytes": pa.LargeListArray.from_arrays(
+                    doc_offsets, pa.array(entry_bytes, type=pa.int32())
                 ),
+                "pos_blob": pos_blob,
             }
         )
 
 
 def _empty_runs() -> pa.Table:
-    e = np.empty(0, dtype=np.int64)
     return pa.table(
         {
             "term_key": pa.array([], type=pa.uint64()),
             "chunk": pa.array([], type=pa.int64()),
             "doc_ids": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int64())),
             "tfs": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int32())),
-            "positions": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int32())),
+            "pos_bytes": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int32())),
+            "pos_blob": pa.array([], type=pa.large_binary()),
         }
-    )[:0]
+    )

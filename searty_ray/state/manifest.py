@@ -26,6 +26,7 @@ class Manifest:
     max_doc_id: int = -1
     chunk_span: int = 0
     num_parts: int = 0
+    sub_splits: int = 1
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
 

@@ -40,7 +40,6 @@ def fixture_index(ray_session, fixture_corpus, tmp_path_factory):
     manifest = build_index(
         ray.data.from_arrow(corpus_t), index_dir, num_parts=8, chunk_span=16
     )
-    build_symbols_from_corpus(ray.data.read_parquet(os.path.join(index_dir, "content")), index_dir)
     return index_dir, manifest
 
 
@@ -53,7 +52,7 @@ def fixture_oracle(fixture_index):
     index_dir, _ = fixture_index
     docs = pq.read_table(os.path.join(index_dir, "documents")).to_pandas().sort_values("doc_id")
     content = (
-        pq.read_table(os.path.join(index_dir, "content")).to_pandas().set_index("doc_id")["content"]
+        pq.read_table(os.path.join(index_dir, "documents"), columns=["doc_id", "content"]).to_pandas().set_index("doc_id")["content"]
     )
     rows = [(int(r.doc_id), r.filename, content[r.doc_id]) for r in docs.itertuples()]
     return OracleIndex.build(rows)

@@ -7,8 +7,14 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from searty_ray.functions.codec import decode_posting_list
+from searty_ray.functions.codec import decode_meta_blob, decode_pos_blob
 from searty_ray.functions.tokenize import unpack_term
+
+
+def _decode_row(r, chunk_span):
+    d, t = decode_meta_blob(r["meta_blob"], first_doc_base=r["chunk"] * chunk_span)
+    p = decode_pos_blob(r["pos_blob"], t)
+    return d, t, p
 
 
 def test_manifest_stats(fixture_index, fixture_oracle):
@@ -23,10 +29,7 @@ def test_sha256_invariant(fixture_index):
     import hashlib
 
     index_dir, _ = fixture_index
-    docs = pq.read_table(os.path.join(index_dir, "documents")).to_pandas()
-    content = pq.read_table(os.path.join(index_dir, "content")).to_pandas()
-    joined = docs.merge(content, on="doc_id")
-    assert len(joined) == len(docs)
+    joined = pq.read_table(os.path.join(index_dir, "documents")).to_pandas()
     for _, row in joined.iterrows():
         assert row.content_sha256 == hashlib.sha256(row.content.encode()).hexdigest()
         assert row.n_tokens == max(len(row.content) - 2, 0)
@@ -49,7 +52,7 @@ def test_postings_match_oracle(fixture_index, fixture_oracle):
     rows = seg.to_pylist()
     rows.sort(key=lambda r: (r["term_key"], r["chunk"]))
     for r in rows:
-        d, t, p = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * manifest.chunk_span)
+        d, t, p = _decode_row(r, manifest.chunk_span)
         assert (np.diff(d) > 0).all()
         assert r["df"] == len(d)
         assert r["cf"] == int(t.sum())
@@ -73,7 +76,7 @@ def test_block_metadata(fixture_index):
     index_dir, _ = fixture_index
     seg = pq.read_table(os.path.join(index_dir, "segments"))
     for r in seg.to_pylist():
-        d, t, _ = decode_posting_list(r["blob"], first_doc_base=r["chunk"] * 16)
+        d, t, _ = _decode_row(r, 16)
         nblocks = (len(d) + 127) // 128
         assert len(r["block_last_doc"]) == nblocks
         assert r["block_last_doc"][-1] == d[-1]
@@ -87,25 +90,36 @@ def test_resume_skips_finished(fixture_index, fixture_corpus, tmp_path):
 
     from searty_ray.pipelines.build import build_index
 
+    import json
+
     corpus_t, _ = fixture_corpus
     d1 = str(tmp_path / "ix1")
     m1 = build_index(ray.data.from_arrow(corpus_t), d1, num_parts=4, chunk_span=16)
-    # simulate a crash that lost one partition's sidecar+file
-    os.remove(os.path.join(d1, "manifest", "part-00002.json"))
-    os.remove(os.path.join(d1, "segments", "part=00002", "data.parquet"))
-    before = {
-        p: os.path.getmtime(os.path.join(d1, "segments", p, "data.parquet"))
-        for p in os.listdir(os.path.join(d1, "segments"))
-        if os.path.isdir(os.path.join(d1, "segments", p)) and p != "part=00002"
+    # simulate a crash that lost one reducer group's sidecar+file
+    sidecars = sorted(os.listdir(os.path.join(d1, "manifest")))
+    victim = sidecars[len(sidecars) // 2]
+    with open(os.path.join(d1, "manifest", victim)) as f:
+        victim_meta = json.load(f)
+    os.remove(os.path.join(d1, "manifest", victim))
+    os.remove(victim_meta["file"])
+    survivors = {
+        f: os.path.getmtime(f)
+        for f in (
+            os.path.join(r, n)
+            for r, _, ns in os.walk(os.path.join(d1, "segments"))
+            for n in ns
+        )
     }
     m2 = build_index(ray.data.from_arrow(corpus_t), d1, num_parts=4, chunk_span=16, resume=True)
-    skipped = [p for p, s in m2.partitions.items() if s["skipped"]]
-    assert sorted(skipped) == ["0", "1", "3"]
-    for p, mtime in before.items():
-        assert os.path.getmtime(os.path.join(d1, "segments", p, "data.parquet")) == mtime
-    # the rebuilt partition matches the original build
-    t1 = pq.read_table(os.path.join(d1, "segments", "part=00002", "data.parquet"))
+    skipped = {p for p, s in m2.partitions.items() if s["skipped"]}
+    assert str(victim_meta["pgrp"]) not in skipped
+    assert len(skipped) == len(sidecars) - 1
+    for f, mtime in survivors.items():
+        assert os.path.getmtime(f) == mtime, f"survivor {f} was rewritten"
+    # the rebuilt group matches a from-scratch build byte for byte
     d2dir = str(tmp_path / "ix2")
     build_index(ray.data.from_arrow(corpus_t), d2dir, num_parts=4, chunk_span=16)
-    t2 = pq.read_table(os.path.join(d2dir, "segments", "part=00002", "data.parquet"))
+    rel = os.path.relpath(victim_meta["file"], d1)
+    t1 = pq.read_table(victim_meta["file"])
+    t2 = pq.read_table(os.path.join(d2dir, rel))
     assert t1.equals(t2)

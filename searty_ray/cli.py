@@ -1,0 +1,142 @@
+"""Command-line surface, mirroring the reference's three commands
+(/root/reference/cmd/searty/searty.go:16-26, cmd/searty-index/index.go:12-28,
+cmd/searty-merge/merge.go:12-27):
+
+  python -m searty_ray index  -o INDEX_DIR CORPUS.parquet…   # build one index
+  python -m searty_ray merge  -o INDEX_DIR CORPUS.parquet…   # union corpora → one index
+  python -m searty_ray search -d INDEX_DIR [--symbol Q] [--file Q]
+                              [--ranked Q] [--words Q] [PHRASE…]
+  python -m searty_ray describe -d INDEX_DIR [--dump-terms]
+
+``merge`` exists for parity: because the build shuffles by term, "merging
+shards" is just building over the UNION of corpus tables — the reference's
+six-phase id-reconciliation merge (merge.go:455-502) is structural here.
+
+Search prints results in the reference's ``filename:start:end:line`` shape
+(pretty_print.go:31-41), with symbol results first like cmd/searty (D5 union
+of query kinds).  The CLI owns the Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR"
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _load_corpus(paths: list[str], from_documents: bool):
+    import ray.data
+
+    from .sources.corpus import corpus_from_documents
+
+    if from_documents:
+        assert len(paths) == 1, "--from-documents takes one sf_dir"
+        return corpus_from_documents(paths[0])
+    ds = ray.data.read_parquet(paths[0])
+    for p in paths[1:]:
+        ds = ds.union(ray.data.read_parquet(p))
+    return ds
+
+
+def cmd_index(args) -> int:
+    _ray_session()
+    from .pipelines.build import build_index
+
+    corpus = _load_corpus(args.corpus, args.from_documents)
+    manifest = build_index(
+        corpus, args.output, tokenizer=args.tokenizer, resume=args.resume
+    )
+    print(
+        f"indexed {manifest.n_docs} docs, {manifest.total_tokens} tokens, "
+        f"{len(manifest.partitions)} partitions -> {args.output}"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ray_session()
+    from .query import (
+        BM25Searcher,
+        FileSearcher,
+        IndexReader,
+        PhraseSearcher,
+        PrettyPrinter,
+        SymbolSearcher,
+        WordSearcher,
+    )
+
+    reader = IndexReader(args.database)
+    printer = PrettyPrinter(reader)
+    if args.symbol:
+        for r in SymbolSearcher(reader).search(args.symbol).to_pylist():
+            print(f"{r['filename']}:{r['position']}:{r['position']}:{r['specifier']} {r['symbol_name']}")
+    if args.file:
+        for r in FileSearcher(reader).search(args.file).to_pylist():
+            print(r["filename"])
+    if args.ranked:
+        for r in BM25Searcher(reader).topk(args.ranked, args.k).to_pylist():
+            print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    if args.words:
+        for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
+            print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    for phrase in args.phrase:
+        res = printer.render(PhraseSearcher(reader).search(phrase))
+        for r in res.to_pylist():
+            print(f"{r['filename']}:{r['start']}:{r['end']}:{r['line']}")
+    return 0
+
+
+def cmd_describe(args) -> int:
+    from .tools.describe import describe
+
+    describe(args.database, dump_terms=args.dump_terms, out=sys.stdout)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searty_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("index", "merge"):
+        pi = sub.add_parser(name)
+        pi.add_argument("-o", "--output", required=True)
+        pi.add_argument("corpus", nargs="+")
+        pi.add_argument("--from-documents", action="store_true",
+                        help="treat CORPUS as an sf_dir with documents.parquet")
+        pi.add_argument("--tokenizer", default="trigram+symbols",
+                        choices=["trigram", "trigram+symbols"])
+        pi.add_argument("--resume", action="store_true")
+        pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search")
+    ps.add_argument("-d", "--database", required=True)
+    ps.add_argument("--symbol")
+    ps.add_argument("--file")
+    ps.add_argument("--ranked")
+    ps.add_argument("--words")
+    ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("phrase", nargs="*")
+    ps.set_defaults(fn=cmd_search)
+
+    pd = sub.add_parser("describe")
+    pd.add_argument("-d", "--database", required=True)
+    pd.add_argument("--dump-terms", action="store_true")
+    pd.set_defaults(fn=cmd_describe)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -57,12 +57,18 @@ def unpack_term(key: int) -> str:
 
 
 def unpack_terms(keys: np.ndarray) -> list[str]:
+    """Term strings for trigram keys; symbol keys (high bit) are hashes of
+    their term, so they render as an opaque ``#sym:<hex>`` marker."""
     k = np.asarray(keys, dtype=np.uint64)
     a = ((k >> _SHIFT1) & _MASK).astype(np.uint32)
     b = ((k >> _SHIFT2) & _MASK).astype(np.uint32)
     c = (k & _MASK).astype(np.uint32)
     stacked = np.column_stack([a, b, c]).astype("<u4")
-    return [bytes(row).decode("utf-32-le") for row in stacked]
+    is_sym = (k >> np.uint64(63)).astype(bool)
+    return [
+        f"#sym:{int(key):016x}" if sym else bytes(row).decode("utf-32-le")
+        for key, sym, row in zip(k, is_sym, stacked)
+    ]
 
 
 def tokenize_query(text: str) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -110,3 +116,57 @@ def tokenize_doc(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def doc_length(text: str) -> int:
     """Token count of a document: max(R-2, 0) (SURVEY.md §2.5 A7)."""
     return max(len(text.encode("utf-32-le")) // 4 - 2, 0)
+
+
+# ---------------------------------------------------------------------------
+# symbol terms (the reference's second analyzer: Lisp-aware token kinds,
+# tests/lisp-tokenizer.lisp; the token `kind` vestige of schema.sql:11-17)
+# ---------------------------------------------------------------------------
+
+import hashlib
+import re
+
+#: Lisp symbol constituent characters (identifier tokens of the CL reader)
+SYMBOL_RE = re.compile(r"[A-Za-z0-9\-\*\+/<>=!?_&%$.]+")
+
+#: term keys ≥ 2^63 are symbol terms; trigram keys use at most 63 bits
+SYMBOL_KIND_BIT = 1 << 63
+
+KIND_TRIGRAM = 0
+KIND_SYMBOL = 1
+
+
+def symbol_key(symbol: str) -> int:
+    """Packed term key of an UPPERCASED symbol term (high bit set)."""
+    h = hashlib.md5(symbol.upper().encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") | SYMBOL_KIND_BIT
+
+
+def term_kind(key: int | np.ndarray) -> int | np.ndarray:
+    k = np.asarray(key, dtype=np.uint64) >> np.uint64(63)
+    return int(k) if np.ndim(key) == 0 else k.astype(np.int8)
+
+
+def tokenize_doc_symbols(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symbol terms of one document → (unique keys asc, tfs, positions).
+
+    Positions are rune offsets of each occurrence's first character, matching
+    the trigram position model; terms are uppercased like searty symbols
+    (definition_searcher.go:12-20).  Python ``re`` iterates str (rune
+    offsets), so multibyte content is handled exactly.
+    """
+    occ: dict[int, list[int]] = {}
+    for mt in SYMBOL_RE.finditer(text):
+        occ.setdefault(symbol_key(mt.group(0)), []).append(mt.start())
+    if not occ:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)
+    keys = np.array(sorted(occ), dtype=np.uint64)
+    tfs = np.array([len(occ[int(k)]) for k in keys], dtype=np.int32)
+    positions = np.concatenate([np.array(occ[int(k)], dtype=np.int32) for k in keys])
+    return keys, tfs, positions
+
+
+def symbol_doc_length(text: str) -> int:
+    """Symbol-token count of a document (BM25 |D| for the symbol index)."""
+    return sum(1 for _ in SYMBOL_RE.finditer(text))

@@ -141,6 +141,45 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    # -- symbol terms (word-level index; mirrors functions/tokenize.py) ------
+
+    _SYMBOL_RE = None
+
+    def _sym_tokens(self, text: str) -> list[tuple[str, int]]:
+        import re
+
+        if OracleIndex._SYMBOL_RE is None:
+            OracleIndex._SYMBOL_RE = re.compile(r"[A-Za-z0-9\-\*\+/<>=!?_&%$.]+")
+        return [(m.group(0).upper(), m.start()) for m in OracleIndex._SYMBOL_RE.finditer(text)]
+
+    def sym_postings(self) -> dict[str, dict[int, list[int]]]:
+        if not hasattr(self, "_sym_cache"):
+            out: dict[str, dict[int, list[int]]] = {}
+            for doc_id, doc in self.docs.items():
+                for term, pos in self._sym_tokens(doc.content):
+                    out.setdefault(term, {}).setdefault(doc_id, []).append(pos)
+            self._sym_cache = out
+        return self._sym_cache
+
+    def bm25_words(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Word-level BM25 over symbol terms; |D| = symbol-token count."""
+        words = sorted({t for t, _ in self._sym_tokens(query)})
+        sp = self.sym_postings()
+        dls = {d: len(self._sym_tokens(doc.content)) for d, doc in self.docs.items()}
+        avgdl = sum(dls.values()) / max(len(dls), 1)
+        scores: dict[int, float] = {}
+        for w in words:
+            pl = sp.get(w)
+            if not pl:
+                continue
+            widf = bm25.idf(self.n_docs, len(pl))
+            for doc_id, positions in pl.items():
+                contrib = widf * float(
+                    bm25.tf_norm(np.array([len(positions)]), np.array([dls[doc_id]]), avgdl)[0]
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     # -- lines ---------------------------------------------------------------
 
     def line_for(self, doc_id: int, start: int, end: int) -> str:

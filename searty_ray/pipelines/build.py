@@ -75,6 +75,7 @@ def build_index(
     resume: bool = False,
     id_mode: str = "sort",
     extract_symbols: bool = True,
+    tokenizer: str = "trigram",  # "trigram" | "trigram+symbols" (registry, SURVEY.md §2.10)
 ) -> Manifest:
     t0 = time.monotonic()
     _prepare_dirs(index_dir, resume)
@@ -96,13 +97,15 @@ def build_index(
 
     # ---- global stats (small aggregate over written metadata) ----
     stats = (
-        ray.data.read_parquet(docs_dir, columns=["doc_id", "n_tokens"])
-        .aggregate(Sum("n_tokens"), Count(), Max("doc_id"))
+        ray.data.read_parquet(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
+        .aggregate(Sum("n_tokens"), Sum("n_sym_tokens"), Count(), Max("doc_id"))
     )
     n_docs = int(stats["count()"])
     total_tokens = int(stats["sum(n_tokens)"] or 0)
+    total_sym_tokens = int(stats["sum(n_sym_tokens)"] or 0)
     max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
     avgdl = total_tokens / n_docs if n_docs else 0.0
+    avg_sym_dl = total_sym_tokens / n_docs if n_docs else 0.0
     if chunk_span is None:
         chunk_span = pick_chunk_span(max_doc_id + 1)
 
@@ -159,7 +162,7 @@ def build_index(
         return _summary(pgrp, len(seg), int(group.num_rows), nbytes, wall)
 
     runs = corpus.map_batches(
-        TokenizeCombine(chunk_span),
+        TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
         batch_format="pyarrow",
         batch_size=TOKENIZE_BATCH_SIZE,
     ).map_batches(add_pgrp, batch_format="pyarrow")
@@ -175,6 +178,9 @@ def build_index(
         n_docs=n_docs,
         total_tokens=total_tokens,
         avgdl=avgdl,
+        total_sym_tokens=total_sym_tokens,
+        avg_sym_dl=avg_sym_dl,
+        tokenizer=tokenizer,
         max_doc_id=max_doc_id,
         chunk_span=chunk_span,
         num_parts=num_parts,

@@ -56,7 +56,7 @@ def _ensure_index(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     index_dir = os.path.join(CACHE_ROOT, name)
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        build_index(corpus_from_documents(sf_dir), index_dir)  # includes symbols pass
+        build_index(corpus_from_documents(sf_dir), index_dir, tokenizer="trigram+symbols")
     return index_dir
 
 
@@ -94,7 +94,7 @@ def q_build_documents(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     return pq.read_table(
         os.path.join(index_dir, "documents"),
-        columns=["doc_id", "filename", "repo", "path", "commit", "lang", "n_tokens", "n_runes", "content_sha256"],
+        columns=["doc_id", "filename", "repo", "path", "commit", "lang", "n_tokens", "n_sym_tokens", "n_runes", "content_sha256"],
     )
 
 
@@ -104,6 +104,7 @@ SELECT doc_id,
        repo || '/' || path AS filename,
        repo, path, "commit", lang,
        greatest(length(content) - 2, 0) AS n_tokens,
+       len(regexp_extract_all(content, '[A-Za-z0-9*+/<>=!?_&%$.-]+'))::BIGINT AS n_sym_tokens,
        length(content) AS n_runes,
        sha256(content) AS content_sha256
 FROM corpus
@@ -367,10 +368,80 @@ ORDER BY doc_id, start
 """
 
 
+WORD_Q = "merge"
+_SYM_CLASS = "[A-Za-z0-9*+/<>=!?_&%$.-]"
+
+
+def q_word_occurrences(sf_dir: str):
+    """All (doc_id, pos) occurrences of one SYMBOL term from the word index."""
+    from ..query import WordSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return WordSearcher(IndexReader(index_dir)).occurrences(WORD_Q)
+
+
+SQL_WORD_OCCURRENCES = f"""
+WITH {CORPUS_CTE},
+scan AS (
+  SELECT doc_id, content, i
+  FROM (SELECT doc_id, content,
+               unnest(range(1, greatest(length(content) - {len(WORD_Q)} + 2, 1))) AS i
+        FROM corpus)
+  WHERE upper(substr(content, i, {len(WORD_Q)})) = upper('{WORD_Q}')
+    AND NOT regexp_matches(substr(content, i - 1, 1), '{_SYM_CLASS}')
+    AND NOT regexp_matches(substr(content, i + {len(WORD_Q)}, 1), '{_SYM_CLASS}')
+)
+SELECT doc_id, i - 1 AS pos FROM scan ORDER BY doc_id, pos
+"""
+
+
+def q_bm25_words(sf_dir: str):
+    """Word-level BM25 over symbol terms (|D| = symbol-token count)."""
+    from ..query import WordSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    t = WordSearcher(IndexReader(index_dir)).topk(BM25_Q, BM25_K)
+    score = pa.array(np.round(t["score"].to_numpy(), 6), type=pa.float64())
+    return t.drop_columns(["score", "rank"]).append_column("score", score)
+
+
+def _sql_bm25_words(query: str, k: int) -> str:
+    import re as _re
+
+    words = sorted({w.upper() for w in _re.findall(r"[A-Za-z0-9\-\*\+/<>=!?_&%$.]+", query)})
+    return f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, regexp_extract_all(content, '{_SYM_CLASS}+') AS tokens FROM corpus
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+tok_rows AS (SELECT doc_id, upper(unnest(tokens)) AS w FROM toks),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok_rows
+  WHERE w IN (SELECT unnest({_sql_str_list(words)})) GROUP BY doc_id, w
+),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scores ORDER BY scores.score DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_BM25_WORDS = _sql_bm25_words(BM25_Q, BM25_K)
+
+
 def q_topk_terms(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
-    seg = pq.read_table(os.path.join(index_dir, "segments"), columns=["term", "cf"])
-    df = seg.to_pandas().groupby("term", as_index=False)["cf"].sum()
+    seg = pq.read_table(os.path.join(index_dir, "segments"), columns=["term", "kind", "cf"])
+    df = seg.to_pandas()
+    df = df[df["kind"] == 0].groupby("term", as_index=False)["cf"].sum()
     df = df.sort_values(["cf", "term"], ascending=[False, True]).head(TOPK_TERMS_N)
     return pa.table(
         {
@@ -650,6 +721,55 @@ SELECT * FROM (
 """
 
 
+def q_events_tumbling(sf_dir: str):
+    from ..stages.windows import tumbling_aggregate
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = tumbling_aggregate(ev, "event_type", 3600).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    from ..stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    out = sessionize(ev, gap_s=1800).to_pandas()
+    return out.sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+grouped AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM grouped GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -663,6 +783,8 @@ QUERIES = {
     "phrase_ranges": q_phrase_ranges,
     "bm25_topk": q_bm25_topk,
     "symbol_search": q_symbol_search,
+    "word_occurrences": q_word_occurrences,
+    "bm25_words": q_bm25_words,
     "package_defs": q_package_defs,
     "file_search": q_file_search,
     "line_extract": q_line_extract,
@@ -679,6 +801,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
 }
 
 ORACLE_SQL = {
@@ -690,6 +814,8 @@ ORACLE_SQL = {
     "phrase_ranges": SQL_PHRASE_RANGES,
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,
+    "word_occurrences": SQL_WORD_OCCURRENCES,
+    "bm25_words": SQL_BM25_WORDS,
     "package_defs": SQL_PACKAGE_DEFS,
     "file_search": SQL_FILE_SEARCH,
     "line_extract": SQL_LINE_EXTRACT,
@@ -705,4 +831,6 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessions": SQL_EVENTS_SESSIONS,
 }

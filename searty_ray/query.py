@@ -89,6 +89,17 @@ class IndexReader:
         idx = np.searchsorted(self._norm_ids, doc_ids)
         return self._norm_len[idx]
 
+    def sym_doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Symbol-token norms (BM25 |D| for the symbol-term index)."""
+        if getattr(self, "_sym_norm_len", None) is None:
+            t = self.documents(["doc_id", "n_sym_tokens"])
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            self._sym_norm_ids = ids[order]
+            self._sym_norm_len = t["n_sym_tokens"].to_numpy()[order]
+        idx = np.searchsorted(self._sym_norm_ids, doc_ids)
+        return self._sym_norm_len[idx]
+
     def resolve_docs(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
         """Selective metadata fetch for result docs (J1 broadcast-side join).
 
@@ -361,6 +372,58 @@ def _topk_empty() -> pa.Table:
     return _topk_table(np.empty(0, np.int64), np.empty(0, np.float64))
 
 
+class WordSearcher:
+    """BM25 + occurrence lookup over SYMBOL terms (whole identifiers).
+
+    Requires an index built with ``tokenizer="trigram+symbols"``; terms are
+    uppercased symbols hashed into the high-bit key range
+    (functions/tokenize.py).  Scoring uses the symbol-token norms/avgdl, so
+    this is classic word-level BM25 alongside the trigram index.
+    """
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def topk(self, query: str, k: int) -> pa.Table:
+        from .functions.tokenize import SYMBOL_RE, symbol_key
+
+        words = sorted({m.group(0).upper() for m in SYMBOL_RE.finditer(query)})
+        if not words:
+            return _topk_empty()
+        keys = np.array([symbol_key(w) for w in words], dtype=np.uint64)
+        plists = self.reader.lookup(keys)
+        m = self.reader.manifest
+        present = [(w, plists[int(symbol_key(w))]) for w in words]
+        present = [(w, tp) for w, tp in present if tp is not None]
+        if not present:
+            return _topk_empty()
+        candidates = np.unique(np.concatenate([tp.doc_ids for _, tp in present]))
+        dl = self.reader.sym_doc_len(candidates).astype(np.float64)
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        for _, tp in present:  # ascending word order defines the sum order
+            idx = np.searchsorted(candidates, tp.doc_ids)
+            scores[idx] += bm25.idf(m.n_docs, tp.df) * bm25.tf_norm(tp.tfs, dl[idx], m.avg_sym_dl)
+        top = bm25.topk_order(scores, candidates, k)
+        return _topk_table(candidates[top], scores[top])
+
+    def occurrences(self, word: str) -> pa.Table:
+        """All (doc_id, position) occurrences of one symbol term."""
+        from .functions.tokenize import symbol_key
+
+        key = symbol_key(word)
+        tp = self.reader.lookup(np.array([key], dtype=np.uint64))[key]
+        if tp is None:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "pos": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(tp.doc_ids, tp.tfs), type=pa.int64()),
+                "pos": pa.array(tp.positions.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
 class SymbolSearcher:
     """Symbol-definition lookup (definition_searcher.go:102-125)."""
 
@@ -453,6 +516,7 @@ class QueryEngine:
         self.reader = IndexReader(index_dir)
         self.phrase = PhraseSearcher(self.reader)
         self.ranked = BM25Searcher(self.reader)
+        self.words = WordSearcher(self.reader)
         self.symbol = SymbolSearcher(self.reader)
         self.file = FileSearcher(self.reader)
 
@@ -473,6 +537,9 @@ class QueryEngine:
                 # loop costs more than the vectorized scan); topk_wand stays
                 # available for selective/high-idf workloads
                 res = self.ranked.topk(q, k)
+                head = str(res["doc_id"][0].as_py()) if len(res) else ""
+            elif kind == "ranked_words":
+                res = self.words.topk(q, k)
                 head = str(res["doc_id"][0].as_py()) if len(res) else ""
             elif kind == "symbol":
                 res = self.symbol.search(q)

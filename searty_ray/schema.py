@@ -36,6 +36,7 @@ DOCUMENTS_SCHEMA = pa.schema(
         ("commit", pa.string()),
         ("lang", pa.string()),
         ("n_tokens", pa.int64()),  # max(runes-2, 0): BM25 doc length
+        ("n_sym_tokens", pa.int64()),  # symbol-token count: BM25 |D| for the symbol index
         ("n_runes", pa.int64()),
         ("content_sha256", pa.string()),  # hex; per-row invariant vs source table
     ]
@@ -59,6 +60,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("part", pa.int32()),  # hash partition of term_key
         ("term_key", pa.uint64()),
         ("term", pa.string()),
+        ("kind", pa.int8()),  # 0 = trigram, 1 = symbol term (schema.sql:11-17 kind)
         ("chunk", pa.int64()),  # doc-range chunk ordinal
         ("df", pa.int64()),
         ("cf", pa.int64()),

@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.tokenize import symbol_doc_length
+
 
 def document_meta_batch(batch: pa.Table) -> pa.Table:
     content = batch["content"]
@@ -38,6 +40,9 @@ def document_meta_batch(batch: pa.Table) -> pa.Table:
             "commit": batch["commit"],
             "lang": batch["lang"],
             "n_tokens": pa.array(np.maximum(n_runes - 2, 0), type=pa.int64()),
+            "n_sym_tokens": pa.array(
+                [symbol_doc_length(v.as_py()) for v in content], type=pa.int64()
+            ),
             "n_runes": pa.array(n_runes, type=pa.int64()),
             "content_sha256": pa.array(shas, type=pa.string()),
             "content": pc.cast(content, pa.large_string()),

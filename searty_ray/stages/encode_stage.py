@@ -138,6 +138,7 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
             "part": pa.array(np.full(G, part, dtype=np.int32)),
             "term_key": pa.array(g_term, type=pa.uint64()),
             "term": pa.array(unpack_terms(g_term), type=pa.string()),
+            "kind": pa.array((g_term >> np.uint64(63)).astype(np.int8), type=pa.int8()),
             "chunk": pa.array(g_chunk, type=pa.int64()),
             "df": pa.array(df, type=pa.int64()),
             "cf": pa.array(cf, type=pa.int64()),

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import position_gaps, varint_encode, varint_sizes
-from ..functions.tokenize import tokenize_doc
+from ..functions.tokenize import tokenize_doc, tokenize_doc_symbols
 
 
 class TokenizeCombine:
@@ -33,8 +33,9 @@ class TokenizeCombine:
     state (e.g. alternative analyzers from the tokenizer registry).
     """
 
-    def __init__(self, chunk_span: int):
+    def __init__(self, chunk_span: int, emit_symbols: bool = False):
         self.chunk_span = chunk_span
+        self.emit_symbols = emit_symbols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -44,6 +45,12 @@ class TokenizeCombine:
         for i in range(len(batch)):
             text = contents[i].as_py()
             uniq, tfs, positions = tokenize_doc(text)
+            if self.emit_symbols:
+                sk, stf_, sp = tokenize_doc_symbols(text)
+                if len(sk):  # symbol keys have the high bit set: disjoint range
+                    uniq = np.concatenate([uniq, sk])
+                    tfs = np.concatenate([tfs, stf_])
+                    positions = np.concatenate([positions, sp])
             if len(uniq):
                 per_doc.append((int(doc_ids[i]), uniq, tfs, positions))
 

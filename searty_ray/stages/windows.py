@@ -1,0 +1,71 @@
+"""Windowed aggregates over a stream-shaped table (driver instructions:
+"windowed aggregate / streaming window" custom operators).
+
+Ray Data is a batch engine (the reference has no streaming either,
+SURVEY.md §2.9), so windows are expressed batch-style over the ordered
+``events`` log:
+
+* tumbling — window key computed per row in ``map_batches`` (vectorized),
+  partial per-batch aggregation, then one small ``groupby`` over partials:
+  the pre-aggregate pattern, so the shuffle moves one row per
+  (key, window, batch) instead of per event.
+* session — ``groupby(user).map_groups``: gap-based sessionization inside
+  each sorted group (the partitioning assumption: one user's events fit one
+  group; salt by time-range per user if a user exceeds that at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_aggregate(
+    events: ray.data.Dataset, key: str, window_s: int
+) -> ray.data.Dataset:
+    """→ (key, window_start:int64 epoch-seconds, n_events, sum_value)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = batch["ts"].astype("int64")
+        win = (epoch_us // (window_s * 1_000_000)) * window_s
+        g = (
+            pd.DataFrame({key: batch[key], "window_start": win, "value": batch["value"]})
+            .groupby([key, "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+        return g
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    return (
+        partials.groupby([key, "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+
+def sessionize(
+    events: ray.data.Dataset, gap_s: int = 1800
+) -> ray.data.Dataset:
+    """→ (user_id, session_start_us, n_events, duration_us): gap-based
+    sessions per user (new session when ts - prev_ts > gap)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").sort_values().to_numpy()
+        gaps = np.diff(ts, prepend=ts[0])
+        new = gaps > gap_s * 1_000_000
+        new[0] = True
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid").agg(
+            session_start_us=("ts", "min"), session_end_us=("ts", "max"), n_events=("ts", "size")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_start_us": out["session_start_us"],
+                "n_events": out["n_events"],
+                "duration_us": out["session_end_us"] - out["session_start_us"],
+            }
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")

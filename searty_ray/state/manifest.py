@@ -23,6 +23,9 @@ class Manifest:
     n_docs: int = 0
     total_tokens: int = 0
     avgdl: float = 0.0
+    total_sym_tokens: int = 0
+    avg_sym_dl: float = 0.0
+    tokenizer: str = "trigram"
     max_doc_id: int = -1
     chunk_span: int = 0
     num_parts: int = 0

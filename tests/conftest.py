@@ -38,7 +38,8 @@ def fixture_index(ray_session, fixture_corpus, tmp_path_factory):
     corpus_t, _ = fixture_corpus
     index_dir = str(tmp_path_factory.mktemp("ix") / "fixture_index")
     manifest = build_index(
-        ray.data.from_arrow(corpus_t), index_dir, num_parts=8, chunk_span=16
+        ray.data.from_arrow(corpus_t), index_dir, num_parts=8, chunk_span=16,
+        tokenizer="trigram+symbols",
     )
     return index_dir, manifest
 

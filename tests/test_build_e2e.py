@@ -49,7 +49,7 @@ def test_postings_match_oracle(fixture_index, fixture_oracle):
     index_dir, manifest = fixture_index
     seg = pq.read_table(os.path.join(index_dir, "segments"))
     engine: dict[str, dict[int, list[int]]] = {}
-    rows = seg.to_pylist()
+    rows = [r for r in seg.to_pylist() if r["kind"] == 0]
     rows.sort(key=lambda r: (r["term_key"], r["chunk"]))
     for r in rows:
         d, t, p = _decode_row(r, manifest.chunk_span)

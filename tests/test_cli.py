@@ -1,0 +1,75 @@
+"""CLI + describe tooling tests (cmd parity, M12/A8)."""
+
+import io
+import os
+
+import pyarrow.parquet as pq
+
+from searty_ray.cli import main as cli_main
+from searty_ray.tools.describe import describe, golden_dump
+
+
+def test_cli_search_phrase(fixture_index, capsys):
+    index_dir, _ = fixture_index
+    rc = cli_main(["search", "-d", index_dir, "defun"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) > 50
+    first = out[0]
+    # filename:start:end:line shape (pretty_print.go:31-41)
+    parts = first.split(":", 3)
+    assert parts[1].isdigit() and parts[2].isdigit()
+    assert "defun" in parts[3]
+
+
+def test_cli_search_symbol_and_ranked(fixture_index, fixture_corpus, capsys):
+    index_dir, _ = fixture_index
+    _, defs = fixture_corpus
+    name = next(
+        n for n, t in zip(defs["name"].to_pylist(), defs["identifier_type"].to_pylist())
+        if t == "symbol"
+    )
+    rc = cli_main(["search", "-d", index_dir, "--symbol", name.lower(), "--ranked", "defun cons", "-k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert any(name in line for line in out)
+    assert sum(1 for line in out if "\t" in line) == 3
+
+
+def test_cli_index_and_describe(fixture_corpus, tmp_path, capsys):
+    corpus_t, _ = fixture_corpus
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus_t, src)
+    out_dir = str(tmp_path / "ix")
+    rc = cli_main(["index", "-o", out_dir, src, "--tokenizer", "trigram"])
+    assert rc == 0
+    assert "indexed 60 docs" in capsys.readouterr().out
+    buf = io.StringIO()
+    describe(out_dir, out=buf)
+    text = buf.getvalue()
+    assert "docs=60" in text and "partitions=" in text
+
+
+def test_golden_dump_matches_oracle(fixture_index, fixture_oracle):
+    index_dir, _ = fixture_index
+    lines = golden_dump(index_dir)
+    # every oracle term appears once with the right total count
+    term_lines = [l for l in lines if l.startswith("term: ")]
+    assert len(term_lines) == len(fixture_oracle.postings)
+    for tl in term_lines[:50]:
+        term = eval(tl.split("term: ")[1].split(" count:")[0])  # repr round-trip
+        count = int(tl.rsplit("count: ", 1)[1])
+        assert count == fixture_oracle.cf(term)
+
+
+def test_cli_merge_unions_corpora(fixture_corpus, tmp_path, capsys):
+    corpus_t, _ = fixture_corpus
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(corpus_t.slice(0, 30), a)
+    pq.write_table(corpus_t.slice(30), b)
+    out_dir = str(tmp_path / "merged")
+    rc = cli_main(["merge", "-o", out_dir, a, b, "--tokenizer", "trigram"])
+    assert rc == 0
+    assert "indexed 60 docs" in capsys.readouterr().out
+    docs = pq.read_table(os.path.join(out_dir, "documents"), columns=["doc_id"])
+    assert docs.num_rows == 60

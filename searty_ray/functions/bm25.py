@@ -51,3 +51,20 @@ def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (-score, doc_id), deterministic."""
     order = np.lexsort((doc_ids, -scores))
     return order[:k]
+
+
+def topk_dense(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k over a dense per-doc score array (index == doc_id); zero scores
+    mean "no matching term" and never appear in results.
+
+    argpartition narrows the field to ~k before the exact (-score, doc_id)
+    sort, so cost is O(N) + O(k log k) instead of O(N log N)."""
+    kk = min(k, len(scores))
+    if kk <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    part = np.argpartition(-scores, kk - 1)[:kk]
+    kth = scores[part].min()
+    cand = np.nonzero(scores >= max(kth, np.nextafter(0, 1)))[0]  # ties kept, zeros dropped
+    order = np.lexsort((cand, -scores[cand]))[:k]
+    top = cand[order]
+    return top.astype(np.int64), scores[top]

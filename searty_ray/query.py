@@ -44,6 +44,17 @@ class TermPostings:
     block_last_doc: np.ndarray
     block_core: np.ndarray
 
+    _base_keys: np.ndarray | None = None
+
+    def base_keys(self) -> np.ndarray:
+        """Ascending (doc << 33 | pos) keys of every occurrence (cached):
+        the phrase intersect operates on shifted views of these."""
+        if self._base_keys is None:
+            self._base_keys = (
+                np.repeat(self.doc_ids, self.tfs) * _POS_SPAN + self.positions.astype(np.int64)
+            )
+        return self._base_keys
+
     def pos_slices(self) -> np.ndarray:
         return np.cumsum(self.tfs) - self.tfs
 
@@ -237,11 +248,15 @@ class PhraseSearcher:
         constraints = []
         for k, offs in zip(keys, offsets):
             tp = plists[int(k)]
-            docs_expanded = np.repeat(tp.doc_ids, tp.tfs)
+            bk = tp.base_keys()
             for off in offs:
-                base = tp.positions.astype(np.int64) - int(off)
-                ok = base >= 0
-                constraints.append(docs_expanded[ok] * _POS_SPAN + base[ok])
+                if off == 0:
+                    constraints.append(bk)
+                else:
+                    shifted = bk - int(off)
+                    # drop occurrences whose pos < off (would wrap into the
+                    # previous doc's key range)
+                    constraints.append(shifted[tp.positions >= off])
         constraints.sort(key=len)
         cur = constraints[0]
         for other in constraints[1:]:
@@ -335,11 +350,21 @@ class BM25Searcher:
         return cursors
 
     def topk(self, query: str, k: int) -> pa.Table:
-        """Exhaustive: vectorized per-term accumulation in ascending-term order."""
+        """Exhaustive DAAT: vectorized per-term accumulation in ascending-term
+        order.  With dense doc ids (sort-mode assignment) scores accumulate
+        into a doc-indexed array — no unique/searchsorted per term."""
         cursors = self._cursors(query)
         m = self.reader.manifest
         if not cursors:
             return _topk_empty()
+        if m.max_doc_id + 1 == m.n_docs:  # dense ids fast path
+            self.reader._load_norms()
+            dl = self.reader._norm_len  # norms sorted by doc_id == index
+            scores = np.zeros(m.n_docs, dtype=np.float64)
+            for c in cursors:
+                scores[c.doc_ids] += c.idf * bm25.tf_norm(c.tfs, dl[c.doc_ids], m.avgdl)
+            docs, s = bm25.topk_dense(scores, k)
+            return _topk_table(docs, s)
         candidates = np.unique(np.concatenate([c.doc_ids for c in cursors]))
         dl = self.reader.doc_len(candidates).astype(np.float64)
         scores = np.zeros(len(candidates), dtype=np.float64)
@@ -397,6 +422,16 @@ class WordSearcher:
         present = [(w, tp) for w, tp in present if tp is not None]
         if not present:
             return _topk_empty()
+        if m.max_doc_id + 1 == m.n_docs:  # dense ids fast path
+            self.reader.sym_doc_len(np.empty(0, dtype=np.int64))  # ensure norms loaded
+            dl = self.reader._sym_norm_len
+            scores = np.zeros(m.n_docs, dtype=np.float64)
+            for _, tp in present:  # ascending word order defines the sum order
+                scores[tp.doc_ids] += bm25.idf(m.n_docs, tp.df) * bm25.tf_norm(
+                    tp.tfs, dl[tp.doc_ids], m.avg_sym_dl
+                )
+            docs, s = bm25.topk_dense(scores, k)
+            return _topk_table(docs, s)
         candidates = np.unique(np.concatenate([tp.doc_ids for _, tp in present]))
         dl = self.reader.sym_doc_len(candidates).astype(np.float64)
         scores = np.zeros(len(candidates), dtype=np.float64)

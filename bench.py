@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
 INDEX_DIR = os.environ.get("BENCH_INDEX_DIR", f"/tmp/searty_ray_bench/{os.path.basename(SF_DIR)}_r{REPLICATE}")
 
 
@@ -196,11 +196,17 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_INDEX_DIR=f"/tmp/searty_ray_scaling_{ncpu}",
             # scaling runs need a compute-bound job: amplify unless overridden
-            BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "40"),
+            BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "120"),
             BENCH_SKIP_OPS="1",
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.path.exists("/usr/bin/taskset"):
+            # OS-level affinity: without it the low-cpu run leaks onto extra
+            # cores (object store / driver / writer threads live outside
+            # Ray's logical cpu slots) and understates the true speedup
+            cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}", *cmd]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -180,6 +180,22 @@ def decode_posting_list(
     return doc_ids.astype(np.int64), tfs.astype(np.int32), positions
 
 
+def segmented_undelta(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Invert per-segment delta encoding (first value absolute) → int64.
+
+    Same construction as :func:`_undelta_positions` but int64-valued, used
+    for doc-id gap streams segmented by run lengths."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if len(g) == 0:
+        return np.empty(0, dtype=np.int64)
+    c = np.cumsum(g)
+    boundary = np.cumsum(np.asarray(counts, dtype=np.int64))[:-1]
+    base = np.zeros(len(g), dtype=np.int64)
+    base[boundary] = c[boundary - 1]
+    base = np.maximum.accumulate(base)
+    return c - base
+
+
 def _undelta_positions(pos_gaps: np.ndarray, tfs: np.ndarray) -> np.ndarray:
     """Invert :func:`position_gaps` — vectorized segmented cumsum.
 

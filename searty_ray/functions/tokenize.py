@@ -167,6 +167,22 @@ def tokenize_doc_symbols(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return keys, tfs, positions
 
 
+_SYMBOL_ASCII = np.zeros(128, dtype=bool)
+for _ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-*+/<>=!?_&%$.":
+    _SYMBOL_ASCII[ord(_ch)] = True
+
+
 def symbol_doc_length(text: str) -> int:
-    """Symbol-token count of a document (BM25 |D| for the symbol index)."""
-    return sum(1 for _ in SYMBOL_RE.finditer(text))
+    """Symbol-token count of a document (BM25 |D| for the symbol index).
+
+    Vectorized: tokens are maximal runs of symbol-class codepoints, counted
+    as class-entry transitions — no per-token regex work.  Non-ASCII
+    codepoints are non-constituent, exactly like SYMBOL_RE's class.
+    """
+    cps = codepoints(text)
+    if len(cps) == 0:
+        return 0
+    mask = np.zeros(len(cps), dtype=bool)
+    ascii_sel = cps < 128
+    mask[ascii_sel] = _SYMBOL_ASCII[cps[ascii_sel]]
+    return int(mask[0]) + int(np.count_nonzero(mask[1:] & ~mask[:-1]))

@@ -44,13 +44,18 @@ DOCUMENTS_SCHEMA = pa.schema(
 
 CONTENT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("content", pa.large_string())])
 
+# Shuffle rows ("runs"): one row per (term, chunk) per tokenize batch.  ALL
+# entry streams are varint-compressed before the shuffle (doc-id gaps, tfs,
+# per-doc position byte lengths, delta positions) — the groupby moves
+# ~3-4 B/(term,doc) + ~1.2 B/position instead of 16 B + 4 B numeric.
 POSTINGS_RUN_SCHEMA = pa.schema(
     [
         ("term_key", pa.uint64()),
         ("chunk", pa.int64()),
-        ("doc_ids", pa.list_(pa.int64())),
-        ("tfs", pa.list_(pa.int32())),
-        ("pos_bytes", pa.list_(pa.int32())),  # compressed byte length per doc
+        ("n_docs", pa.int32()),
+        ("doc_blob", pa.large_binary()),  # varint doc gaps (first absolute)
+        ("tf_blob", pa.large_binary()),  # varint tfs
+        ("len_blob", pa.large_binary()),  # varint per-doc position byte lengths
         ("pos_blob", pa.large_binary()),  # delta+varbyte positions (per-doc streams)
     ]
 )

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import bm25
-from ..functions.codec import varint_encode, varint_sizes
+from ..functions.codec import segmented_undelta, varint_decode, varint_encode, varint_sizes
 from ..functions.tokenize import unpack_terms
 from ..schema import BLOCK_SIZE, SEGMENT_SCHEMA
 
@@ -39,18 +39,16 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     runs = runs.combine_chunks()
     run_term = runs["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
     run_chunk = runs["chunk"].to_numpy(zero_copy_only=False)
-    doc_col = runs.column("doc_ids").chunk(0)
-    tf_col = runs.column("tfs").chunk(0)
-    pb_col = runs.column("pos_bytes").chunk(0)
+    run_len = runs["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
     blob_col = runs.column("pos_blob").chunk(0)
 
-    # flatten() is slice-safe; rebase offsets so they index the flattened values
-    D_raw = doc_col.flatten().to_numpy(zero_copy_only=False)
-    T_raw = tf_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    PB_raw = pb_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    run_doc_off = doc_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    run_doc_off = run_doc_off - run_doc_off[0]
-    run_len = np.diff(run_doc_off)
+    # decode the three compressed entry streams in one varint pass each —
+    # run blobs are stored back-to-back, so the concatenated buffer IS the
+    # partition-wide stream
+    dgap = varint_decode(_binary_values(runs.column("doc_blob").chunk(0)))
+    D_raw = segmented_undelta(dgap, run_len)
+    T_raw = varint_decode(_binary_values(runs.column("tf_blob").chunk(0))).astype(np.int64)
+    PB_raw = varint_decode(_binary_values(runs.column("len_blob").chunk(0))).astype(np.int64)
 
     # compressed position bytes of the whole partition (uint8) + per-run offsets
     blob_buf = np.frombuffer(_binary_values(blob_col), dtype=np.uint8)

@@ -102,10 +102,28 @@ class TokenizeCombine:
         run_starts = np.nonzero(new_run)[0]
         run_counts = np.diff(np.append(run_starts, n))
 
-        doc_offsets = np.concatenate(([0], np.cumsum(run_counts))).astype(np.int64)
+        # The entry metadata (doc ids / tfs / slice lengths) dominates shuffle
+        # volume at ~16 B per (term, doc) pair if shipped numeric — compress
+        # those streams too: doc GAPS (reset per run, first absolute) + tfs +
+        # byte lengths, each one varint stream sliced per run.  The shuffle
+        # then moves ~3-4 B per entry + ~1.2 B per position.
+        dgap = np.empty(n, dtype=np.int64)
+        dgap[1:] = sd[1:] - sd[:-1]
+        dgap[run_starts] = sd[run_starts]
+
+        def _stream(values: np.ndarray) -> pa.Array:
+            sizes = varint_sizes(values)
+            data_ = varint_encode(values)
+            per_run = np.add.reduceat(sizes, run_starts)
+            offs = np.concatenate(([0], np.cumsum(per_run))).astype(np.int64)
+            return pa.Array.from_buffers(
+                pa.large_binary(),
+                len(run_starts),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data_.tobytes())],
+            )
+
         run_byte_counts = np.add.reduceat(entry_bytes.astype(np.int64), run_starts)
         byte_offsets = np.concatenate(([0], np.cumsum(run_byte_counts))).astype(np.int64)
-
         pos_blob = pa.Array.from_buffers(
             pa.large_binary(),
             len(run_starts),
@@ -115,13 +133,10 @@ class TokenizeCombine:
             {
                 "term_key": pa.array(sk[run_starts], type=pa.uint64()),
                 "chunk": pa.array(sc[run_starts], type=pa.int64()),
-                "doc_ids": pa.LargeListArray.from_arrays(doc_offsets, pa.array(sd, type=pa.int64())),
-                "tfs": pa.LargeListArray.from_arrays(
-                    doc_offsets, pa.array(stf.astype(np.int32), type=pa.int32())
-                ),
-                "pos_bytes": pa.LargeListArray.from_arrays(
-                    doc_offsets, pa.array(entry_bytes, type=pa.int32())
-                ),
+                "n_docs": pa.array(run_counts.astype(np.int32), type=pa.int32()),
+                "doc_blob": _stream(dgap.astype(np.uint64)),
+                "tf_blob": _stream(stf.astype(np.uint64)),
+                "len_blob": _stream(entry_bytes.astype(np.uint64)),
                 "pos_blob": pos_blob,
             }
         )
@@ -132,9 +147,10 @@ def _empty_runs() -> pa.Table:
         {
             "term_key": pa.array([], type=pa.uint64()),
             "chunk": pa.array([], type=pa.int64()),
-            "doc_ids": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int64())),
-            "tfs": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int32())),
-            "pos_bytes": pa.LargeListArray.from_arrays([0], pa.array([], type=pa.int32())),
+            "n_docs": pa.array([], type=pa.int32()),
+            "doc_blob": pa.array([], type=pa.large_binary()),
+            "tf_blob": pa.array([], type=pa.large_binary()),
+            "len_blob": pa.array([], type=pa.large_binary()),
             "pos_blob": pa.array([], type=pa.large_binary()),
         }
     )

@@ -123,3 +123,24 @@ def test_resume_skips_finished(fixture_index, fixture_corpus, tmp_path):
     t1 = pq.read_table(victim_meta["file"])
     t2 = pq.read_table(os.path.join(d2dir, rel))
     assert t1.equals(t2)
+
+
+def test_build_deterministic_across_parallelism(fixture_corpus, tmp_path):
+    """Segment tables must be identical regardless of input block layout
+    (the batch boundaries change which runs exist, the lexsorted encode must
+    not care) — the in-sandbox proxy for N-node vs 4N-node determinism."""
+    import ray
+
+    from searty_ray.pipelines.build import build_index
+
+    corpus_t, _ = fixture_corpus
+    dirs = []
+    for blocks in (2, 7):
+        d = str(tmp_path / f"ix_b{blocks}")
+        ds = ray.data.from_arrow(corpus_t).repartition(blocks)
+        build_index(ds, d, num_parts=4, chunk_span=16)
+        dirs.append(d)
+    a = pq.read_table(os.path.join(dirs[0], "segments"))
+    b = pq.read_table(os.path.join(dirs[1], "segments"))
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert a.sort_by(order).equals(b.sort_by(order))

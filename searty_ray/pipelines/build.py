@@ -30,6 +30,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (enables pa.compute.*)
 import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Sum
@@ -90,20 +91,39 @@ def build_index(
             # pages of the just-written documents table
             from .symbols import build_symbols_from_corpus
 
+            sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
             build_symbols_from_corpus(
-                ray.data.read_parquet(docs_dir, columns=["doc_id", "content"]), index_dir
+                ray.data.read_parquet(
+                    docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
+                ),
+                index_dir,
             )
     t_docs = time.monotonic()
 
-    # ---- global stats (small aggregate over written metadata) ----
-    stats = (
-        ray.data.read_parquet(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
-        .aggregate(Sum("n_tokens"), Sum("n_sym_tokens"), Count(), Max("doc_id"))
+    # ---- global stats over written metadata ----
+    # Below ~50M rows a local columnar scan of the three int64 columns beats
+    # the Ray aggregate's fixed pipeline cost by seconds; above it (real
+    # scale) the distributed aggregate amortizes and is required.
+    meta_rows = sum(
+        pq.read_metadata(os.path.join(docs_dir, f)).num_rows
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
     )
-    n_docs = int(stats["count()"])
-    total_tokens = int(stats["sum(n_tokens)"] or 0)
-    total_sym_tokens = int(stats["sum(n_sym_tokens)"] or 0)
-    max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
+    if meta_rows < 50_000_000:
+        t = pq.read_table(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
+        n_docs = t.num_rows
+        total_tokens = int(pa.compute.sum(t["n_tokens"]).as_py() or 0)
+        total_sym_tokens = int(pa.compute.sum(t["n_sym_tokens"]).as_py() or 0)
+        max_doc_id = int(pa.compute.max(t["doc_id"]).as_py()) if n_docs else -1
+    else:
+        stats = (
+            ray.data.read_parquet(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
+            .aggregate(Sum("n_tokens"), Sum("n_sym_tokens"), Count(), Max("doc_id"))
+        )
+        n_docs = int(stats["count()"])
+        total_tokens = int(stats["sum(n_tokens)"] or 0)
+        total_sym_tokens = int(stats["sum(n_sym_tokens)"] or 0)
+        max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
     avgdl = total_tokens / n_docs if n_docs else 0.0
     avg_sym_dl = total_sym_tokens / n_docs if n_docs else 0.0
     if chunk_span is None:
@@ -161,12 +181,32 @@ def build_index(
         )
         return _summary(pgrp, len(seg), int(group.num_rows), nbytes, wall)
 
-    runs = corpus.map_batches(
-        TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
-        batch_format="pyarrow",
-        batch_size=TOKENIZE_BATCH_SIZE,
-    ).map_batches(add_pgrp, batch_format="pyarrow")
+    # tokenize reads BACK the written documents table (doc_id + content
+    # pages only): the corpus derivation/sort runs once, and the postings
+    # pass splits across the documents part files regardless of how
+    # splittable the original source was.  Explicit block count: the default
+    # 128MB-target read coalesces small part files into ~2 tasks and
+    # strangles the map side of the shuffle.
+    reader_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    runs = (
+        ray.data.read_parquet(
+            docs_dir, columns=["doc_id", "content"], override_num_blocks=reader_blocks
+        )
+        .map_batches(
+            TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
+            batch_format="pyarrow",
+            batch_size=TOKENIZE_BATCH_SIZE,
+        )
+        .map_batches(add_pgrp, batch_format="pyarrow")
+    )
 
+    # The groupby sort is a barrier anyway; materializing the runs first
+    # keeps the tokenize map stage at full parallelism (the streaming
+    # executor throttles an AllToAll's upstream maps to a fraction of the
+    # CPU slots — measured ~40% on this host).  The materialized runs are
+    # the compressed shuffle rows (~4 B/entry), and the object store spills
+    # them if they exceed memory — same cost the sort would pay internally.
+    runs = runs.materialize()
     summaries = (
         runs.groupby("pgrp")
         .map_groups(encode_and_write, batch_format="pyarrow")

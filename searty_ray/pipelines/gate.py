@@ -56,7 +56,11 @@ def _ensure_index(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     index_dir = os.path.join(CACHE_ROOT, name)
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        build_index(corpus_from_documents(sf_dir), index_dir, tokenizer="trigram+symbols")
+        build_index(
+            corpus_from_documents(sf_dir, override_num_blocks=16),
+            index_dir,
+            tokenizer="trigram+symbols",
+        )
     return index_dir
 
 
@@ -546,6 +550,23 @@ ORDER BY query_id, score DESC, vec_id
 """
 
 
+EMB_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.5
+
+
+def q_dedup_embedding(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn.embedding_near_dups(emb, threshold=EMB_DUP_THRESHOLD)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     index = knn.IVFIndex.build(emb, nlist=16)
@@ -793,6 +814,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
@@ -822,6 +844,7 @@ ORACLE_SQL = {
     "topk_terms": SQL_TOPK_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     # dedup_minhash / dedup_simhash / ann_ivf: stateful multi-round pipelines
     # with engine-defined hashing — rows-only check (no SQL equivalent)
     "knn_cosine": SQL_KNN_COSINE,

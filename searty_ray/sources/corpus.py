@@ -71,8 +71,12 @@ def corpus_from_documents(
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
-        override_num_blocks=override_num_blocks,
     )
+    if override_num_blocks:
+        # the test file has ONE row group, so the read itself can't split —
+        # without this repartition the amplify+derive chain below would fuse
+        # into a single serial task
+        ds = ds.repartition(override_num_blocks)
     if replicate > 1:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 

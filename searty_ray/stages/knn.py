@@ -92,6 +92,55 @@ def knn_brute_cosine(
     )
 
 
+def embedding_near_dups(
+    embeddings: ray.data.Dataset, threshold: float = 0.95
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (driver instructions).
+
+    Per-batch vectorized: each batch computes its similarity block against
+    the broadcast unit matrix (`ray.put` once), emitting only pairs
+    (a < b, cosine ≥ threshold).  O(n²) dots but O(n·batch) memory; the
+    scale path swaps the broadcast matrix for IVF-bucketed blocking
+    (pairs within a cluster), same emit contract.
+    """
+    full = pa.concat_tables(embeddings.iter_batches(batch_format="pyarrow", batch_size=8192))
+    all_ids, all_mat = _emb_matrix(full)
+    unit = _unit_rows(all_mat)
+    ref = ray.put((all_ids, unit))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b = _emb_matrix(batch)
+        ids_all, u = ray.get(ref)
+        sims = _unit_rows(mat_b) @ u.T  # (b, n)
+        rows_a, rows_b, rows_s = [], [], []
+        bi, bj = np.nonzero(sims >= threshold)
+        for i, j in zip(bi, bj):
+            a, b = int(ids_b[i]), int(ids_all[j])
+            if a < b:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_s.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(rows_a, type=pa.int64()),
+                "vec_id_b": pa.array(rows_b, type=pa.int64()),
+                "cosine": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    out = embeddings.map_batches(block, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:  # no near-dups: keep the schema (empty to_pandas drops it)
+        return pa.table(
+            {
+                "vec_id_a": pa.array([], type=pa.int64()),
+                "vec_id_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class IVFIndex:
     """IVF-flat over unit vectors.  Centroids from a seeded sample (k-means,
     few iterations, deterministic); lists built with one pass + groupby."""

@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -34,9 +33,11 @@ from ..query import (
 from ..sources.corpus import CORPUS_CTE, corpus_from_documents
 from ..stages import dedup, knn, multimodal, textstats
 from .build import build_index
-from .symbols import build_symbols_from_corpus
 
-CACHE_ROOT = "/tmp/searty_ray_gate"
+# bump INDEX_LAYOUT_VERSION whenever segment layout / derivation changes so a
+# stale /tmp cache from an older build can never serve the gate
+INDEX_LAYOUT_VERSION = 2
+CACHE_ROOT = f"/tmp/searty_ray_gate/v{INDEX_LAYOUT_VERSION}"
 
 # -- fixed gate parameters (mirrored in the SQL below) ----------------------
 PHRASE_Q = "merge part"

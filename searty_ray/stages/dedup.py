@@ -23,7 +23,6 @@ from itertools import combinations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import mix64

@@ -20,7 +20,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from ..functions.hashing import mix64
 

@@ -71,7 +71,10 @@ def varint_decode(buf: np.ndarray | bytes | memoryview) -> np.ndarray:
     """Decode a concatenated varint byte stream into a uint64 array.
 
     Vectorized: finds value boundaries from the continuation bit, then
-    accumulates bytes in O(max_bytes) passes.
+    accumulates bytes in O(max_bytes) masked passes.  (A reduceat-based
+    single-pass variant is ~25% faster warm but allocates byte-sized int64
+    temporaries — 2.6× slower cold on fault-bound hosts, so the masked loop
+    wins for query actors whose first lookups dominate.)
     """
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if len(b) == 0:

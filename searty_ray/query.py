@@ -24,7 +24,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from .functions import bm25
-from .functions.codec import decode_meta_blob, decode_pos_blob
+from .functions.codec import decode_pos_blob, varint_decode
+from .stages.encode_stage import _binary_offsets, _binary_values
 from .functions.hashing import term_part
 from .functions.tokenize import tokenize_query
 from .functions.wand import TermCursor, wand_topk
@@ -34,17 +35,34 @@ from .state.manifest import Manifest
 
 @dataclass
 class TermPostings:
-    """Fully merged postings of one term across chunks (ascending doc_id)."""
+    """Fully merged postings of one term across chunks (ascending doc_id).
+
+    Positions are decoded LAZILY from the stored varbyte blobs — ranked
+    (BM25) queries only touch doc_ids/tfs, so they never pay the position
+    decode; the phrase path triggers it on first access."""
 
     df: int
     cf: int
     doc_ids: np.ndarray
     tfs: np.ndarray
-    positions: np.ndarray  # flattened per-doc, lengths = tfs
     block_last_doc: np.ndarray
     block_core: np.ndarray
+    pos_blobs: list[tuple[bytes, np.ndarray]] | None = None  # (blob, chunk tfs)
 
+    _positions: np.ndarray | None = None
     _base_keys: np.ndarray | None = None
+
+    @property
+    def positions(self) -> np.ndarray:
+        """Flattened per-doc positions (lengths = tfs); decoded on demand."""
+        if self._positions is None:
+            if not self.pos_blobs:
+                self._positions = np.empty(0, dtype=np.int32)
+            else:
+                self._positions = np.concatenate(
+                    [decode_pos_blob(blob, t) for blob, t in self.pos_blobs]
+                )
+        return self._positions
 
     def base_keys(self) -> np.ndarray:
         """Ascending (doc << 33 | pos) keys of every occurrence (cached):
@@ -167,7 +185,8 @@ class IndexReader:
             p = term_part(np.uint64(key), m.num_parts)
             by_part.setdefault(int(p), set()).add(key)
 
-        rows: dict[int, list[dict]] = {k: [] for k in missing}
+        rows: dict[int, list[tuple]] = {k: [] for k in missing}
+        span = self.manifest.chunk_span
         for part, keys in sorted(by_part.items()):
             part_dir = os.path.join(self.seg_root, f"part={part:05d}")
             if not os.path.isdir(part_dir):
@@ -177,9 +196,42 @@ class IndexReader:
             t = pads.dataset(part_dir).to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
                 columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
-            )
-            for row in t.to_pylist():
-                rows[int(row["term_key"])].append(row)
+            ).combine_chunks()
+            if len(t) == 0:
+                continue
+            tk = t["term_key"].to_numpy(zero_copy_only=False)
+            chunk = t["chunk"].to_numpy(zero_copy_only=False)
+            df_col = t["df"].to_numpy(zero_copy_only=False)
+            cf_col = t["cf"].to_numpy(zero_copy_only=False)
+            # bulk meta decode: row blobs are adjacent → ONE varint pass for
+            # the whole read; per-row slices recovered from [1+2·df] counts
+            meta_col = t.column("meta_blob").chunk(0)
+            meta_vals = varint_decode(_binary_values(meta_col)).astype(np.int64)
+            row_nvals = 1 + 2 * df_col
+            row_off = np.concatenate(([0], np.cumsum(row_nvals)))
+            pos_col = t.column("pos_blob").chunk(0)
+            pos_off = _binary_offsets(pos_col)
+            pos_buf = _binary_values(pos_col)
+            bl_col = t.column("block_last_doc").chunk(0)
+            bc_col = t.column("block_max_score").chunk(0)
+            for i in range(len(t)):
+                o, df_i = int(row_off[i]), int(df_col[i])
+                gaps = meta_vals[o + 1 : o + 1 + df_i]
+                d = np.cumsum(gaps) + int(chunk[i]) * span
+                tf = meta_vals[o + 1 + df_i : o + 1 + 2 * df_i].astype(np.int32)
+                blob = bytes(pos_buf[int(pos_off[i]) : int(pos_off[i + 1])])
+                rows[int(tk[i])].append(
+                    (
+                        int(chunk[i]),
+                        int(df_i),
+                        int(cf_col[i]),
+                        d,
+                        tf,
+                        blob,
+                        np.asarray(bl_col[i].as_py(), dtype=np.int64),
+                        np.asarray(bc_col[i].as_py(), dtype=np.float64),
+                    )
+                )
 
         for key in missing:
             out[key] = tp = self._merge_chunks(rows[key])
@@ -188,31 +240,18 @@ class IndexReader:
                 self._cache.popitem(last=False)
         return out
 
-    def _merge_chunks(self, chunk_rows: list[dict]) -> TermPostings | None:
+    def _merge_chunks(self, chunk_rows: list[tuple]) -> TermPostings | None:
         if not chunk_rows:
             return None
-        chunk_rows.sort(key=lambda r: r["chunk"])
-        span = self.manifest.chunk_span
-        d_parts, t_parts, p_parts, bl_parts, bc_parts = [], [], [], [], []
-        df = cf = 0
-        for r in chunk_rows:
-            d, t = decode_meta_blob(r["meta_blob"], first_doc_base=r["chunk"] * span)
-            p = decode_pos_blob(r["pos_blob"], t)
-            d_parts.append(d)
-            t_parts.append(t)
-            p_parts.append(p)
-            bl_parts.append(np.asarray(r["block_last_doc"], dtype=np.int64))
-            bc_parts.append(np.asarray(r["block_max_score"], dtype=np.float64))
-            df += int(r["df"])
-            cf += int(r["cf"])
+        chunk_rows.sort(key=lambda r: r[0])
         return TermPostings(
-            df=df,
-            cf=cf,
-            doc_ids=np.concatenate(d_parts),
-            tfs=np.concatenate(t_parts),
-            positions=np.concatenate(p_parts),
-            block_last_doc=np.concatenate(bl_parts),
-            block_core=np.concatenate(bc_parts),
+            df=sum(r[1] for r in chunk_rows),
+            cf=sum(r[2] for r in chunk_rows),
+            doc_ids=np.concatenate([r[3] for r in chunk_rows]),
+            tfs=np.concatenate([r[4] for r in chunk_rows]),
+            block_last_doc=np.concatenate([r[6] for r in chunk_rows]),
+            block_core=np.concatenate([r[7] for r in chunk_rows]),
+            pos_blobs=[(r[5], r[4]) for r in chunk_rows],
         )
 
 

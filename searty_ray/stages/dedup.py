@@ -7,13 +7,21 @@ Scale shapes:
 * jaccard     — blocked pairwise: groupby(block key) → vectorized pairwise
                 word-set Jaccard inside each group (block sizes bounded by the
                 blocking key; for unblocked corpora use minhash_lsh instead).
-* minhash_lsh — shingle → 64 minhash perms → band rows (band_id, band_hash,
-                doc_id) → groupby(band) → candidate pairs → exact-Jaccard
-                verify.  The classic near-dup pipeline; candidate generation
-                never compares all pairs.
-* simhash     — 64-bit simhash per doc in map_batches; near-dup candidates =
-                equal value in any of 4 16-bit bands (hamming ≤ 3 heuristic),
-                verified by true hamming distance.
+* minhash_lsh — word 3-shingles → 64 multiply-shift minhash perms → band rows
+                (band, v0..v3, doc_id) → groupby(band values) → candidate
+                pairs (bucket-capped) → distributed dedupe → exact-Jaccard
+                verify as a SECOND Ray stage (broadcast candidate shingle
+                sets).  Nothing larger than the candidate set ever touches
+                the driver.
+* simhash     — 64-bit simhash per doc (vectorized batch kernel); candidates
+                = equal value in any of 4 16-bit bands, which by pigeonhole
+                has recall 1 for hamming ≤ 3; verified by true hamming in a
+                Ray filter stage.
+
+Every hash primitive here is deliberately SQL-expressible (md5-derived word
+and shingle hashes, multiply-shift permutations) so the correctness gate can
+mirror the ENTIRE pipeline — candidate generation included — in DuckDB
+(pipelines/gate.py SQL_DEDUP_MINHASH / SQL_DEDUP_SIMHASH).
 """
 
 from __future__ import annotations
@@ -23,9 +31,11 @@ from itertools import combinations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
 from ..functions.hashing import mix64
+from ..functions.resources import actor_pool
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -90,179 +100,317 @@ def jaccard_dedup_pairs(
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
+BUCKET_CAP = 2048  # docs per LSH bucket; >CAP means mass-identical content —
+# pairs among the first CAP (sorted by doc_id) still link the dup cluster
+
+_U64_MOD = 1 << 64
+
+#: multiply-shift permutation constants (odd multipliers), derived from the
+#: splitmix sequence — embedded verbatim into the gate's SQL mirror.
+PERM_A = (mix64(np.arange(N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) | np.uint64(1))
+PERM_B = mix64(np.arange(N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(2))
 
 
-def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Word w-shingles → uint64 hashes (vectorized rolling mix)."""
-    words = text.split()
-    if len(words) < w:
-        return np.asarray([mix64(np.uint64(len(words)))], dtype=np.uint64) if words else np.empty(0, np.uint64)
-    base = np.array(
-        [hash_word(word) for word in words], dtype=np.uint64
-    )
-    h = base[: len(words) - w + 1].copy()
-    for i in range(1, w):
-        h = mix64(h ^ base[i : i + len(h)])
-    return np.unique(h)
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5, big-endian — ('0x' || substr(md5(s),1,16))::UBIGINT
+    in DuckDB, so the SQL oracle reproduces every hash bit-exactly."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
-_hash_word_cache: dict[str, int] = {}
+_hash_cache: dict[str, int] = {}
 
 
 def hash_word(word: str) -> int:
-    h = _hash_word_cache.get(word)
+    h = _hash_cache.get(word)
     if h is None:
-        if len(_hash_word_cache) > 1 << 20:
-            _hash_word_cache.clear()
-        h = _hash_word_cache[word] = int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+        if len(_hash_cache) > 1 << 20:
+            _hash_cache.clear()
+        h = _hash_cache[word] = _md5_u64(word)
     return h
 
 
-def minhash_signature(text: str, seeds: np.ndarray) -> np.ndarray:
-    """Permutation minima in ONE vectorized mix over the (perm, shingle) matrix."""
+def shingle_strings(text: str, w: int = 3) -> list[str]:
+    """Word w-shingles as strings; short docs (0 < n < w) contribute their
+    whole text as ONE shingle (content-derived, so distinct short docs get
+    distinct sets — not the word-count-only fallback)."""
+    words = text.split()
+    if len(words) >= w:
+        return [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
+    return [" ".join(words)] if words else []
+
+
+def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Distinct uint64 md5-hashes of the word w-shingles, ascending."""
+    ss = shingle_strings(text, w)
+    if not ss:
+        return np.empty(0, np.uint64)
+    return np.unique(np.array([hash_word(s) for s in ss], dtype=np.uint64))
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64 multiply-shift permutation minima (vectorized)."""
     sh = _shingle_hashes(text)
     if len(sh) == 0:
-        return np.zeros(len(seeds), dtype=np.uint64)
-    return mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
+        return np.zeros(N_PERM, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (PERM_A[:, None] * sh[None, :] + PERM_B[:, None]).min(axis=1)
 
 
 class MinHashStage:
-    """Actor-pool stage: documents → LSH band rows (band, band_hash, doc_id).
+    """Actor-pool stage: documents → LSH band rows (band, v0..v3, doc_id).
 
-    Seeds are built once per actor (__init__), signatures per batch."""
-
-    def __init__(self):
-        self.seeds = mix64(np.arange(1, N_PERM + 1, dtype=np.uint64) * np.uint64(0x9E3779B9))
+    Fully vectorized across the batch: all docs' shingle hashes are
+    concatenated, the (64 × total_shingles) permutation matrix is built in
+    one broadcast multiply, and per-doc minima fall out of one
+    ``minimum.reduceat``.  Band values are emitted RAW (4 columns), so the
+    shuffle groups on true value tuples — no band-hash collisions, and the
+    SQL oracle can reproduce candidate generation exactly.  Docs with no
+    shingles emit no rows (they can never be near-dups)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_band, rows_hash = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(text, self.seeds)
-            for b in range(N_BANDS):
-                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                acc = np.uint64(b)  # positional combine: band equality ⇔ same values in order
-                for v in band:
-                    acc = np.uint64(mix64(acc ^ v))
-                rows_doc.append(doc_id)
-                rows_band.append(b)
-                rows_hash.append(int(acc))
+        sh_arrays = [_shingle_hashes(t) for t in batch["text"]]
+        lens = np.array([len(a) for a in sh_arrays], dtype=np.int64)
+        keep = lens > 0
+        n = int(keep.sum())
+        if n == 0:
+            return _empty_band_rows()
+        ids = batch["doc_id"].to_numpy()[keep].astype(np.int64)
+        cat = np.concatenate([a for a in sh_arrays if len(a)])
+        starts = np.concatenate(([0], np.cumsum(lens[keep])[:-1]))
+        with np.errstate(over="ignore"):
+            H = PERM_A[:, None] * cat[None, :] + PERM_B[:, None]  # (64, S)
+        sig = np.minimum.reduceat(H, starts, axis=1)  # (64, n)
+        out = {
+            "band": np.repeat(np.arange(N_BANDS, dtype=np.int32), n),
+            "doc_id": np.tile(ids, N_BANDS),
+        }
+        for r in range(ROWS_PER_BAND):
+            out[f"v{r}"] = sig[r::ROWS_PER_BAND].ravel()  # perm 4b+r of band b
+        return pd.DataFrame(out)
+
+
+def _empty_band_rows() -> pd.DataFrame:
+    d = {"band": pd.Series([], dtype="int32"), "doc_id": pd.Series([], dtype="int64")}
+    for r in range(ROWS_PER_BAND):
+        d[f"v{r}"] = pd.Series([], dtype="uint64")
+    return pd.DataFrame(d)
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, capped at BUCKET_CAP docs."""
+    ids = np.unique(g["doc_id"].to_numpy())[:BUCKET_CAP]
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64")})
+    a, b = zip(*combinations(ids.tolist(), 2))
+    return pd.DataFrame({"doc_id_a": np.asarray(a, dtype=np.int64),
+                         "doc_id_b": np.asarray(b, dtype=np.int64)})
+
+
+class _JaccardVerify:
+    """Second-stage verifier: exact Jaccard over broadcast shingle sets.
+
+    The broadcast dict covers only CANDIDATE docs (O(candidates), not the
+    corpus); per-pair intersection is C-speed ``intersect1d`` on sorted
+    unique arrays."""
+
+    def __init__(self, sh_ref, threshold: float):
+        self.sh = ray.get(sh_ref) if isinstance(sh_ref, ray.ObjectRef) else sh_ref
+        self.t = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
+            sa, sb = self.sh.get(int(a)), self.sh.get(int(b))
+            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= self.t:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 6))
         return pd.DataFrame(
-            {"band": rows_band, "band_hash": rows_hash, "doc_id": rows_doc}
-        ).astype({"band": "int32", "band_hash": "uint64", "doc_id": "int64"})
+            {
+                "doc_id_a": pd.Series(out_a, dtype="int64"),
+                "doc_id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+
+def _fetch_shingles(docs: ray.data.Dataset, ids: list[int]) -> dict[int, np.ndarray]:
+    """Selective semi-join: shingle-hash sets for the candidate ids only.
+    Streams the corpus (filter + shingle in workers); the returned dict is
+    O(candidate docs)."""
+    id_set = set(int(i) for i in ids)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].isin(id_set)]
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(),
+             "sh": [_shingle_hashes(t) for t in b["text"]]}
+        )
+
+    out: dict[int, np.ndarray] = {}
+    picked = docs.select_columns(["doc_id", "text"]).map_batches(pick, batch_format="pandas")
+    for b in picked.iter_batches(batch_format="pandas"):
+        for d, s in zip(b["doc_id"], b["sh"]):
+            out[int(d)] = np.asarray(s, dtype=np.uint64)
+    return out
 
 
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.DataFrame:
-    """Candidate pairs from LSH buckets, verified with exact shingle Jaccard.
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
-    → pandas (doc_id_a, doc_id_b, jaccard) sorted; candidate sets are small
-    by construction so the verify step broadcasts the candidate doc texts.
+    documents → band rows → bucket groupby → capped candidate pairs →
+    distributed pair dedupe → Ray verify stage.  The driver only ever holds
+    the candidate id list and the final verified pairs.
+    → pandas (doc_id_a, doc_id_b, jaccard) sorted.
     """
-    bands = docs.map_batches(MinHashStage, batch_format="pandas", concurrency=2)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        a, b = zip(*combinations(ids, 2))
-        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
-
+    bands = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHashStage, batch_format="pandas", concurrency=actor_pool(), batch_size=256
+    )
+    band_cols = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jaccard": []})
-    texts = _fetch_texts(docs, sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"])))
-    sh = {d: _shingle_hashes(t) for d, t in texts.items()}
-    out = []
-    for a, b in zip(cand["doc_id_a"], cand["doc_id_b"]):
-        inter = len(np.intersect1d(sh[a], sh[b]))
-        union = len(np.union1d(sh[a], sh[b]))
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            out.append((int(a), int(b), round(j, 6)))
-    out.sort()
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"])
-
-
-def _fetch_texts(docs: ray.data.Dataset, ids: list[int]) -> dict[int, str]:
-    """Selective semi-join fetch of candidate texts (broadcast the id set)."""
-    id_set = set(ids)
-    t = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(lambda b: b[b["doc_id"].isin(id_set)], batch_format="pandas")
-        .to_pandas()
-    )
-    return dict(zip(t["doc_id"], t["text"]))
+        bands.groupby(band_cols)
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    ).materialize()
+    ids = sorted(
+        set(cand.unique("doc_id_a")) | set(cand.unique("doc_id_b"))
+    )  # unique ids only — O(candidate docs) on the driver
+    if not ids:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    sh_ref = ray.put(_fetch_shingles(docs, ids))
+    verified = cand.map_batches(
+        _JaccardVerify,
+        batch_format="pandas",
+        concurrency=actor_pool(),
+        fn_constructor_kwargs={"sh_ref": sh_ref, "threshold": threshold},
+    ).to_pandas()  # verified near-dup pairs: the (small) final result
+    return verified.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BANDS = 4
+SIMHASH_BUCKET_CAP = 4096
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word-unigram hashes (Charikar 2002)."""
-    words = text.split()
-    if not words:
-        return 0
-    hs = np.array([hash_word(w) for w in words], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    """64-bit SimHash over word-unigram md5 hashes (Charikar 2002)."""
+    sig = _simhash_vec([text])
+    return int(sig[0])
+
+
+def _simhash_vec(texts: list[str]) -> np.ndarray:
+    """Vectorized simhash for a batch: one (total_words × 64) bit matrix,
+    per-doc signed sums via ``add.reduceat``."""
+    word_lists = [t.split() for t in texts]
+    lens = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+    sig = np.zeros(len(texts), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return sig
+    hs = np.array(
+        [hash_word(w) for ws, l in zip(word_lists, lens) if l for w in ws], dtype=np.uint64
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    v = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (n_nz, 64)
+    sig[nz] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return sig
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    sig = batch["text"].map(simhash64).to_numpy(dtype=np.uint64)
+    sig = _simhash_vec(batch["text"].tolist())
     out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": sig})
-    for b in range(4):  # pandas Series >> int rejects uint64 — shift in numpy
+    for b in range(SIMHASH_BANDS):  # pandas Series >> int rejects uint64 — shift in numpy
         out[f"band{b}"] = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
     return out
 
 
+def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) < 2:
+        return _simhash_empty_pairs()
+    g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id").head(SIMHASH_BUCKET_CAP)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    sigs = g["simhash"].to_numpy(dtype=np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {"doc_id_a": ids[ii], "doc_id_b": ids[jj], "sig_a": sigs[ii], "sig_b": sigs[jj]}
+    )
+
+
+def _simhash_empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "sig_a": pd.Series([], dtype="uint64"),
+            "sig_b": pd.Series([], dtype="uint64"),
+        }
+    )
+
+
+def _hamming_verify(batch: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Vectorized popcount filter — runs as a Ray stage over candidate pairs."""
+    x = batch["sig_a"].to_numpy(dtype=np.uint64) ^ batch["sig_b"].to_numpy(dtype=np.uint64)
+    d = np.zeros(len(x), dtype=np.int64)
+    for shift in range(0, 64, 8):
+        d += np.unpackbits((x >> np.uint64(shift)).astype(np.uint8)[:, None], axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+    keep = d <= max_hamming
+    return pd.DataFrame(
+        {
+            "doc_id_a": batch["doc_id_a"].to_numpy(dtype=np.int64)[keep],
+            "doc_id_b": batch["doc_id_b"].to_numpy(dtype=np.int64)[keep],
+            "hamming": d[keep],
+        }
+    )
+
+
 def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFrame:
-    """Candidate pairs sharing any 16-bit simhash band, verified by true
-    hamming distance.  Banding runs as a Ray groupby (melted band rows), like
-    the MinHash path; only the candidate pairs + their signatures come back
-    to the driver (provably small for near-dup workloads)."""
-    sigs = docs.map_batches(simhash_batch, batch_format="pandas")
+    """Near-dup pairs by simhash hamming ≤ ``max_hamming``.
+
+    Candidates = pairs equal in ANY of 4 16-bit bands — by pigeonhole this
+    has recall 1 for hamming ≤ 3 (3 flipped bits leave ≥ 1 band intact), so
+    the output is exactly "all pairs with hamming ≤ 3" and the SQL oracle
+    mirrors it with bit_count(xor(…)).  Signatures travel with the pairs, so
+    verification is a pure distributed filter; only verified pairs reach the
+    driver."""
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pandas", batch_size=256
+    )
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
         frames = [
             pd.DataFrame(
                 {"band": b4, "value": b[f"band{b4}"], "doc_id": b["doc_id"], "simhash": b["simhash"]}
             )
-            for b4 in range(4)
+            for b4 in range(SIMHASH_BANDS)
         ]
         return pd.concat(frames, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "sig_a": [], "sig_b": []})
-        rows = sorted(zip(g["doc_id"], g["simhash"]))
-        pairs = list(combinations(rows, 2))
-        return pd.DataFrame(
-            {
-                "doc_id_a": [a for (a, _), _2 in pairs],
-                "doc_id_b": [b for _1, (b, _) in pairs],
-                "sig_a": [sa for (_, sa), _2 in pairs],
-                "sig_b": [sb for _1, (_, sb) in pairs],
-            }
-        )
-
-    cand = (
+    out = (
         sigs.map_batches(melt, batch_format="pandas")
         .groupby(["band", "value"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+        .map_groups(_simhash_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+        .map_batches(lambda b: _hamming_verify(b, max_hamming), batch_format="pandas")
+        .to_pandas()  # verified pairs only
     )
-    out = []
-    for a, b2, sa, sb in zip(cand["doc_id_a"], cand["doc_id_b"], cand["sig_a"], cand["sig_b"]):
-        d = bin(int(sa) ^ int(sb)).count("1")
-        if d <= max_hamming:
-            out.append((int(a), int(b2), d))
-    out.sort()
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "hamming"])
+    return (
+        out[["doc_id_a", "doc_id_b", "hamming"]]
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"})
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )

@@ -12,20 +12,22 @@ The reference gets doc ids for free from SQLite AUTOINCREMENT
   materialized sorted blocks; stable across parallelism levels because the
   sort key is a total order over rows.
 
-* ``hash``: content-address ids ``mix64-cascade(sha1(repo␀path␀commit))``
-  truncated to 63 bits — no sort, no coordination, the scale path when dense
-  ids aren't required.  Collision probability at 10^12 rows ≈ 5e-5 per
-  build; callers needing exactness use ``sort``.
+* ``hash``: content-address ids — a vectorized splitmix64 cascade over the
+  ``repo␀path␀commit`` key bytes (one ``mix64`` column pass per byte of the
+  longest key in the batch, all rows at once) truncated to 63 bits — no
+  sort, no coordination, the scale path when dense ids aren't required.
+  Collision probability at 10^12 rows ≈ 5e-5 per build; callers needing
+  exactness use ``sort``.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+
+from ..functions.hashing import mix64
 
 
 @ray.remote
@@ -53,9 +55,26 @@ def assign_doc_ids(ds: ray.data.Dataset, mode: str = "sort") -> ray.data.Dataset
 
 
 def _hash_ids_batch(batch: pa.Table) -> pa.Table:
-    ids = np.empty(len(batch), dtype=np.int64)
-    repo, path, commit = (batch[c].to_pylist() for c in ("repo", "path", "commit"))
-    for i, (r, p, c) in enumerate(zip(repo, path, commit)):
-        h = hashlib.sha1(f"{r}\0{p}\0{c}".encode()).digest()
-        ids[i] = int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    import pyarrow.compute as pc
+
+    keys = pc.binary_join_element_wise(
+        batch["repo"], batch["path"], batch["commit"], "\0"
+    ).cast(pa.large_binary())
+    # pad keys to the batch max length and mix column-by-column: ≤ max_len
+    # vectorized passes over all rows instead of a per-row digest loop
+    n = len(batch)
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    lens = np.diff(offs)
+    width = int(lens.max()) if n else 0
+    mat = np.zeros((n, width), dtype=np.uint8)
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    # scatter the packed bytes into the padded matrix (one fancy-index gather)
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = buf[np.repeat(offs[:-1], lens) + col]
+    h = mix64(lens.astype(np.uint64))  # length seed keeps prefixes distinct
+    for j in range(width):
+        h = mix64(h ^ mat[:, j].astype(np.uint64))
+    ids = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return batch.add_column(0, "doc_id", pa.array(ids, type=pa.int64()))

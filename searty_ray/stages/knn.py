@@ -5,19 +5,36 @@
   partial top-k, tiny driver-side merge.  The scale baseline: each batch does
   (batch × dim) @ (dim × nq), no shuffle, queries shipped once.
 
-* :class:`IVFIndex` / :func:`knn_ivf_cosine` — IVF-flat: k-means-ish
-  centroids from a deterministic sample, per-batch cluster assignment at
-  build (one groupby to bucket vectors), probe ``nprobe`` nearest buckets at
-  query time.  The scale path (prunes the scanned fraction to nprobe/nlist);
-  recall vs brute force asserted in pytest.
+* :func:`embedding_near_dups` — EXACT cosine near-dup pairs via blocked
+  all-pairs: the dataset is normalized once into B object-store blocks, and
+  a Ray Data pipeline over the B·(B+1)/2 block pairs computes each
+  (block_i × block_j) similarity tile on a worker.  The driver holds only
+  block REFERENCES and the emitted pairs — never the embedding matrix.
+  (All-pairs is inherently O(N²) dot products; at corpus scale the
+  approximate path is :func:`ivf_near_dups` — within-cluster pairs over the
+  IVF partitioning, same emit contract, probing cost O(N²/nlist).)
+
+* :class:`IVFIndex` / :func:`knn_ivf_cosine` — IVF-flat, DISK-BACKED:
+  k-means-ish centroids from a deterministic sample; posting lists written
+  as ``cluster=NNN/`` parquet partitions by a streaming Ray pass (one
+  groupby-free shuffle via partitioned write); search probes only the
+  ``nprobe`` nearest cluster partitions (selective parquet reads + per-actor
+  LRU).  Nothing is materialized on the driver at build or search time.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.dataset as pads
 import ray
 import ray.data
+
+from ..functions.resources import actor_pool, cluster_cpus
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -73,9 +90,9 @@ def knn_brute_cosine(
     partial = embeddings.map_batches(
         BruteKNN,
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=actor_pool(),
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
-    ).to_pandas()
+    ).to_pandas()  # ≤ (#queries × k × #blocks) partial rows — small by contract
     out = []
     for qid, g in partial.groupby("query_id"):
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -91,107 +108,207 @@ def knn_brute_cosine(
     )
 
 
-def embedding_near_dups(
-    embeddings: ray.data.Dataset, threshold: float = 0.95
-) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (driver instructions).
+# ---------------------------------------------------------------------------
+# exact near-dup: blocked all-pairs
+# ---------------------------------------------------------------------------
 
-    Per-batch vectorized: each batch computes its similarity block against
-    the broadcast unit matrix (`ray.put` once), emitting only pairs
-    (a < b, cosine ≥ threshold).  O(n²) dots but O(n·batch) memory; the
-    scale path swaps the broadcast matrix for IVF-bucketed blocking
-    (pairs within a cluster), same emit contract.
-    """
-    full = pa.concat_tables(embeddings.iter_batches(batch_format="pyarrow", batch_size=8192))
-    all_ids, all_mat = _emb_matrix(full)
-    unit = _unit_rows(all_mat)
-    ref = ray.put((all_ids, unit))
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_b, mat_b = _emb_matrix(batch)
-        ids_all, u = ray.get(ref)
-        sims = _unit_rows(mat_b) @ u.T  # (b, n)
+def _normalize_block(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → (vec_id, unit-norm embedding as float64 list)."""
+    ids, mat = _emb_matrix(batch)
+    unit = _unit_rows(mat)
+    n, dim = unit.shape
+    off = np.arange(0, (n + 1) * dim, dim, dtype=np.int64)
+    emb = pa.LargeListArray.from_arrays(off, pa.array(unit.ravel(), type=pa.float64()))
+    return pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb})
+
+
+class _TilePairs:
+    """Block-pair tile: pulls two normalized blocks from the object store,
+    emits only the (a < b, cosine ≥ threshold) matches of the tile."""
+
+    def __init__(self, blocks_ref, threshold: float):
+        self.blocks = ray.get(blocks_ref) if isinstance(blocks_ref, ray.ObjectRef) else blocks_ref
+        self.t = threshold
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in self._cache:
+            if len(self._cache) > 4:
+                self._cache.clear()
+            self._cache[i] = _emb_matrix(ray.get(self.blocks[i]))
+        return self._cache[i]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         rows_a, rows_b, rows_s = [], [], []
-        bi, bj = np.nonzero(sims >= threshold)
-        for i, j in zip(bi, bj):
-            a, b = int(ids_b[i]), int(ids_all[j])
-            if a < b:
-                rows_a.append(a)
-                rows_b.append(b)
-                rows_s.append(round(float(sims[i, j]), 6))
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, m_i = self._block(i)
+            ids_j, m_j = self._block(j)
+            sims = m_i @ m_j.T
+            mask = sims >= self.t
+            if i == j:  # diagonal tile: keep one orientation per pair
+                mask = np.triu(mask, k=1)
+            bi, bj = np.nonzero(mask)
+            if len(bi):
+                a = ids_i[bi]
+                b = ids_j[bj]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keep = lo < hi  # drops self-pairs on the diagonal tile
+                rows_a.append(lo[keep])
+                rows_b.append(hi[keep])
+                rows_s.append(np.round(sims[bi, bj][keep], 6))
+        if not rows_a:
+            return _pairs_empty()
         return pa.table(
             {
-                "vec_id_a": pa.array(rows_a, type=pa.int64()),
-                "vec_id_b": pa.array(rows_b, type=pa.int64()),
-                "cosine": pa.array(rows_s, type=pa.float64()),
+                "vec_id_a": pa.array(np.concatenate(rows_a), type=pa.int64()),
+                "vec_id_b": pa.array(np.concatenate(rows_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_s), type=pa.float64()),
             }
         )
 
-    out = embeddings.map_batches(block, batch_format="pyarrow").to_pandas()
-    if len(out) == 0:  # no near-dups: keep the schema (empty to_pandas drops it)
-        return pa.table(
-            {
-                "vec_id_a": pa.array([], type=pa.int64()),
-                "vec_id_b": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-            }
+
+def _pairs_empty() -> pa.Table:
+    return pa.table(
+        {
+            "vec_id_a": pa.array([], type=pa.int64()),
+            "vec_id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def embedding_near_dups(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, block_rows: int = 16384
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs, EXACT, blocked all-pairs.
+
+    The normalized blocks live in the object store (spillable); the pipeline
+    streams over block-pair indices with backpressure, so peak worker memory
+    is two blocks + one tile, and driver memory is refs + matches."""
+    n = embeddings.count()
+    nblocks = max(1, -(-n // block_rows))
+    blocks = (
+        embeddings.repartition(nblocks)
+        .map_batches(_normalize_block, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    blocks_ref = ray.put(blocks)
+    tiles = [{"i": i, "j": j} for i in range(len(blocks)) for j in range(i, len(blocks))]
+    out = (
+        ray.data.from_items(tiles)
+        .map_batches(
+            _TilePairs,
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=actor_pool(),
+            fn_constructor_kwargs={"blocks_ref": blocks_ref, "threshold": threshold},
         )
+        .to_pandas()  # matches only
+    )
+    if len(out) == 0:
+        return _pairs_empty()
     out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-class IVFIndex:
-    """IVF-flat over unit vectors.  Centroids from a seeded sample (k-means,
-    few iterations, deterministic); lists built with one pass + groupby."""
+# ---------------------------------------------------------------------------
+# IVF-flat, disk-backed
+# ---------------------------------------------------------------------------
 
-    def __init__(self, centroids: np.ndarray, lists: dict[int, tuple[np.ndarray, np.ndarray]]):
-        self.centroids = centroids  # (nlist, dim), unit rows
-        self.lists = lists  # cluster -> (vec_ids, unit matrix)
+
+def _kmeans_centroids(
+    embeddings: ray.data.Dataset, nlist: int, iters: int, seed: int, sample_rows: int = 4096
+) -> np.ndarray:
+    """Deterministic seeded k-means over a bounded sample (spherical)."""
+    n = embeddings.count()
+    sample = embeddings if n <= sample_rows else embeddings.random_sample(sample_rows / n, seed=seed)
+    parts = [
+        _emb_matrix(b)[1]
+        for b in sample.iter_batches(batch_format="pyarrow", batch_size=sample_rows)
+    ]
+    mat = _unit_rows(np.concatenate(parts, axis=0))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = mat[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _unit_rows(cent)
+    return cent
+
+
+class IVFIndex:
+    """IVF-flat over unit vectors, lists on disk.
+
+    Layout: ``index_dir/centroids.npy``, ``index_dir/ivf.json`` (manifest:
+    nlist, dim, counts per cluster), ``index_dir/lists/cluster=NNN/*.parquet``
+    (vec_id + unit embedding).  Search reads only the probed partitions —
+    at cluster scale each probe is a selective parquet read, and a query
+    touches nprobe/nlist of the data."""
+
+    def __init__(self, index_dir: str, cache_clusters: int = 8):
+        self.index_dir = index_dir
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        with open(os.path.join(index_dir, "ivf.json")) as f:
+            self.meta = json.load(f)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_cap = cache_clusters
 
     @classmethod
-    def build(cls, embeddings: ray.data.Dataset, nlist: int = 16, iters: int = 5, seed: int = 42):
-        n = embeddings.count()
-        sample = embeddings if n <= 4096 else embeddings.random_sample(4096 / n, seed=seed)
-        ids, mat = _emb_matrix(
-            pa.concat_tables(sample.iter_batches(batch_format="pyarrow", batch_size=4096))
-        )
-        mat = _unit_rows(mat)
-        rng = np.random.default_rng(seed)
-        cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(mat @ cent.T, axis=1)
-            for c in range(len(cent)):
-                sel = mat[assign == c]
-                if len(sel):
-                    cent[c] = sel.mean(axis=0)
-            cent = _unit_rows(cent)
+    def build(
+        cls,
+        embeddings: ray.data.Dataset,
+        index_dir: str,
+        nlist: int = 16,
+        iters: int = 5,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.makedirs(index_dir, exist_ok=True)
+        cent = _kmeans_centroids(embeddings, nlist, iters, seed)
         cent_ref = ray.put(cent)
 
         def assign_batch(batch: pa.Table) -> pa.Table:
             cm = ray.get(cent_ref)
-            bids, bmat = _emb_matrix(batch)
-            bmat = _unit_rows(bmat)
+            t = _normalize_block(batch)
+            _, bmat = _emb_matrix(t)
             cluster = np.argmax(bmat @ cm.T, axis=1).astype(np.int32)
-            return pa.table(
-                {
-                    "vec_id": pa.array(bids, type=pa.int64()),
-                    "cluster": pa.array(cluster, type=pa.int32()),
-                    "embedding": batch["embedding"],
-                }
-            )
+            return t.append_column("cluster", pa.array(cluster, type=pa.int32()))
 
-        assigned = embeddings.map_batches(assign_batch, batch_format="pyarrow").to_arrow_refs()
-        full = pa.concat_tables(ray.get(assigned))
-        lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        ids_all = full["vec_id"].to_numpy()
-        cl = full["cluster"].to_numpy()
-        flat = full["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        dim = len(flat) // len(ids_all)
-        m = _unit_rows(flat.reshape(len(ids_all), dim))
-        for c in np.unique(cl):
-            sel = cl == c
-            lists[int(c)] = (ids_all[sel], m[sel])
-        return cls(cent, lists)
+        # streaming partitioned write: lists land as cluster=NNN/ parquet
+        # directories straight from the assign stage — the driver never sees
+        # a vector
+        embeddings.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "lists"), partition_cols=["cluster"]
+        )
+        counts: dict[str, int] = {}
+        lists_dir = os.path.join(index_dir, "lists")
+        for d in sorted(os.listdir(lists_dir)):
+            if d.startswith("cluster="):
+                c = int(d.split("=")[1])
+                counts[str(c)] = pads.dataset(os.path.join(lists_dir, d)).count_rows()
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        with open(os.path.join(index_dir, "ivf.json"), "w") as f:
+            json.dump({"nlist": int(len(cent)), "dim": int(cent.shape[1]), "counts": counts}, f)
+        return cls(index_dir)
+
+    def _load_cluster(self, c: int) -> tuple[np.ndarray, np.ndarray] | None:
+        if c in self._cache:
+            return self._cache[c]
+        part = os.path.join(self.index_dir, "lists", f"cluster={c}")
+        if not os.path.isdir(part):
+            return None
+        t = pads.dataset(part).to_table(columns=["vec_id", "embedding"])
+        got = _emb_matrix(t.combine_chunks())
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[c] = got
+        return got
 
     def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4):
         q = np.asarray(query, dtype=np.float64)
@@ -199,9 +316,10 @@ class IVFIndex:
         order = np.argsort(-(self.centroids @ q))[:nprobe]
         ids_parts, score_parts = [], []
         for c in order:
-            if int(c) not in self.lists:
+            got = self._load_cluster(int(c))
+            if got is None:
                 continue
-            vids, m = self.lists[int(c)]
+            vids, m = got
             ids_parts.append(vids)
             score_parts.append(m @ q)
         if not ids_parts:
@@ -210,3 +328,71 @@ class IVFIndex:
         scores = np.concatenate(score_parts)
         top = np.lexsort((ids, -scores))[:k]
         return ids[top], scores[top]
+
+
+def knn_ivf_cosine(
+    index: IVFIndex, queries: dict[int, np.ndarray], k: int = 10, nprobe: int = 4
+) -> pa.Table:
+    """Batch IVF search → (query_id, vec_id, score rounded 1e-6), sorted.
+    With nprobe = nlist this is exact (every list scanned) and matches the
+    brute-force oracle; smaller nprobe trades recall for a nprobe/nlist scan
+    fraction (recall asserted in pytest)."""
+    rows = []
+    for qid in sorted(queries):
+        ids, scores = index.search(np.asarray(queries[qid], dtype=np.float64), k=k, nprobe=nprobe)
+        for v, s in zip(ids, scores):
+            rows.append((int(qid), int(v), round(float(s), 6)))
+    rows.sort(key=lambda t: (t[0], -t[2], t[1]))
+    return pa.table(
+        {
+            "query_id": pa.array([a for a, _, _ in rows], type=pa.int64()),
+            "vec_id": pa.array([b for _, b, _ in rows], type=pa.int64()),
+            "score": pa.array([c for _, _, c in rows], type=pa.float64()),
+        }
+    )
+
+
+def ivf_near_dups(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, nlist: int = 16, seed: int = 42
+) -> pa.Table:
+    """APPROXIMATE near-dup pairs via IVF-bucketed blocking: vectors are
+    assigned to their nearest centroid, pairs are emitted within each
+    cluster only (groupby → vectorized all-pairs per cluster).  Scan cost
+    ~O(N²/nlist); cross-cluster near-dups are missed by construction (the
+    exact path is :func:`embedding_near_dups`).  Same emit contract."""
+    cent = _kmeans_centroids(embeddings, nlist, iters=5, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        t = _normalize_block(batch)
+        _, bmat = _emb_matrix(t)
+        cluster = np.argmax(bmat @ cm.T, axis=1).astype(np.int32)
+        return t.append_column("cluster", pa.array(cluster, type=pa.int32()))
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(g.select(["vec_id", "embedding"]).combine_chunks())
+        sims = m @ m.T
+        bi, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(bi) == 0:
+            return _pairs_empty()
+        a = np.minimum(ids[bi], ids[bj])
+        b = np.maximum(ids[bi], ids[bj])
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a, type=pa.int64()),
+                "vec_id_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(np.round(sims[bi, bj], 6), type=pa.float64()),
+            }
+        )
+
+    out = (
+        embeddings.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _pairs_empty()
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -37,35 +37,61 @@ STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
 _WS_RE = re.compile(r"\s+")
 
 
+def _token_count_re(word: str) -> re.Pattern:
+    """Counts whitespace-delimited occurrences of ``word`` — exactly the
+    ``w in text.split()`` membership count, without materializing the split."""
+    return re.compile(rf"(?<!\S){re.escape(word)}(?!\S)")
+
+
+_LANG_RES: list[tuple[str, list[re.Pattern]]] = [
+    (lang, [_token_count_re(m) for m in markers]) for lang, markers in LANG_MARKERS
+]
+_STOP_RES: list[re.Pattern] = [_token_count_re(w) for w in STOPWORDS]
+
+
 def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    words = batch["text"].str.split()
-    counts = {
-        lang: words.map(lambda ws, mk=set(markers): sum(w in mk for w in ws))
-        for lang, markers in LANG_MARKERS
-    }
-    pred = pd.Series("und", index=batch.index)
-    best = pd.Series(0, index=batch.index)
-    for lang, _ in LANG_MARKERS:  # priority order: strictly-greater wins
-        better = counts[lang] > best
-        pred = pred.where(~better, lang)
-        best = best.where(~better, counts[lang])
-    return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+    """Marker-word voting, vectorized: one ``str.count`` kernel per marker
+    (C regex over the column) instead of a per-row Python membership loop."""
+    text = batch["text"]
+    pred = np.full(len(batch), "und", dtype=object)
+    best = np.zeros(len(batch), dtype=np.int64)
+    for lang, pats in _LANG_RES:  # priority order: strictly-greater wins
+        c = np.zeros(len(batch), dtype=np.int64)
+        for p in pats:
+            c += text.str.count(p).to_numpy(dtype=np.int64)
+        better = c > best
+        pred[better] = lang
+        best = np.maximum(best, c)
+    return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pd.Series(pred, index=batch.index)})
 
 
 def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    words = batch["text"].str.split()
+    """Quality ratios from vectorized string kernels:
+
+    * n_words / distinct-word count — one explode + C-level groupby nunique;
+    * stopword count — per-stopword ``str.count`` kernels;
+    * mean word length — (chars − whitespace chars) / n_words, which equals
+      the summed split-word lengths exactly.
+    """
+    text = batch["text"]
+    words = text.str.split()
     n_words = words.str.len().fillna(0).astype("int64")
-    stop = set(STOPWORDS)
-    stop_ratio = words.map(lambda ws: sum(w in stop for w in ws)) / n_words.clip(lower=1)
-    distinct_ratio = words.map(lambda ws: len(set(ws))) / n_words.clip(lower=1)
-    mean_word_len = words.map(lambda ws: sum(len(w) for w in ws)) / n_words.clip(lower=1)
+    denom = n_words.clip(lower=1)
+    stop_count = np.zeros(len(batch), dtype=np.int64)
+    for p in _STOP_RES:
+        stop_count += text.str.count(p).to_numpy(dtype=np.int64)
+    exploded = words.explode().dropna()
+    nunique = exploded.groupby(level=0).nunique()
+    distinct = pd.Series(0, index=batch.index, dtype="int64")
+    distinct.loc[nunique.index] = nunique
+    word_chars = text.str.len() - text.str.count(r"\s")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_words": n_words,
-            "stop_ratio": stop_ratio.round(6),
-            "distinct_ratio": distinct_ratio.round(6),
-            "mean_word_len": mean_word_len.round(6),
+            "stop_ratio": (stop_count / denom).round(6),
+            "distinct_ratio": (distinct / denom).round(6),
+            "mean_word_len": (word_chars / denom).round(6),
         }
     )
 

@@ -92,9 +92,8 @@ def test_knn_brute_vs_numpy(ray_session):
         assert got[0] == qid  # self is nearest
 
 
-def test_ivf_recall(ray_session):
-    rng = np.random.default_rng(4)
-    n, dim = 500, 16
+def _rand_emb(n: int, dim: int, seed: int) -> tuple[np.ndarray, ray.data.Dataset]:
+    rng = np.random.default_rng(seed)
     mat = rng.normal(size=(n, dim)).astype(np.float32)
     emb = ray.data.from_arrow(
         pa.table(
@@ -104,7 +103,19 @@ def test_ivf_recall(ray_session):
             }
         )
     )
-    index = knn.IVFIndex.build(emb, nlist=8)
+    return mat, emb
+
+
+def test_ivf_recall_and_disk_layout(ray_session, tmp_path):
+    n, dim = 500, 16
+    mat, emb = _rand_emb(n, dim, 4)
+    index = knn.IVFIndex.build(emb, str(tmp_path / "ivf"), nlist=8)
+    # lists live on disk as cluster partitions, not in driver memory
+    import os
+
+    parts = [d for d in os.listdir(tmp_path / "ivf" / "lists") if d.startswith("cluster=")]
+    assert len(parts) >= 2
+    assert sum(int(c) for c in index.meta["counts"].values()) == n
     unit = mat.astype(np.float64)
     unit /= np.linalg.norm(unit, axis=1, keepdims=True)
     hits = total = 0
@@ -114,6 +125,55 @@ def test_ivf_recall(ray_session):
         hits += len(exact & set(ids.tolist()))
         total += 10
     assert hits / total >= 0.7, f"IVF recall too low: {hits / total}"
+    # full probe == exact brute force
+    reloaded = knn.IVFIndex(str(tmp_path / "ivf"))
+    for qid in range(5):
+        ids, _ = reloaded.search(mat[qid].astype(np.float64), k=10, nprobe=8)
+        exact = np.lexsort((np.arange(n), -(unit @ unit[qid])))[:10]
+        assert list(ids) == list(exact)
+
+
+def test_embedding_near_dups_blocked_exact(ray_session):
+    n, dim = 300, 8
+    mat, _ = _rand_emb(n, dim, 7)
+    # plant near-dup pairs
+    mat[250] = mat[10] + 0.001
+    mat[251] = mat[20] * 2.0  # scaled copy: cosine 1.0
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = knn.embedding_near_dups(emb, threshold=0.99, block_rows=64).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
+    assert (10, 250) in pairs and (20, 251) in pairs
+    # exact ground truth: same pairs as a full numpy sweep
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    bi, bj = np.nonzero(np.triu(sims >= 0.99, k=1))
+    assert pairs == set(zip(bi.tolist(), bj.tolist()))
+
+
+def test_ivf_near_dups_planted(ray_session):
+    n, dim = 300, 8
+    mat, _ = _rand_emb(n, dim, 9)
+    mat[250] = mat[10] + 0.0005
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = knn.ivf_near_dups(emb, threshold=0.99, nlist=8).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
+    # a near-identical pair lands in the same cluster by construction
+    assert (10, 250) in pairs
 
 
 def test_lang_id_deterministic(ray_session):
@@ -141,14 +201,35 @@ def test_winnow_fingerprint_robust():
     assert textstats.winnow_fingerprint("ab") == []
 
 
-def test_multimodal_stub(ray_session):
+def test_multimodal_ppm_real_decode(ray_session):
     t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "text": pa.array(["abc", "x" * 100])})
     payload = multimodal.attach_payload_batch(t)
     assert payload["payload"].type == pa.large_binary()
-    meta = multimodal.ImageDecodeStage(fake=True)(payload)
-    assert meta["n_bytes"].to_pylist() == [3, 100]
+    meta = multimodal.ImageDecodeStage()(payload)  # real P6 parse
+    # doc 0: 3 runes -> w=4, h=4, frames=4; payload size = header + 4*4*3
+    assert meta["width"].to_pylist() == [4, 100 % 64 + 1]
+    assert meta["height"].to_pylist() == [4, 100 % 48 + 1]
+    assert meta["n_frames"].to_pylist() == [4, 100 % 30 + 1]
+    raw = payload["payload"][0].as_py()
+    assert meta["n_bytes"][0].as_py() == len(raw) and raw.startswith(b"P6\n# frames=4\n4 4\n255\n")
+    # parser is a real parser: arbitrary valid P6 with odd whitespace/comments
+    w, h, mx, f = multimodal._parse_ppm(b"P6\n# other\n# frames=7\n  12\t34 255 data")
+    assert (w, h, mx, f) == (12, 34, 255, 7)
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecodeStage(fake=False)(payload)
+        multimodal.ImageDecodeStage(codec="jpeg")  # external-lib stub
     frames = multimodal.FrameSampleStage(stride=10)(payload)
-    # doc 1: 100 bytes -> 100%30+1=11 frames -> sampled at 0, 10
+    # doc 1: 100 runes -> 100%30+1=11 frames -> sampled at 0, 10
     assert frames.to_pydict()["frame_idx"] == [0, 0, 10]
+
+
+def test_multimodal_wav_real_decode(ray_session):
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "text": pa.array(["abc", "y" * 77])})
+    payload = multimodal.attach_audio_batch(t)
+    meta = multimodal.AudioDecodeStage()(payload)
+    assert meta["sample_rate"].to_pylist() == [8000 + (3 % 8) * 1000, 8000 + (77 % 8) * 1000]
+    assert meta["n_samples"].to_pylist() == [4, 78]
+    assert meta["channels"].to_pylist() == [1, 1]
+    raw = payload["payload"][0].as_py()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    r, c, b, s = multimodal._parse_wav(raw)
+    assert (r, c, b, s) == (11000, 1, 16, 4)

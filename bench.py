@@ -252,6 +252,18 @@ def scaling() -> None:
     lo_cpus = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("BENCH_SCALE_HI", "8"))
     trials = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
+    # HARD cpu isolation via sched affinity: `taskset -c 0-(n-1)` binds the
+    # whole process tree (driver, raylet, workers, object store) to exactly n
+    # CPUs, so runtime threads can't leak past the logical slot count and
+    # inflate the low-cpu baseline (the r1 confound: a "2-cpu" session
+    # consumed 2.14 measured cores).  /sys/fs/cgroup here is a tmpfs mock
+    # (no controllers), so cpu.max quotas are NOT available — affinity is
+    # the strongest isolation this sandbox offers.
+    import shutil as _shutil
+
+    use_taskset = _shutil.which("taskset") is not None and os.environ.get(
+        "BENCH_SCALE_NO_AFFINITY"
+    ) is None
     results = {}
     # co-tenant noise swings host-delivered cores ±2x run to run; best-of-N
     # throughput per level is the standard de-noising for a shared host
@@ -264,8 +276,11 @@ def scaling() -> None:
             BENCH_REPLICATE=os.environ.get("BENCH_REPLICATE", "120"),
             BENCH_SKIP_OPS="1",
         )
+        argv = [sys.executable, os.path.abspath(__file__)]
+        if use_taskset:
+            argv = ["taskset", "-c", f"0-{ncpu - 1}", *argv]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            argv,
             env=env,
             capture_output=True,
             text=True,
@@ -298,6 +313,7 @@ def scaling() -> None:
                 f"cores_used_{hi_cpus}": c_hi,
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_capacity_normalized": round(eff_norm, 3) if eff_norm else None,
+                "isolation": "sched_affinity" if use_taskset else "none",
             }
         )
     )

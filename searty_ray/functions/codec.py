@@ -70,26 +70,29 @@ def varint_sizes(values: np.ndarray) -> np.ndarray:
 def varint_decode(buf: np.ndarray | bytes | memoryview) -> np.ndarray:
     """Decode a concatenated varint byte stream into a uint64 array.
 
-    Vectorized: finds value boundaries from the continuation bit, then
-    accumulates bytes in O(max_bytes) masked passes.  (A reduceat-based
+    Vectorized, skew-aware: the low 7 bits of every value come from ONE bulk
+    gather of the terminal bytes; each higher byte position is then OR-ed in
+    for only the values long enough to have one.  Position-gap streams are
+    ~90% single-byte, so the common case is a single gather (plus the
+    all-single-byte fast path, which is a bare cast).  (A reduceat-based
     single-pass variant is ~25% faster warm but allocates byte-sized int64
-    temporaries — 2.6× slower cold on fault-bound hosts, so the masked loop
-    wins for query actors whose first lookups dominate.)
+    temporaries — 2.6× slower cold on fault-bound hosts.)
     """
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
-    is_end = (b & 0x80) == 0
-    ends = np.nonzero(is_end)[0]
+    cont = b & np.uint8(0x80)
+    if not cont.any():  # every value is one byte: the buffer IS the values
+        return b.astype(np.uint64)
+    ends = np.nonzero(cont == 0)[0]
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    vals = np.zeros(len(ends), dtype=np.uint64)
-    for k in range(int(lengths.max())):
-        mask = lengths > k
-        pos = starts[mask] + k
-        vals[mask] = (vals[mask] << _U7) | (b[pos].astype(np.uint64) & _U0X7F)
+    lengths = ends - starts
+    vals = b[ends].astype(np.uint64)  # terminal bytes carry no high bit
+    for k in range(1, int(lengths.max()) + 1):
+        sel = np.nonzero(lengths >= k)[0]
+        vals[sel] |= (b[ends[sel] - k].astype(np.uint64) & _U0X7F) << np.uint64(7 * k)
     return vals
 
 

@@ -77,6 +77,7 @@ def build_index(
     id_mode: str = "sort",
     extract_symbols: bool = True,
     tokenizer: str = "trigram",  # "trigram" | "trigram+symbols" (registry, SURVEY.md §2.10)
+    salt: int = 0,  # >1 enables the two-phase salted merge (SURVEY.md §2.5 A2)
 ) -> Manifest:
     t0 = time.monotonic()
     _prepare_dirs(index_dir, resume)
@@ -161,7 +162,7 @@ def build_index(
             row_group_size=4096,
             # blobs are already varbyte-compressed — snappy re-compression
             # costs CPU per reducer for ~no size win
-            compression={"meta_blob": "NONE", "pos_blob": "NONE"},
+            compression={"meta_blob": "NONE", "pos_len_blob": "NONE", "pos_blob": "NONE"},
         )
         os.replace(tmp, out)
         wall = time.monotonic() - g0
@@ -188,17 +189,48 @@ def build_index(
     # 128MB-target read coalesces small part files into ~2 tasks and
     # strangles the map side of the shuffle.
     reader_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    runs = (
-        ray.data.read_parquet(
-            docs_dir, columns=["doc_id", "content"], override_num_blocks=reader_blocks
-        )
-        .map_batches(
-            TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
-            batch_format="pyarrow",
-            batch_size=TOKENIZE_BATCH_SIZE,
-        )
-        .map_batches(add_pgrp, batch_format="pyarrow")
+    runs = ray.data.read_parquet(
+        docs_dir, columns=["doc_id", "content"], override_num_blocks=reader_blocks
+    ).map_batches(
+        TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
+        batch_format="pyarrow",
+        batch_size=TOKENIZE_BATCH_SIZE,
     )
+
+    if salt > 1:
+        # Two-phase salted merge (SURVEY.md §2.5 A2; the pathological
+        # one-term-one-chunk case): phase 1 spreads a (term, chunk)'s MANY
+        # small runs across `salt` reducers keyed by a content hash of each
+        # run's first doc id, each combining its share into ONE partial run;
+        # phase 2 (the unchanged encode) k-way-merges the ≤ salt combined
+        # runs.  Output bytes are identical to the unsalted build (the
+        # encode is a pure function of the entry multiset; pinned by pytest).
+        from ..stages.encode_stage import combine_runs
+
+        def add_sgrp(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import mix64
+
+            pgrp = partition_group(
+                batch["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                batch["chunk"].to_numpy(zero_copy_only=False),
+                num_parts,
+                sub_splits,
+            ).astype(np.int64)
+            first = _first_varints(batch.column("doc_blob").combine_chunks())
+            s = (mix64(first) % np.uint64(salt)).astype(np.int64)
+            return batch.append_column(
+                "sgrp", pa.array((pgrp * salt + s).astype(np.int32), type=pa.int32())
+            )
+
+        runs = (
+            runs.map_batches(add_sgrp, batch_format="pyarrow")
+            .groupby("sgrp")
+            .map_groups(
+                lambda g: combine_runs(g.drop_columns(["sgrp"])), batch_format="pyarrow"
+            )
+        )
+
+    runs = runs.map_batches(add_pgrp, batch_format="pyarrow")
 
     # The groupby sort is a barrier anyway; materializing the runs first
     # keeps the tokenize map stage at full parallelism (the streaming
@@ -237,6 +269,29 @@ def build_index(
     )
     manifest.save(index_dir)
     return manifest
+
+
+def _first_varints(col: pa.Array) -> np.ndarray:
+    """First varint value of each binary blob (vectorized masked passes) —
+    for doc_blob runs this is the run's absolute first doc id."""
+    from ..stages.encode_stage import _binary_offsets, _binary_values
+
+    off = _binary_offsets(col)
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    n = len(col)
+    vals = np.zeros(n, dtype=np.uint64)
+    done = off[1:] == off[:-1]  # empty blobs stay 0
+    starts = off[:-1].copy()
+    for k in range(10):
+        act = ~done
+        if not act.any():
+            break
+        b = buf[starts[act] + k]
+        vals[act] = (vals[act] << np.uint64(7)) | (b.astype(np.uint64) & np.uint64(0x7F))
+        fin = (b & 0x80) == 0
+        idx = np.nonzero(act)[0]
+        done[idx[fin]] = True
+    return vals
 
 
 def _prepare_dirs(index_dir: str, resume: bool) -> None:

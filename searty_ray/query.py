@@ -47,31 +47,42 @@ class TermPostings:
     tfs: np.ndarray
     block_last_doc: np.ndarray
     block_core: np.ndarray
-    pos_blobs: list[tuple[bytes, np.ndarray]] | None = None  # (blob, chunk tfs)
+    pos_blob: np.ndarray | None = None  # concatenated varbyte stream (uint8)
+    pos_lens: np.ndarray | None = None  # per-doc byte lengths within pos_blob
 
     _positions: np.ndarray | None = None
-    _base_keys: np.ndarray | None = None
 
     @property
     def positions(self) -> np.ndarray:
-        """Flattened per-doc positions (lengths = tfs); decoded on demand."""
+        """Flattened per-doc positions (lengths = tfs); decoded on demand.
+        Chunk streams concatenate cleanly: position gaps reset per doc and
+        ``tfs`` carries every doc boundary."""
         if self._positions is None:
-            if not self.pos_blobs:
+            if self.pos_blob is None or len(self.pos_blob) == 0:
                 self._positions = np.empty(0, dtype=np.int32)
             else:
-                self._positions = np.concatenate(
-                    [decode_pos_blob(blob, t) for blob, t in self.pos_blobs]
-                )
+                self._positions = decode_pos_blob(self.pos_blob, self.tfs)
         return self._positions
 
-    def base_keys(self) -> np.ndarray:
-        """Ascending (doc << 33 | pos) keys of every occurrence (cached):
-        the phrase intersect operates on shifted views of these."""
-        if self._base_keys is None:
-            self._base_keys = (
-                np.repeat(self.doc_ids, self.tfs) * _POS_SPAN + self.positions.astype(np.int64)
-            )
-        return self._base_keys
+    def positions_for(self, idx: np.ndarray) -> np.ndarray:
+        """Positions of the docs at ``idx`` (indices into ``doc_ids``),
+        concatenated in idx order — decoding ONLY those docs' byte slices
+        (the per-doc byte lengths make the sub-stream addressable).  Falls
+        back to slicing the cached full decode when available, and decodes
+        everything once if the subset is most of the list anyway."""
+        tf_sel = self.tfs[idx].astype(np.int64)
+        if self._positions is None and (
+            self.pos_lens is None or len(idx) * 2 >= len(self.doc_ids)
+        ):
+            _ = self.positions  # full decode (cached)
+        if self._positions is not None:
+            starts = (np.cumsum(self.tfs, dtype=np.int64) - self.tfs)[idx]
+            return self._positions[_expand_ranges(starts, tf_sel)]
+        byte_off = np.cumsum(self.pos_lens, dtype=np.int64) - self.pos_lens
+        b_starts = byte_off[idx]
+        b_lens = self.pos_lens[idx].astype(np.int64)
+        sub = self.pos_blob[_expand_ranges(b_starts, b_lens)]
+        return decode_pos_blob(sub, tf_sel)
 
     def pos_slices(self) -> np.ndarray:
         return np.cumsum(self.tfs) - self.tfs
@@ -80,8 +91,16 @@ class TermPostings:
         i = int(np.searchsorted(self.doc_ids, doc_id))
         if i >= len(self.doc_ids) or self.doc_ids[i] != doc_id:
             return np.empty(0, dtype=np.int32)
-        s = int(self.pos_slices()[i])
-        return self.positions[s : s + int(self.tfs[i])]
+        return self.positions_for(np.array([i], dtype=np.int64))
+
+
+def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one index array (no Python loop)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(starts, lens)
 
 
 class IndexReader:
@@ -185,8 +204,7 @@ class IndexReader:
             p = term_part(np.uint64(key), m.num_parts)
             by_part.setdefault(int(p), set()).add(key)
 
-        rows: dict[int, list[tuple]] = {k: [] for k in missing}
-        span = self.manifest.chunk_span
+        found: dict[int, TermPostings] = {}
         for part, keys in sorted(by_part.items()):
             part_dir = os.path.join(self.seg_root, f"part={part:05d}")
             if not os.path.isdir(part_dir):
@@ -195,64 +213,103 @@ class IndexReader:
             # row-group statistics on the sorted term_key column prune I/O
             t = pads.dataset(part_dir).to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
-                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
+                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_len_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
             ).combine_chunks()
             if len(t) == 0:
                 continue
-            tk = t["term_key"].to_numpy(zero_copy_only=False)
-            chunk = t["chunk"].to_numpy(zero_copy_only=False)
-            df_col = t["df"].to_numpy(zero_copy_only=False)
-            cf_col = t["cf"].to_numpy(zero_copy_only=False)
-            # bulk meta decode: row blobs are adjacent → ONE varint pass for
-            # the whole read; per-row slices recovered from [1+2·df] counts
-            meta_col = t.column("meta_blob").chunk(0)
-            meta_vals = varint_decode(_binary_values(meta_col)).astype(np.int64)
-            row_nvals = 1 + 2 * df_col
-            row_off = np.concatenate(([0], np.cumsum(row_nvals)))
-            pos_col = t.column("pos_blob").chunk(0)
-            pos_off = _binary_offsets(pos_col)
-            pos_buf = _binary_values(pos_col)
-            bl_col = t.column("block_last_doc").chunk(0)
-            bc_col = t.column("block_max_score").chunk(0)
-            for i in range(len(t)):
-                o, df_i = int(row_off[i]), int(df_col[i])
-                gaps = meta_vals[o + 1 : o + 1 + df_i]
-                d = np.cumsum(gaps) + int(chunk[i]) * span
-                tf = meta_vals[o + 1 + df_i : o + 1 + 2 * df_i].astype(np.int32)
-                blob = bytes(pos_buf[int(pos_off[i]) : int(pos_off[i + 1])])
-                rows[int(tk[i])].append(
-                    (
-                        int(chunk[i]),
-                        int(df_i),
-                        int(cf_col[i]),
-                        d,
-                        tf,
-                        blob,
-                        np.asarray(bl_col[i].as_py(), dtype=np.int64),
-                        np.asarray(bc_col[i].as_py(), dtype=np.float64),
-                    )
-                )
+            found.update(self._decode_partition(t))
 
         for key in missing:
-            out[key] = tp = self._merge_chunks(rows[key])
+            out[key] = tp = found.get(key)
             self._cache[key] = tp
             if len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
         return out
 
-    def _merge_chunks(self, chunk_rows: list[tuple]) -> TermPostings | None:
-        if not chunk_rows:
-            return None
-        chunk_rows.sort(key=lambda r: r[0])
-        return TermPostings(
-            df=sum(r[1] for r in chunk_rows),
-            cf=sum(r[2] for r in chunk_rows),
-            doc_ids=np.concatenate([r[3] for r in chunk_rows]),
-            tfs=np.concatenate([r[4] for r in chunk_rows]),
-            block_last_doc=np.concatenate([r[6] for r in chunk_rows]),
-            block_core=np.concatenate([r[7] for r in chunk_rows]),
-            pos_blobs=[(r[5], r[4]) for r in chunk_rows],
-        )
+    def _decode_partition(self, t: pa.Table) -> dict[int, TermPostings]:
+        """Columnar decode of one filtered partition read → TermPostings.
+
+        All O(df)/O(bytes) work is vectorized over the whole read: one varint
+        pass for every meta blob, one segmented cumsum for every doc-id
+        stream, zero-copy views + one per-term memcpy for position bytes and
+        block metadata.  The only per-row Python is boundary slicing."""
+        from .functions.codec import segmented_undelta
+
+        span = self.manifest.chunk_span
+        tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        chunk = t["chunk"].to_numpy(zero_copy_only=False)
+        df_col = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cf_col = t["cf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((chunk, tk))
+        tk_s, chunk_s, df_s, cf_s = tk[order], chunk[order], df_col[order], cf_col[order]
+
+        # bulk meta decode: row blobs are adjacent → ONE varint pass for the
+        # whole read; per-entry gather indices rebuilt from [1+2·df] counts
+        meta_col = t.column("meta_blob").chunk(0)
+        meta_vals = varint_decode(_binary_values(meta_col)).astype(np.int64)
+        row_off = np.concatenate(([0], np.cumsum(1 + 2 * df_col)))[:-1]
+        row_off_s = row_off[order]
+        E = int(df_s.sum())
+        rank = np.arange(E, dtype=np.int64) - np.repeat(np.cumsum(df_s) - df_s, df_s)
+        gaps = meta_vals[np.repeat(row_off_s + 1, df_s) + rank]
+        tfs_all = meta_vals[np.repeat(row_off_s + 1 + df_s, df_s) + rank].astype(np.int32)
+        docs_all = segmented_undelta(gaps, df_s) + np.repeat(chunk_s * span, df_s)
+
+        pos_col = t.column("pos_blob").chunk(0)
+        pos_off = _binary_offsets(pos_col)
+        pos_buf = np.frombuffer(_binary_values(pos_col), dtype=np.uint8)
+        # per-doc position byte lengths: ONE varint pass for the whole read,
+        # entries land in the same sorted-entry coordinates as docs/tfs
+        pl_col = t.column("pos_len_blob").chunk(0)
+        pl_all = varint_decode(_binary_values(pl_col)).astype(np.int64)
+        pl_row_off = np.concatenate(([0], np.cumsum(df_col)))[:-1]
+        pos_lens_all = pl_all[np.repeat(pl_row_off[order], df_s) + rank]
+        bl_chunk = t.column("block_last_doc").chunk(0)
+        bl_off = np.asarray(bl_chunk.offsets)
+        bl_vals = bl_chunk.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        bc_chunk = t.column("block_max_score").chunk(0)
+        bc_vals = bc_chunk.values.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # term group boundaries over the sorted rows
+        new_t = np.empty(len(tk_s), dtype=bool)
+        new_t[0] = True
+        new_t[1:] = tk_s[1:] != tk_s[:-1]
+        g_start = np.nonzero(new_t)[0]
+        g_end = np.append(g_start[1:], len(tk_s))
+        e_start = np.concatenate(([0], np.cumsum(df_s)))
+
+        out: dict[int, TermPostings] = {}
+        for gs, ge in zip(g_start, g_end):
+            rows = order[gs:ge]  # original row indices, chunk-ascending
+            a, b = int(e_start[gs]), int(e_start[ge])
+            pos_blob = (
+                pos_buf[int(pos_off[rows[0]]) : int(pos_off[rows[0] + 1])]
+                if len(rows) == 1
+                else np.concatenate(
+                    [pos_buf[int(pos_off[r]) : int(pos_off[r + 1])] for r in rows]
+                )
+            )
+            blk_l = (
+                bl_vals[int(bl_off[rows[0]]) : int(bl_off[rows[0] + 1])]
+                if len(rows) == 1
+                else np.concatenate([bl_vals[int(bl_off[r]) : int(bl_off[r + 1])] for r in rows])
+            )
+            blk_c = (
+                bc_vals[int(bl_off[rows[0]]) : int(bl_off[rows[0] + 1])]
+                if len(rows) == 1
+                else np.concatenate([bc_vals[int(bl_off[r]) : int(bl_off[r + 1])] for r in rows])
+            )
+            out[int(tk_s[gs])] = TermPostings(
+                df=b - a,
+                cf=int(cf_s[gs:ge].sum()),
+                doc_ids=docs_all[a:b],
+                tfs=tfs_all[a:b],
+                block_last_doc=blk_l,
+                block_core=blk_c,
+                pos_blob=pos_blob,
+                pos_lens=pos_lens_all[a:b],
+            )
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +328,13 @@ class PhraseSearcher:
         self.reader = reader
 
     def base_positions(self, query: str) -> tuple[np.ndarray, np.ndarray]:
-        """→ (doc_ids, base_positions) of every full-phrase match, doc-major."""
+        """→ (doc_ids, base_positions) of every full-phrase match, doc-major.
+
+        Two-level intersect: (1) doc-level AND over the term doc-id lists
+        (rarest-first searchsorted cascade, meta only — positions stay
+        compressed); (2) positions are decoded ONLY for the surviving
+        candidate docs (per-doc byte lengths make the sub-streams
+        addressable), then the (doc, pos) key cascade runs on those."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         keys, offsets = tokenize_query(query)
         if len(keys) == 0:
@@ -280,22 +343,33 @@ class PhraseSearcher:
         if any(plists[int(k)] is None for k in keys):
             return empty  # any missing term ⇒ nil results (phrase_searcher.go:219-221)
 
-        # one sorted (doc, base) key array per constraint; rarest-first
-        # intersection via searchsorted keeps cost ~ |rarest| · #constraints
-        # instead of a global sort of every term's postings.  Keys are
-        # already ascending: doc_ids asc, per-doc positions asc.
+        # (1) doc-level AND, rarest first
+        tps = sorted((plists[int(k)] for k in keys), key=lambda tp: len(tp.doc_ids))
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            if len(cand) == 0:
+                return empty
+            i = np.searchsorted(tp.doc_ids, cand)
+            i[i == len(tp.doc_ids)] = 0
+            cand = cand[tp.doc_ids[i] == cand]
+        if len(cand) == 0:
+            return empty
+
+        # (2) position constraints over candidate docs only
         constraints = []
         for k, offs in zip(keys, offsets):
             tp = plists[int(k)]
-            bk = tp.base_keys()
+            idx = np.searchsorted(tp.doc_ids, cand)
+            pos = tp.positions_for(idx).astype(np.int64)
+            tf_sel = tp.tfs[idx].astype(np.int64)
+            bk = np.repeat(cand, tf_sel) * _POS_SPAN + pos
             for off in offs:
                 if off == 0:
                     constraints.append(bk)
                 else:
-                    shifted = bk - int(off)
                     # drop occurrences whose pos < off (would wrap into the
                     # previous doc's key range)
-                    constraints.append(shifted[tp.positions >= off])
+                    constraints.append((bk - int(off))[pos >= off])
         constraints.sort(key=len)
         cur = constraints[0]
         for other in constraints[1:]:

@@ -71,6 +71,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("cf", pa.int64()),
         ("first_doc", pa.int64()),  # base for delta chain in meta_blob
         ("meta_blob", pa.large_binary()),  # varint [df, doc_gaps…, tfs…]
+        ("pos_len_blob", pa.large_binary()),  # varint per-doc position byte lengths
         ("pos_blob", pa.large_binary()),  # delta+varbyte positions, doc-major
         ("block_last_doc", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int32())),

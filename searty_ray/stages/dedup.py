@@ -272,11 +272,12 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
         MinHashStage, batch_format="pandas", concurrency=actor_pool(), batch_size=256
     )
     band_cols = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
+    # ONE shuffle (the bucket groupby).  A pair found by several bands is
+    # verified redundantly (≤ N_BANDS×, vectorized) — cheaper than a second
+    # all-to-all just to dedupe candidate ids; the small verified output is
+    # deduped on the driver.
     cand = (
-        bands.groupby(band_cols)
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+        bands.groupby(band_cols).map_groups(_bucket_pairs, batch_format="pandas")
     ).materialize()
     ids = sorted(
         set(cand.unique("doc_id_a")) | set(cand.unique("doc_id_b"))
@@ -292,7 +293,11 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
         concurrency=actor_pool(),
         fn_constructor_kwargs={"sh_ref": sh_ref, "threshold": threshold},
     ).to_pandas()  # verified near-dup pairs: the (small) final result
-    return verified.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return (
+        verified.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -401,16 +406,15 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
 
     out = (
         sigs.map_batches(melt, batch_format="pandas")
-        .groupby(["band", "value"])
+        .groupby(["band", "value"])  # the ONE shuffle
         .map_groups(_simhash_bucket_pairs, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
         .map_batches(lambda b: _hamming_verify(b, max_hamming), batch_format="pandas")
-        .to_pandas()  # verified pairs only
+        .to_pandas()  # verified pairs only; band-duplicates deduped here
     )
     return (
         out[["doc_id_a", "doc_id_b", "hamming"]]
         .astype({"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"})
+        .drop_duplicates(subset=["doc_id_a", "doc_id_b"])
         .sort_values(["doc_id_a", "doc_id_b"])
         .reset_index(drop=True)
     )

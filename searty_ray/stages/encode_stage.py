@@ -31,11 +31,13 @@ from ..functions.tokenize import unpack_terms
 from ..schema import BLOCK_SIZE, SEGMENT_SCHEMA
 
 
-def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -> pa.Table:
-    """Encode all runs of one partition → SEGMENT_SCHEMA table."""
-    if len(runs) == 0:
-        return SEGMENT_SCHEMA.empty_table()
+def _decode_and_sort_runs(runs: pa.Table):
+    """Decode a table of compressed runs into (term, chunk, doc)-sorted
+    entry arrays + the gathered compressed position stream.
 
+    → (st, sc, sd, stf, sbytes, pos_stream): terms, chunks, docs, tfs,
+    per-entry position byte counts (entry order), position bytes (entry
+    order, back-to-back)."""
     runs = runs.combine_chunks()
     run_term = runs["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
     run_chunk = runs["chunk"].to_numpy(zero_copy_only=False)
@@ -70,7 +72,6 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     sbytes = PB_raw[order]
     sstart = e_byte_start[order]
 
-    E = len(sd)
     # gather compressed position bytes into final order (expand-ranges)
     total_bytes = int(sbytes.sum())
     bends = np.cumsum(sbytes)
@@ -79,7 +80,61 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
         - np.repeat(bends - sbytes, sbytes)
         + np.repeat(sstart, sbytes)
     )
-    pos_stream = blob_buf[gidx]
+    return st, sc, sd, stf, sbytes, blob_buf[gidx]
+
+
+def combine_runs(runs: pa.Table) -> pa.Table:
+    """Phase-1 combiner of the salted two-phase merge (SURVEY.md §2.5 A2):
+    merge MANY small runs into ONE combined run per (term, chunk).
+
+    Output rows use the run schema, so phase 2 is the unchanged
+    ``encode_partition`` — its lexsort degenerates to a k-way merge of the
+    ≤ salt combined runs per (term, chunk), and the final bytes are
+    IDENTICAL to the unsalted build (the encode is a pure function of the
+    entry multiset; pinned by pytest)."""
+    if len(runs) == 0:
+        return runs
+    st, sc, sd, stf, sbytes, pos_stream = _decode_and_sort_runs(runs)
+    E = len(sd)
+    new_run = np.empty(E, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (st[1:] != st[:-1]) | (sc[1:] != sc[:-1])
+    run_starts = np.nonzero(new_run)[0]
+    run_counts = np.diff(np.append(run_starts, E))
+
+    dgap = np.empty(E, dtype=np.int64)
+    dgap[1:] = sd[1:] - sd[:-1]
+    dgap[run_starts] = sd[run_starts]  # first value absolute (run contract)
+
+    def _stream(values: np.ndarray) -> pa.Array:
+        sizes = varint_sizes(values)
+        data_ = varint_encode(values)
+        per_run = np.add.reduceat(sizes, run_starts)
+        offs = np.concatenate(([0], np.cumsum(per_run))).astype(np.int64)
+        return _binary_from(offs, data_)
+
+    run_byte_counts = np.add.reduceat(sbytes, run_starts)
+    byte_offsets = np.concatenate(([0], np.cumsum(run_byte_counts))).astype(np.int64)
+    return pa.table(
+        {
+            "term_key": pa.array(st[run_starts], type=pa.uint64()),
+            "chunk": pa.array(sc[run_starts], type=pa.int64()),
+            "n_docs": pa.array(run_counts.astype(np.int32), type=pa.int32()),
+            "doc_blob": _stream(dgap.astype(np.uint64)),
+            "tf_blob": _stream(stf.astype(np.uint64)),
+            "len_blob": _stream(sbytes.astype(np.uint64)),
+            "pos_blob": _binary_from(byte_offsets, pos_stream),
+        }
+    )
+
+
+def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -> pa.Table:
+    """Encode all runs of one partition → SEGMENT_SCHEMA table."""
+    if len(runs) == 0:
+        return SEGMENT_SCHEMA.empty_table()
+
+    st, sc, sd, stf, sbytes, pos_stream = _decode_and_sort_runs(runs)
+    E = len(sd)
 
     # group boundaries: (term, chunk)
     new_g = np.empty(E, dtype=bool)
@@ -115,6 +170,16 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
     pos_offsets = np.concatenate(([0], np.cumsum(pos_group_bytes))).astype(np.int64)
     pos_blob = _binary_from(pos_offsets, pos_stream)
 
+    # per-doc position byte lengths (varint stream per term): lets the query
+    # side decode positions for a SUBSET of docs (phrase candidates) without
+    # scanning the whole position stream
+    pl_sizes = varint_sizes(sbytes.astype(np.uint64))
+    pl_stream = varint_encode(sbytes.astype(np.uint64))
+    pl_offsets = np.concatenate(
+        ([0], np.cumsum(np.add.reduceat(pl_sizes, g_start)))
+    ).astype(np.int64)
+    pos_len_blob = _binary_from(pl_offsets, pl_stream)
+
     # ---- block-max metadata (BLOCK_SIZE docs per block) ----
     is_block_start = rank % BLOCK_SIZE == 0
     b_start = np.nonzero(is_block_start)[0]
@@ -142,6 +207,7 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
             "cf": pa.array(cf, type=pa.int64()),
             "first_doc": pa.array(first_doc, type=pa.int64()),
             "meta_blob": meta_blob,
+            "pos_len_blob": pos_len_blob,
             "pos_blob": pos_blob,
             "block_last_doc": pa.LargeListArray.from_arrays(blk_off, pa.array(blk_last_doc, type=pa.int64())),
             "block_max_tf": pa.LargeListArray.from_arrays(blk_off, pa.array(blk_max_tf.astype(np.int32), type=pa.int32())),

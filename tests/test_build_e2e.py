@@ -144,3 +144,53 @@ def test_build_deterministic_across_parallelism(fixture_corpus, tmp_path):
     b = pq.read_table(os.path.join(dirs[1], "segments"))
     order = [("term_key", "ascending"), ("chunk", "ascending")]
     assert a.sort_by(order).equals(b.sort_by(order))
+
+
+def test_salted_two_phase_merge_bytes_identical(fixture_corpus, tmp_path):
+    """SURVEY.md §2.5 A2 pathological case: a df≈N hot term confined to ONE
+    chunk.  With salt>1, phase 1 must spread that (term, chunk)'s runs over
+    >1 combiner (measured via the salt-group key), and the final segment
+    bytes must equal the unsalted build exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from searty_ray.functions.hashing import mix64, partition_group
+    from searty_ray.pipelines.build import build_index
+
+    # corpus where EVERY doc contains the trigram "zzz" and fits one chunk
+    rows = [
+        {
+            "repo": "hot",
+            "path": f"f{i:03d}.lisp",
+            "commit": f"c{i}",
+            "lang": "commonlisp",
+            "content": f"zzzz hot-{i} zzz common text {i}",
+        }
+        for i in range(64)
+    ]
+    t = pa.table(
+        {
+            k: pa.array([r[k] for r in rows],
+                        type=pa.large_string() if k == "content" else pa.string())
+            for k in ("repo", "path", "commit", "lang", "content")
+        }
+    )
+    dirs = {}
+    for salt in (0, 4):
+        d = str(tmp_path / f"ix_s{salt}")
+        ds = ray.data.from_arrow(t).repartition(8)  # many batches → many runs
+        build_index(ds, d, num_parts=4, chunk_span=1024, salt=salt)
+        dirs[salt] = d
+    a = pq.read_table(os.path.join(dirs[0], "segments"))
+    b = pq.read_table(os.path.join(dirs[4], "segments"))
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert a.sort_by(order).equals(b.sort_by(order))
+    # the hot term lives in exactly one chunk (df == n_docs, chunk 0)
+    hot = b.filter(pa.compute.field("term") == "zzz")
+    assert hot.num_rows == 1 and hot["df"][0].as_py() == 64
+    # >1 phase-1 reducer participates: runs of (zzz, chunk 0) from different
+    # batches hash (via their first doc) to >1 salt group
+    first_docs = np.arange(0, 64, 8, dtype=np.uint64)  # one run per 8-doc block
+    salts = set((mix64(first_docs) % np.uint64(4)).tolist())
+    assert len(salts) > 1

@@ -137,7 +137,14 @@ KIND_SYMBOL = 1
 
 
 def symbol_key(symbol: str) -> int:
-    """Packed term key of an UPPERCASED symbol term (high bit set)."""
+    """Packed term key of an UPPERCASED symbol term (high bit set).
+
+    The key is the top 63 bits of md5 — two distinct identifiers colliding
+    would silently merge their posting lists.  Accepted risk, documented:
+    birthday bound ≈ V²/2^64, i.e. ~5·10⁻⁹ at 10⁴ distinct symbols per
+    system (the reference's scale) and ~0.05 at an extreme 10⁹-symbol
+    corpus; at that scale switch the symbol index to a string-keyed segment
+    table (the ``term`` column already exists for it)."""
     h = hashlib.md5(symbol.upper().encode("utf-8")).digest()
     return int.from_bytes(h[:8], "big") | SYMBOL_KIND_BIT
 

@@ -28,7 +28,9 @@ def tumbling_aggregate(
     """→ (key, window_start:int64 epoch-seconds, n_events, sum_value)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch_us = batch["ts"].astype("int64")
+        # normalize to µs explicitly: a ns-unit source (the pandas default in
+        # many writers) would otherwise make every window 1000× off
+        epoch_us = batch["ts"].astype("datetime64[us]").astype("int64")
         win = (epoch_us // (window_s * 1_000_000)) * window_s
         g = (
             pd.DataFrame({key: batch[key], "window_start": win, "value": batch["value"]})
@@ -51,7 +53,7 @@ def sessionize(
     sessions per user (new session when ts - prev_ts > gap)."""
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").sort_values().to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").sort_values().to_numpy()
         gaps = np.diff(ts, prepend=ts[0])
         new = gaps > gap_s * 1_000_000
         new[0] = True

@@ -233,3 +233,46 @@ def test_multimodal_wav_real_decode(ray_session):
     assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
     r, c, b, s = multimodal._parse_wav(raw)
     assert (r, c, b, s) == (11000, 1, 16, 4)
+
+
+def test_similarity_ops_driver_memory_contract(ray_session, monkeypatch):
+    """The similarity ops must never materialize the corpus on the driver:
+    every Dataset→driver conversion (to_pandas) during minhash / simhash /
+    embedding near-dup runs is intercepted and must be candidate-sized,
+    not corpus-sized."""
+    n = 1200
+    rows = [
+        {"doc_id": i, "text": f"unique document number {i} with words {i*7%97} {i*13%89} trailing"}
+        for i in range(n)
+    ]
+    rows.append({"doc_id": 5000, "text": rows[0]["text"]})  # one planted dup
+    ds = ray.data.from_items(rows)
+
+    sizes = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+
+    out = dedup.minhash_lsh_pairs(ds.select_columns(["doc_id", "text"]), threshold=0.5)
+    assert (0, 5000) in set(zip(out["doc_id_a"], out["doc_id_b"]))
+    out2 = dedup.simhash_near_dups(ds.select_columns(["doc_id", "text"]), max_hamming=3)
+    assert (0, 5000) in set(zip(out2["doc_id_a"], out2["doc_id_b"]))
+
+    rng = np.random.default_rng(11)
+    emb_rows = [
+        {"vec_id": i, "embedding": [float(x) for x in rng.normal(size=8)]} for i in range(n)
+    ]
+    emb_rows.append({"vec_id": 5000, "embedding": emb_rows[3]["embedding"]})
+    emb = ray.data.from_items(emb_rows)
+    out3 = knn.embedding_near_dups(emb, threshold=0.999, block_rows=256).to_pandas()
+    assert (3, 5000) in set(zip(out3["vec_id_a"], out3["vec_id_b"]))
+
+    # every driver materialization was candidate-sized (≪ corpus), never the
+    # full dataset
+    assert sizes, "expected instrumented to_pandas calls"
+    assert max(sizes) < n // 2, f"driver-side materialization too large: {sizes}"

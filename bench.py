@@ -177,8 +177,14 @@ def main() -> None:
     )
     queries = build_query_set(vocab)
     # prefix of warm-up queries (excluded from latency stats): actor
-    # construction, norms load, hot-term cache fill are cold-start, not p95
-    warm = [dict(q, query_id=q["query_id"] + 100000) for q in queries[:16]]
+    # construction, norms load, hot-term cache fill are cold-start, not p95.
+    # Sampled across ALL query kinds so every per-kind first-touch path
+    # (symbols table, content sidecar, …) is exercised on each actor.
+    by_kind: dict[str, list[dict]] = {}
+    for q in queries:
+        by_kind.setdefault(q["kind"], []).append(q)
+    warm_src = [q for kind in by_kind for q in by_kind[kind][:4]]
+    warm = [dict(q, query_id=q["query_id"] + 100000) for q in warm_src]
     t0 = time.monotonic()
     res = ray.data.from_items(warm + queries).map_batches(
         QueryEngine,

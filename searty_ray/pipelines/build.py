@@ -101,6 +101,16 @@ def build_index(
             )
     t_docs = time.monotonic()
 
+    # ---- doc-metadata sidecar: (doc_id, filename, n_tokens, n_sym_tokens) ----
+    # Query actors load norms + doc_id→filename at init; reading them from
+    # the full documents files decodes past the content column's pages.  A
+    # dedicated narrow sidecar makes actor init a ~MB-scale read.
+    meta_dir = os.path.join(index_dir, "docmeta")
+    if not (resume and os.path.isdir(meta_dir) and os.listdir(meta_dir)):
+        ray.data.read_parquet(
+            docs_dir, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
+        ).write_parquet(meta_dir)
+
     # ---- global stats over written metadata ----
     # Below ~50M rows a local columnar scan of the three int64 columns beats
     # the Ray aggregate's fixed pipeline cost by seconds; above it (real
@@ -297,7 +307,7 @@ def _first_varints(col: pa.Array) -> np.ndarray:
 def _prepare_dirs(index_dir: str, resume: bool) -> None:
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
-    for sub in ("documents", "segments", "manifest", "symbols"):
+    for sub in ("documents", "docmeta", "segments", "manifest", "symbols"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
 

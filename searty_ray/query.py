@@ -119,7 +119,14 @@ class IndexReader:
 
     # -- documents ----------------------------------------------------------
 
+    _META_COLS = frozenset({"doc_id", "filename", "n_tokens", "n_sym_tokens"})
+
     def documents(self, columns: list[str] | None = None) -> pa.Table:
+        """Doc metadata; narrow projections are served from the ``docmeta``
+        sidecar (no content pages touched), full reads from ``documents``."""
+        meta_dir = os.path.join(self.index_dir, "docmeta")
+        if columns and set(columns) <= self._META_COLS and os.path.isdir(meta_dir) and os.listdir(meta_dir):
+            return pq.read_table(meta_dir, columns=columns)
         return pq.read_table(os.path.join(self.index_dir, "documents"), columns=columns)
 
     def _load_norms(self) -> None:
@@ -160,13 +167,16 @@ class IndexReader:
                 ids = t["doc_id"].to_numpy()
                 order = np.argsort(ids)
                 self._meta_ids = ids[order]
-                self._meta_filenames = np.asarray(t["filename"].to_pylist(), dtype=object)[order]
+                # stays an Arrow array: no per-string Python materialization
+                self._meta_filenames = t["filename"].combine_chunks().take(
+                    pa.array(order, type=pa.int64())
+                )
             uniq = np.unique(doc_ids)
             idx = np.searchsorted(self._meta_ids, uniq)
             return pa.table(
                 {
                     "doc_id": pa.array(uniq, type=pa.int64()),
-                    "filename": pa.array(self._meta_filenames[idx].tolist(), type=pa.string()),
+                    "filename": self._meta_filenames.take(pa.array(idx, type=pa.int64())),
                 }
             )
         t = self.documents(["doc_id", *columns])
@@ -573,21 +583,43 @@ class WordSearcher:
 
 
 class SymbolSearcher:
-    """Symbol-definition lookup (definition_searcher.go:102-125)."""
+    """Symbol-definition lookup (definition_searcher.go:102-125).
+
+    The definitions table is metadata-scale (a few rows per source file), so
+    each reader loads it ONCE, sorted by name, and every query is a
+    binary-search slice — the reference's indexed `symbol.name` lookup, not
+    a per-query parquet scan."""
 
     def __init__(self, reader: IndexReader):
         self.reader = reader
         self.symbols_path = os.path.join(reader.index_dir, "symbols")
 
+    def _table(self) -> pa.Table | None:
+        t = getattr(self.reader, "_symbols_sorted", None)
+        if t is None:
+            if not os.path.isdir(self.symbols_path) or not os.listdir(self.symbols_path):
+                return None
+            t = pads.dataset(self.symbols_path).to_table().sort_by("name")
+            self.reader._symbols_sorted = t
+            # object array: searchsorted does O(log n) Python comparisons —
+            # no O(n) fixed-width unicode conversion at load
+            self.reader._symbols_names = t["name"].to_numpy(zero_copy_only=False)
+        return t
+
     def search(self, query: str) -> pa.Table:
         name, package = parse_symbol(query)
-        if not os.path.isdir(self.symbols_path) or not os.listdir(self.symbols_path):
+        allt = self._table()
+        if allt is None:
             return _symbol_empty()
-        ds = pads.dataset(self.symbols_path)
-        flt = (pads.field("name") == name) & (pads.field("identifier_type") == "symbol")
+        names = self.reader._symbols_names
+        lo, hi = np.searchsorted(names, name, side="left"), np.searchsorted(names, name, side="right")
+        if lo == hi:
+            return _symbol_empty()
+        t = allt.slice(lo, hi - lo)
+        mask = pc.equal(t["identifier_type"], "symbol")
         if package is not None:
-            flt = flt & (pads.field("package") == package)
-        t = ds.to_table(filter=flt)
+            mask = pc.and_(mask, pc.equal(t["package"], package))
+        t = t.filter(mask)
         if len(t) == 0:
             return _symbol_empty()
         meta = self.reader.resolve_docs(t["doc_id"].to_numpy(), ["filename"])
@@ -660,13 +692,20 @@ class QueryEngine:
     summary columns kept scalar for Arrow friendliness.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, prewarm: bool = True):
         self.reader = IndexReader(index_dir)
         self.phrase = PhraseSearcher(self.reader)
         self.ranked = BM25Searcher(self.reader)
         self.words = WordSearcher(self.reader)
         self.symbol = SymbolSearcher(self.reader)
         self.file = FileSearcher(self.reader)
+        if prewarm:
+            # per-actor one-time loads happen at actor CONSTRUCTION (the
+            # actor-pool contract: setup in __init__), not inside the first
+            # unlucky query: norms, doc_id→filename, the sorted symbols table
+            self.reader._load_norms()
+            self.reader.resolve_docs(np.array([0], dtype=np.int64), ["filename"])
+            self.symbol._table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time

@@ -56,6 +56,38 @@ def build_query_set(vocab: list[str], n_ranked: int = 60, n_phrase: int = 40) ->
     return rows
 
 
+def _session_tree_cpu_seconds() -> float:
+    """Total CPU seconds consumed by this process and every descendant
+    (live via utime+stime, reaped via cutime+cstime), from /proc."""
+    hz = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, ticks)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields resume after the last ')'
+        rest = raw[raw.rfind(")") + 2 :].split()
+        ppid = int(rest[1])
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        stats[int(d)] = (ppid, ticks)
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0.0
+    stack = [me]
+    while stack:
+        pid = stack.pop()
+        if pid in stats:
+            total += stats[pid][1]
+            stack.extend(children.get(pid, []))
+    return total / hz
+
+
 def main() -> None:
     import numpy as np
     import ray
@@ -128,39 +160,17 @@ def main() -> None:
         ctx.execution_options.resource_limits = ExecutionResources(cpu=effective)
 
     # ---- index build (headline) ----
-    # Sample machine-wide busy cores during the build: Ray's logical cpu
-    # slots under-count what a "2-cpu" session really consumes (driver,
-    # raylet, object store threads), so scaling efficiency is reported both
-    # raw (vs logical cpus) and normalized by measured cores.
-    import threading
-
-    cpu_samples: list[float] = []
-    stop_sampler = threading.Event()
-
-    def _sample_cpu():
-        prev = None
-        while not stop_sampler.is_set():
-            with open("/proc/stat") as f:
-                parts = f.readline().split()
-            # not-ours = idle + iowait + steal (hypervisor-stolen time is not
-            # compute this session received)
-            idle = int(parts[4]) + int(parts[5]) + (int(parts[8]) if len(parts) > 8 else 0)
-            total = sum(int(x) for x in parts[1:])
-            if prev is not None:
-                di, dt = idle - prev[0], total - prev[1]
-                if dt > 0:
-                    cpu_samples.append(os.cpu_count() * (1 - di / dt))
-            prev = (idle, total)
-            stop_sampler.wait(0.5)
-
-    sampler = threading.Thread(target=_sample_cpu, daemon=True)
-    sampler.start()
+    # Measure the cores THIS SESSION actually received: CPU seconds of the
+    # whole process tree (driver → raylet → workers; cutime/cstime catches
+    # reaped children) divided by wall.  Unlike machine-wide /proc/stat
+    # sampling this is correct under sched-affinity isolation and ignores
+    # co-tenant load.
+    cpu_before = _session_tree_cpu_seconds()
     t0 = time.monotonic()
     corpus = corpus_from_documents(SF_DIR, replicate=REPLICATE, override_num_blocks=NUM_CPUS * 2)
     manifest = build_index(corpus, INDEX_DIR)
     timings["index_build"] = time.monotonic() - t0
-    stop_sampler.set()
-    cores_used = round(sum(cpu_samples) / len(cpu_samples), 2) if cpu_samples else None
+    cores_used = round((_session_tree_cpu_seconds() - cpu_before) / timings["index_build"], 2)
     n_files = manifest.n_docs
     n_bytes = manifest.total_tokens  # ≈ content bytes (ascii corpus)
 

@@ -942,6 +942,31 @@ ORDER BY event_type, window_start
 """
 
 
+HOP_WINDOW_S, HOP_S = 3600, 1800
+
+
+def q_events_hopping(sf_dir: str):
+    from ..stages.windows import hopping_aggregate
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = hopping_aggregate(ev, "event_type", HOP_WINDOW_S, HOP_S).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HOPPING = f"""
+SELECT event_type, ws AS window_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts) / {HOP_S}) AS BIGINT) * {HOP_S} - j.j * {HOP_S}) AS ws
+  FROM events CROSS JOIN (SELECT unnest(range(0, {HOP_WINDOW_S // HOP_S})) AS j) j
+)
+WHERE ws >= 0
+GROUP BY event_type, ws
+ORDER BY event_type, ws
+"""
+
+
 def q_events_sessions(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -1006,6 +1031,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
 }
 
@@ -1040,5 +1066,6 @@ ORACLE_SQL = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,
 }

@@ -196,15 +196,51 @@ def _empty_band_rows() -> pd.DataFrame:
     return pd.DataFrame(d)
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, capped at BUCKET_CAP docs."""
-    ids = np.unique(g["doc_id"].to_numpy())[:BUCKET_CAP]
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                             "doc_id_b": pd.Series([], dtype="int64")})
-    a, b = zip(*combinations(ids.tolist(), 2))
-    return pd.DataFrame({"doc_id_a": np.asarray(a, dtype=np.int64),
-                         "doc_id_b": np.asarray(b, dtype=np.int64)})
+N_BUCKET_PARTS = 64  # coarse hash partitions of the bucket space: the Ray
+# groupby runs over these (64 group-UDF invocations), and the ~per-bucket
+# work happens inside each via C-speed pandas groupby — NOT one Python/Ray
+# group call per bucket, which is quadratic overhead in #buckets.
+
+_BAND_COLS = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
+
+
+def _add_bucket_part(b: pd.DataFrame) -> pd.DataFrame:
+    h = mix64(b["band"].to_numpy().astype(np.uint64))
+    for r in range(ROWS_PER_BAND):
+        h = mix64(h ^ b[f"v{r}"].to_numpy(dtype=np.uint64))
+    b = b.copy()
+    b["bpart"] = (h % np.uint64(N_BUCKET_PARTS)).astype(np.int32)
+    return b
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                         "doc_id_b": pd.Series([], dtype="int64")})
+
+
+def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for every LSH bucket in one hash partition, each
+    bucket capped at BUCKET_CAP docs.  Single-doc buckets (the vast
+    majority) are dropped with one vectorized ``duplicated`` mask."""
+    multi = part[part.duplicated(subset=_BAND_COLS, keep=False)]
+    if len(multi) == 0:
+        return _empty_pairs()
+    out_a, out_b = [], []
+    for _, g in multi.groupby(_BAND_COLS, sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())[:BUCKET_CAP]
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return _empty_pairs()
+    return pd.DataFrame(
+        {
+            "doc_id_a": np.concatenate(out_a).astype(np.int64),
+            "doc_id_b": np.concatenate(out_b).astype(np.int64),
+        }
+    )
 
 
 class _JaccardVerify:
@@ -212,13 +248,20 @@ class _JaccardVerify:
 
     The broadcast dict covers only CANDIDATE docs (O(candidates), not the
     corpus); per-pair intersection is C-speed ``intersect1d`` on sorted
-    unique arrays."""
+    unique arrays.  Holds the ObjectRef and resolves it lazily on the
+    worker, so the instance runs as a stateless TASK (no actor-pool
+    spin-up) while the dict still ships via the object store once."""
 
     def __init__(self, sh_ref, threshold: float):
-        self.sh = ray.get(sh_ref) if isinstance(sh_ref, ray.ObjectRef) else sh_ref
+        self.sh_ref = sh_ref
         self.t = threshold
+        self.sh: dict | None = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.sh is None:
+            self.sh = (
+                ray.get(self.sh_ref) if isinstance(self.sh_ref, ray.ObjectRef) else self.sh_ref
+            )
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
             sa, sb = self.sh.get(int(a)), self.sh.get(int(b))
@@ -268,16 +311,21 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
     the candidate id list and the final verified pairs.
     → pandas (doc_id_a, doc_id_b, jaccard) sorted.
     """
+    # instance (not class) → stateless TASK mode: the stage holds no state
+    # (permutation constants are module globals), so skipping the actor-pool
+    # spin-up saves seconds on short inputs and loses nothing at scale
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage, batch_format="pandas", concurrency=actor_pool(), batch_size=256
+        MinHashStage(), batch_format="pandas", batch_size=256
     )
-    band_cols = ["band"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
-    # ONE shuffle (the bucket groupby).  A pair found by several bands is
-    # verified redundantly (≤ N_BANDS×, vectorized) — cheaper than a second
-    # all-to-all just to dedupe candidate ids; the small verified output is
-    # deduped on the driver.
+    # ONE shuffle (groupby over 64 coarse bucket partitions; per-bucket work
+    # is vectorized inside each partition).  A pair found by several bands
+    # is verified redundantly (≤ N_BANDS×, vectorized) — cheaper than a
+    # second all-to-all just to dedupe candidate ids; the small verified
+    # output is deduped on the driver.
     cand = (
-        bands.groupby(band_cols).map_groups(_bucket_pairs, batch_format="pandas")
+        bands.map_batches(_add_bucket_part, batch_format="pandas")
+        .groupby("bpart")
+        .map_groups(_bucket_pairs, batch_format="pandas")
     ).materialize()
     ids = sorted(
         set(cand.unique("doc_id_a")) | set(cand.unique("doc_id_b"))
@@ -288,10 +336,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
                              "jaccard": pd.Series([], dtype="float64")})
     sh_ref = ray.put(_fetch_shingles(docs, ids))
     verified = cand.map_batches(
-        _JaccardVerify,
-        batch_format="pandas",
-        concurrency=actor_pool(),
-        fn_constructor_kwargs={"sh_ref": sh_ref, "threshold": threshold},
+        _JaccardVerify(sh_ref, threshold), batch_format="pandas"
     ).to_pandas()  # verified near-dup pairs: the (small) final result
     return (
         verified.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
@@ -341,16 +386,33 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    if len(g) < 2:
+def _simhash_add_bpart(b: pd.DataFrame) -> pd.DataFrame:
+    h = mix64(b["band"].to_numpy().astype(np.uint64) ^ b["value"].to_numpy(dtype=np.uint64))
+    b = b.copy()
+    b["bpart"] = (h % np.uint64(N_BUCKET_PARTS)).astype(np.int32)
+    return b
+
+
+def _simhash_bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    """Pairs for every (band, value) bucket in one hash partition (see
+    :func:`_bucket_pairs` for the coarse-partition rationale)."""
+    multi = part[part.duplicated(subset=["band", "value"], keep=False)]
+    if len(multi) == 0:
         return _simhash_empty_pairs()
-    g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id").head(SIMHASH_BUCKET_CAP)
-    ids = g["doc_id"].to_numpy(dtype=np.int64)
-    sigs = g["simhash"].to_numpy(dtype=np.uint64)
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame(
-        {"doc_id_a": ids[ii], "doc_id_b": ids[jj], "sig_a": sigs[ii], "sig_b": sigs[jj]}
-    )
+    frames = []
+    for _, g in multi.groupby(["band", "value"], sort=False):
+        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id").head(SIMHASH_BUCKET_CAP)
+        if len(g) < 2:
+            continue
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sigs = g["simhash"].to_numpy(dtype=np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        frames.append(
+            pd.DataFrame(
+                {"doc_id_a": ids[ii], "doc_id_b": ids[jj], "sig_a": sigs[ii], "sig_b": sigs[jj]}
+            )
+        )
+    return pd.concat(frames, ignore_index=True) if frames else _simhash_empty_pairs()
 
 
 def _simhash_empty_pairs() -> pd.DataFrame:
@@ -406,7 +468,8 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
 
     out = (
         sigs.map_batches(melt, batch_format="pandas")
-        .groupby(["band", "value"])  # the ONE shuffle
+        .map_batches(_simhash_add_bpart, batch_format="pandas")
+        .groupby("bpart")  # the ONE shuffle, over 64 coarse partitions
         .map_groups(_simhash_bucket_pairs, batch_format="pandas")
         .map_batches(lambda b: _hamming_verify(b, max_hamming), batch_format="pandas")
         .to_pandas()  # verified pairs only; band-duplicates deduped here

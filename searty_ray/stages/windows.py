@@ -46,6 +46,42 @@ def tumbling_aggregate(
     )
 
 
+def hopping_aggregate(
+    events: ray.data.Dataset, key: str, window_s: int, hop_s: int
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: each event lands in every window of length
+    ``window_s`` that starts at a multiple of ``hop_s`` and covers it —
+    ``window_s // hop_s`` windows per event.
+
+    Same pre-aggregate shape as tumbling: the per-batch kernel REPLICATES
+    each row into its covering windows (vectorized repeat), partially
+    aggregates per (key, window, batch), and one small groupby merges the
+    partials — the shuffle moves per-window partials, not per-event rows."""
+    k = window_s // hop_s
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        last_start = (epoch_us // (hop_s * 1_000_000)) * hop_s  # latest covering window
+        n = len(batch)
+        # window starts: last_start - j*hop for j in 0..k-1, clipped at ≥ first window
+        starts = np.repeat(last_start, k) - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        keys = np.repeat(batch[key].to_numpy(), k)
+        vals = np.repeat(batch["value"].to_numpy(), k)
+        keep = starts >= 0
+        g = (
+            pd.DataFrame({key: keys[keep], "window_start": starts[keep], "value": vals[keep]})
+            .groupby([key, "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+        return g
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset, gap_s: int = 1800
 ) -> ray.data.Dataset:

@@ -276,3 +276,22 @@ def test_similarity_ops_driver_memory_contract(ray_session, monkeypatch):
     # full dataset
     assert sizes, "expected instrumented to_pandas calls"
     assert max(sizes) < n // 2, f"driver-side materialization too large: {sizes}"
+
+
+def test_hopping_window(ray_session):
+    from searty_ray.stages.windows import hopping_aggregate
+
+    rows = [
+        {"ts": pd.Timestamp("2024-01-01 00:10:00"), "event_type": "a", "value": 1.0},
+        {"ts": pd.Timestamp("2024-01-01 00:40:00"), "event_type": "a", "value": 2.0},
+        {"ts": pd.Timestamp("2024-01-01 01:10:00"), "event_type": "a", "value": 4.0},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = hopping_aggregate(ds, "event_type", 3600, 1800).to_pandas()
+    out = out.sort_values("window_start").reset_index(drop=True)
+    base = pd.Timestamp("2024-01-01").timestamp()
+    got = {int(r.window_start - base): (int(r.n_events), float(r.sum_value)) for r in out.itertuples()}
+    # event@00:10 covers windows starting -1800(clipped? no: 00:00-01:00 and 23:30-00:30 prev day -> starts 0 and -1800 clipped)
+    assert got[0] == (2, 3.0)        # 00:00-01:00 covers 00:10, 00:40
+    assert got[1800] == (2, 6.0)     # 00:30-01:30 covers 00:40, 01:10
+    assert got[3600] == (1, 4.0)     # 01:00-02:00 covers 01:10

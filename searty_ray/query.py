@@ -155,6 +155,17 @@ class IndexReader:
         idx = np.searchsorted(self._sym_norm_ids, doc_ids)
         return self._sym_norm_len[idx]
 
+    def _load_meta(self) -> None:
+        if self._meta_ids is None:
+            t = self.documents(["doc_id", "filename"])
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            self._meta_ids = ids[order]
+            # stays an Arrow array: no per-string Python materialization
+            self._meta_filenames = t["filename"].combine_chunks().take(
+                pa.array(order, type=pa.int64())
+            )
+
     def resolve_docs(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
         """Selective metadata fetch for result docs (J1 broadcast-side join).
 
@@ -162,15 +173,7 @@ class IndexReader:
         side); at 10^12 docs this becomes a doc-range-sharded selective
         parquet read like :meth:`content_for`."""
         if columns == ["filename"]:
-            if self._meta_ids is None:
-                t = self.documents(["doc_id", "filename"])
-                ids = t["doc_id"].to_numpy()
-                order = np.argsort(ids)
-                self._meta_ids = ids[order]
-                # stays an Arrow array: no per-string Python materialization
-                self._meta_filenames = t["filename"].combine_chunks().take(
-                    pa.array(order, type=pa.int64())
-                )
+            self._load_meta()
             uniq = np.unique(doc_ids)
             idx = np.searchsorted(self._meta_ids, uniq)
             return pa.table(
@@ -190,6 +193,33 @@ class IndexReader:
         return dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
 
     # -- postings -----------------------------------------------------------
+
+    def prewarm_hot_terms(self, top_n: int = 32) -> int:
+        """Pre-decode the ``top_n`` highest-df terms into the LRU cache.
+
+        One thin columnar scan of (term_key, df) across the segment files
+        picks the heads of the df distribution — exactly the lists whose
+        first-decode cost otherwise lands on an unlucky query's tail
+        latency.  Runs at actor construction; returns #terms warmed."""
+        try:
+            t = pq.read_table(self.seg_root, columns=["term_key", "df"])
+        except Exception:
+            return 0
+        if t.num_rows == 0:
+            return 0
+        tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tk)
+        tk_s, df_s = tk[order], df[order]
+        new_t = np.empty(len(tk_s), dtype=bool)
+        new_t[0] = True
+        new_t[1:] = tk_s[1:] != tk_s[:-1]
+        starts = np.nonzero(new_t)[0]
+        totals = np.add.reduceat(df_s, starts)
+        uniq = tk_s[starts]
+        top = uniq[np.argsort(-totals)[: min(top_n, len(uniq))]]
+        self.lookup(top)
+        return len(top)
 
     def lookup(self, term_keys: np.ndarray) -> dict[int, TermPostings | None]:
         """Posting lists for the given packed term keys (None = absent).
@@ -654,13 +684,22 @@ def _symbol_empty() -> pa.Table:
 
 class FileSearcher:
     """Filename substring filter — a real filter, unlike the reference's
-    print-only stub (file_searcher.go:20-33)."""
+    print-only stub (file_searcher.go:20-33).  Runs the match kernel over
+    the reader's cached doc_id→filename arrays (loaded once per actor), not
+    a fresh parquet read per query."""
 
     def __init__(self, reader: IndexReader):
         self.reader = reader
 
     def search(self, query: str) -> pa.Table:
-        t = self.reader.documents(["doc_id", "filename"])
+        r = self.reader
+        r._load_meta()
+        t = pa.table(
+            {
+                "doc_id": pa.array(r._meta_ids, type=pa.int64()),
+                "filename": r._meta_filenames,
+            }
+        )
         return t.filter(pc.match_substring(t["filename"], query)).sort_by("filename")
 
 
@@ -702,10 +741,12 @@ class QueryEngine:
         if prewarm:
             # per-actor one-time loads happen at actor CONSTRUCTION (the
             # actor-pool contract: setup in __init__), not inside the first
-            # unlucky query: norms, doc_id→filename, the sorted symbols table
+            # unlucky query: norms, doc_id→filename, the sorted symbols
+            # table, and the hottest posting lists (by df)
             self.reader._load_norms()
-            self.reader.resolve_docs(np.array([0], dtype=np.int64), ["filename"])
+            self.reader._load_meta()
             self.symbol._table()
+            self.reader.prewarm_hot_terms()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time

@@ -478,6 +478,43 @@ LIMIT {TOPK_TERMS_N}
 # ===========================================================================
 
 
+TOPK_WORDS_N = 20
+
+
+def q_topk_words(sf_dir: str):
+    """Corpus-wide frequent words: the canonical pre-aggregate pattern —
+    per-batch C-speed word counts (combiner) shrink the shuffle to one row
+    per (word, batch); the groupby then merges tiny partials."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.split().explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy()})
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    out = counts.sort_values(["n", "word"], ascending=[False, True]).head(TOPK_WORDS_N)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_TOPK_WORDS = f"""
+SELECT word, count(*)::BIGINT AS n
+FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT {TOPK_WORDS_N}
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -1015,6 +1052,7 @@ QUERIES = {
     "file_search": q_file_search,
     "line_extract": q_line_extract,
     "topk_terms": q_topk_terms,
+    "topk_words": q_topk_words,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1050,6 +1088,7 @@ ORACLE_SQL = {
     "file_search": SQL_FILE_SEARCH,
     "line_extract": SQL_LINE_EXTRACT,
     "topk_terms": SQL_TOPK_TERMS,
+    "topk_words": SQL_TOPK_WORDS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,

@@ -244,20 +244,33 @@ class IndexReader:
             p = term_part(np.uint64(key), m.num_parts)
             by_part.setdefault(int(p), set()).add(key)
 
-        found: dict[int, TermPostings] = {}
-        for part, keys in sorted(by_part.items()):
+        def read_part(item: tuple[int, set[int]]) -> pa.Table | None:
+            part, keys = item
             part_dir = os.path.join(self.seg_root, f"part={part:05d}")
             if not os.path.isdir(part_dir):
-                continue
+                return None
             # one batched read across the partition's chunk-group files —
             # row-group statistics on the sorted term_key column prune I/O
             t = pads.dataset(part_dir).to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
                 columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_len_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
             ).combine_chunks()
-            if len(t) == 0:
-                continue
-            found.update(self._decode_partition(t))
+            return t if len(t) else None
+
+        found: dict[int, TermPostings] = {}
+        items = sorted(by_part.items())
+        if len(items) > 1:
+            # parquet reads release the GIL: overlap the per-partition I/O
+            # (the decode stays serial — it's vectorized numpy)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+                tables = list(ex.map(read_part, items))
+        else:
+            tables = [read_part(items[0])]
+        for t in tables:
+            if t is not None:
+                found.update(self._decode_partition(t))
 
         for key in missing:
             out[key] = tp = found.get(key)

@@ -352,6 +352,52 @@ def knn_ivf_cosine(
     )
 
 
+class _IVFSearchStage:
+    """Actor-pool IVF search: each actor opens the disk-backed index once
+    (centroids + cluster-partition LRU in ``__init__``) and serves query
+    batches — the multi-node search path: queries stream as a Dataset, the
+    lists stay parquet partitions on shared storage, and each probe is a
+    selective read."""
+
+    def __init__(self, index_dir: str, k: int, nprobe: int):
+        self.index = IVFIndex(index_dir)
+        self.k = k
+        self.nprobe = nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, vids, scores = [], [], []
+        ids, mat = _emb_matrix(batch.select(["vec_id", "embedding"]).combine_chunks())
+        for i in range(len(ids)):
+            top_ids, top_scores = self.index.search(mat[i], k=self.k, nprobe=self.nprobe)
+            qids.append(np.full(len(top_ids), ids[i], dtype=np.int64))
+            vids.append(top_ids)
+            scores.append(top_scores)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids) if qids else [], type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(vids) if vids else [], type=pa.int64()),
+                "score": pa.array(np.concatenate(scores) if scores else [], type=pa.float64()),
+            }
+        )
+
+
+def knn_ivf_search_batch(
+    index_dir: str,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    nprobe: int = 4,
+) -> ray.data.Dataset:
+    """Distributed IVF search over a query Dataset (vec_id, embedding) →
+    (query_id, vec_id, score) rows, k per query."""
+    return queries.map_batches(
+        _IVFSearchStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=actor_pool(),
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "nprobe": nprobe},
+    )
+
+
 def ivf_near_dups(
     embeddings: ray.data.Dataset, threshold: float = 0.95, nlist: int = 16, seed: int = 42
 ) -> pa.Table:

@@ -295,3 +295,15 @@ def test_hopping_window(ray_session):
     assert got[0] == (2, 3.0)        # 00:00-01:00 covers 00:10, 00:40
     assert got[1800] == (2, 6.0)     # 00:30-01:30 covers 00:40, 01:10
     assert got[3600] == (1, 4.0)     # 01:00-02:00 covers 01:10
+
+
+def test_ivf_search_batch_distributed(ray_session, tmp_path):
+    n, dim = 400, 16
+    mat, emb = _rand_emb(n, dim, 21)
+    ivf_dir = str(tmp_path / "ivf_b")
+    knn.IVFIndex.build(emb, ivf_dir, nlist=8)
+    out = knn.knn_ivf_search_batch(ivf_dir, emb.limit(20), k=5, nprobe=8).to_pandas()
+    assert len(out) == 20 * 5
+    # full probe == exact: self is nearest for every query
+    top = out.sort_values(["query_id", "score"], ascending=[True, False]).groupby("query_id").head(1)
+    assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()

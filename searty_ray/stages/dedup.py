@@ -8,11 +8,11 @@ Scale shapes:
                 word-set Jaccard inside each group (block sizes bounded by the
                 blocking key; for unblocked corpora use minhash_lsh instead).
 * minhash_lsh — word 3-shingles → 64 multiply-shift minhash perms → band rows
-                (band, v0..v3, doc_id) → groupby(band values) → candidate
-                pairs (bucket-capped) → distributed dedupe → exact-Jaccard
-                verify as a SECOND Ray stage (broadcast candidate shingle
-                sets).  Nothing larger than the candidate set ever touches
-                the driver.
+                (band, v0..v3, doc_id) → ONE groupby over 64 coarse bucket
+                partitions (per-bucket pair emission is C-speed pandas inside
+                each) → exact-Jaccard verify as a SECOND Ray stage
+                (broadcast candidate shingle sets).  Nothing larger than the
+                candidate set ever touches the driver.
 * simhash     — 64-bit simhash per doc (vectorized batch kernel); candidates
                 = equal value in any of 4 16-bit bands, which by pigeonhole
                 has recall 1 for hamming ≤ 3; verified by true hamming in a
@@ -35,7 +35,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import mix64
-from ..functions.resources import actor_pool
 
 # ---------------------------------------------------------------------------
 # exact dedup

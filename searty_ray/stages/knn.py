@@ -34,7 +34,7 @@ import pyarrow.dataset as pads
 import ray
 import ray.data
 
-from ..functions.resources import actor_pool, cluster_cpus
+from ..functions.resources import actor_pool
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:

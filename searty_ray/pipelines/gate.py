@@ -36,7 +36,7 @@ from .build import build_index
 
 # bump INDEX_LAYOUT_VERSION whenever segment layout / derivation changes so a
 # stale /tmp cache from an older build can never serve the gate
-INDEX_LAYOUT_VERSION = 3  # v3: pos_len_blob column (subset position decode)
+INDEX_LAYOUT_VERSION = 4  # v3: pos_len_blob (subset position decode); v4: docmeta sidecar
 CACHE_ROOT = f"/tmp/searty_ray_gate/v{INDEX_LAYOUT_VERSION}"
 
 # -- fixed gate parameters (mirrored in the SQL below) ----------------------

@@ -64,6 +64,18 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_merge_index(args) -> int:
+    _ray_session()
+    from .pipelines.merge import merge_indexes
+
+    manifest = merge_indexes(args.index, args.output)
+    print(
+        f"merged {len(args.index)} indexes: {manifest.n_docs} docs, "
+        f"{manifest.total_tokens} tokens -> {args.output}"
+    )
+    return 0
+
+
 def cmd_index_spec(args) -> int:
     _ray_session()
     from .sources.spec import index_spec
@@ -130,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
                         choices=["trigram", "trigram+symbols"])
         pi.add_argument("--resume", action="store_true")
         pi.set_defaults(fn=cmd_index)
+
+    pm = sub.add_parser("merge-index", help="merge BUILT indexes (no re-tokenization)")
+    pm.add_argument("-o", "--output", required=True)
+    pm.add_argument("index", nargs="+")
+    pm.set_defaults(fn=cmd_merge_index)
 
     pspec = sub.add_parser("index-spec", help="index searty spec JSON(s) + file tree")
     pspec.add_argument("-o", "--output", required=True)

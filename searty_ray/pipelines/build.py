@@ -142,6 +142,100 @@ def build_index(
 
     # ---- postings: tokenize → shuffle → encode+write per reducer group ----
     finished = finished_partitions(index_dir) if resume else set()
+
+    # tokenize reads BACK the written documents table (doc_id + content
+    # pages only): the corpus derivation/sort runs once, and the postings
+    # pass splits across the documents part files regardless of how
+    # splittable the original source was.  Explicit block count: the default
+    # 128MB-target read coalesces small part files into ~2 tasks and
+    # strangles the map side of the shuffle.
+    reader_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    runs = ray.data.read_parquet(
+        docs_dir, columns=["doc_id", "content"], override_num_blocks=reader_blocks
+    ).map_batches(
+        TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
+        batch_format="pyarrow",
+        batch_size=TOKENIZE_BATCH_SIZE,
+    )
+
+    if salt > 1:
+        # Two-phase salted merge (SURVEY.md §2.5 A2; the pathological
+        # one-term-one-chunk case): phase 1 spreads a (term, chunk)'s MANY
+        # small runs across `salt` reducers keyed by a content hash of each
+        # run's first doc id, each combining its share into ONE partial run;
+        # phase 2 (the unchanged encode) k-way-merges the ≤ salt combined
+        # runs.  Output bytes are identical to the unsalted build (the
+        # encode is a pure function of the entry multiset; pinned by pytest).
+        from ..stages.encode_stage import combine_runs
+
+        def add_sgrp(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import mix64
+
+            pgrp = partition_group(
+                batch["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                batch["chunk"].to_numpy(zero_copy_only=False),
+                num_parts,
+                sub_splits,
+            ).astype(np.int64)
+            first = _first_varints(batch.column("doc_blob").combine_chunks())
+            s = (mix64(first) % np.uint64(salt)).astype(np.int64)
+            return batch.append_column(
+                "sgrp", pa.array((pgrp * salt + s).astype(np.int32), type=pa.int32())
+            )
+
+        runs = (
+            runs.map_batches(add_sgrp, batch_format="pyarrow")
+            .groupby("sgrp")
+            .map_groups(
+                lambda g: combine_runs(g.drop_columns(["sgrp"])), batch_format="pyarrow"
+            )
+        )
+
+    summaries = shuffle_encode_runs(
+        runs, index_dir, avgdl, chunk_span, num_parts, sub_splits, finished
+    )
+    t_end = time.monotonic()
+
+    manifest = Manifest(
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=avgdl,
+        total_sym_tokens=total_sym_tokens,
+        avg_sym_dl=avg_sym_dl,
+        tokenizer=tokenizer,
+        max_doc_id=max_doc_id,
+        chunk_span=chunk_span,
+        num_parts=num_parts,
+        sub_splits=sub_splits,
+        partitions={
+            str(s["pgrp"]): {k: s[k] for k in ("segments", "rows", "bytes", "wall_s", "skipped")}
+            for s in summaries
+        },
+        metrics={
+            "docs_stage_s": round(t_docs - t0, 3),
+            "postings_stage_s": round(t_end - t_docs, 3),
+            "total_s": round(t_end - t0, 3),
+        },
+    )
+    manifest.save(index_dir)
+    return manifest
+
+
+def shuffle_encode_runs(
+    runs: "ray.data.Dataset",
+    index_dir: str,
+    avgdl: float,
+    chunk_span: int,
+    num_parts: int,
+    sub_splits: int,
+    finished: set[int] | None = None,
+) -> list[dict]:
+    """The shared back half of every index-producing pipeline: run-schema
+    rows → pgrp shuffle → vectorized partition encode → atomic writes +
+    sidecars.  Used by :func:`build_index` (runs from the tokenizer) and
+    :func:`searty_ray.pipelines.merge.merge_indexes` (runs re-derived from
+    existing segments)."""
+    finished = finished or set()
     seg_root = os.path.join(index_dir, "segments")
 
     def add_pgrp(batch: pa.Table) -> pa.Table:
@@ -192,93 +286,16 @@ def build_index(
         )
         return _summary(pgrp, len(seg), int(group.num_rows), nbytes, wall)
 
-    # tokenize reads BACK the written documents table (doc_id + content
-    # pages only): the corpus derivation/sort runs once, and the postings
-    # pass splits across the documents part files regardless of how
-    # splittable the original source was.  Explicit block count: the default
-    # 128MB-target read coalesces small part files into ~2 tasks and
-    # strangles the map side of the shuffle.
-    reader_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    runs = ray.data.read_parquet(
-        docs_dir, columns=["doc_id", "content"], override_num_blocks=reader_blocks
-    ).map_batches(
-        TokenizeCombine(chunk_span, emit_symbols=tokenizer == "trigram+symbols"),
-        batch_format="pyarrow",
-        batch_size=TOKENIZE_BATCH_SIZE,
-    )
-
-    if salt > 1:
-        # Two-phase salted merge (SURVEY.md §2.5 A2; the pathological
-        # one-term-one-chunk case): phase 1 spreads a (term, chunk)'s MANY
-        # small runs across `salt` reducers keyed by a content hash of each
-        # run's first doc id, each combining its share into ONE partial run;
-        # phase 2 (the unchanged encode) k-way-merges the ≤ salt combined
-        # runs.  Output bytes are identical to the unsalted build (the
-        # encode is a pure function of the entry multiset; pinned by pytest).
-        from ..stages.encode_stage import combine_runs
-
-        def add_sgrp(batch: pa.Table) -> pa.Table:
-            from ..functions.hashing import mix64
-
-            pgrp = partition_group(
-                batch["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                batch["chunk"].to_numpy(zero_copy_only=False),
-                num_parts,
-                sub_splits,
-            ).astype(np.int64)
-            first = _first_varints(batch.column("doc_blob").combine_chunks())
-            s = (mix64(first) % np.uint64(salt)).astype(np.int64)
-            return batch.append_column(
-                "sgrp", pa.array((pgrp * salt + s).astype(np.int32), type=pa.int32())
-            )
-
-        runs = (
-            runs.map_batches(add_sgrp, batch_format="pyarrow")
-            .groupby("sgrp")
-            .map_groups(
-                lambda g: combine_runs(g.drop_columns(["sgrp"])), batch_format="pyarrow"
-            )
-        )
-
-    runs = runs.map_batches(add_pgrp, batch_format="pyarrow")
-
     # The groupby sort is a barrier anyway; materializing the runs first
-    # keeps the tokenize map stage at full parallelism (the streaming
+    # keeps the upstream map stage at full parallelism (the streaming
     # executor throttles an AllToAll's upstream maps to a fraction of the
     # CPU slots — measured ~40% on this host).  The materialized runs are
     # the compressed shuffle rows (~4 B/entry), and the object store spills
     # them if they exceed memory — same cost the sort would pay internally.
-    runs = runs.materialize()
-    summaries = (
-        runs.groupby("pgrp")
-        .map_groups(encode_and_write, batch_format="pyarrow")
-        .take_all()
+    runs = runs.map_batches(add_pgrp, batch_format="pyarrow").materialize()
+    return (
+        runs.groupby("pgrp").map_groups(encode_and_write, batch_format="pyarrow").take_all()
     )  # ≤ num_parts × sub_splits tiny rows
-    t_end = time.monotonic()
-
-    manifest = Manifest(
-        n_docs=n_docs,
-        total_tokens=total_tokens,
-        avgdl=avgdl,
-        total_sym_tokens=total_sym_tokens,
-        avg_sym_dl=avg_sym_dl,
-        tokenizer=tokenizer,
-        max_doc_id=max_doc_id,
-        chunk_span=chunk_span,
-        num_parts=num_parts,
-        sub_splits=sub_splits,
-        partitions={
-            str(s["pgrp"]): {k: s[k] for k in ("segments", "rows", "bytes", "wall_s", "skipped")}
-            for s in summaries
-        },
-        metrics={
-            "docs_stage_s": round(t_docs - t0, 3),
-            "postings_stage_s": round(t_end - t_docs, 3),
-            "total_s": round(t_end - t0, 3),
-        },
-    )
-    manifest.save(index_dir)
-    return manifest
 
 
 def _first_varints(col: pa.Array) -> np.ndarray:

@@ -1,0 +1,190 @@
+"""Index-level merge: N built indexes → one index, WITHOUT re-tokenizing.
+
+The reference's ``searty-merge`` (cmd/searty-merge/merge.go:12-27,
+lib/indexer/merge.go:455-502) merges SQLite index databases: documents are
+deduplicated by filename (first shard wins, merge.go:164-171), ids are
+reconciled, and posting lists are decoded, remapped and re-encoded
+single-threaded.  This pipeline does the same job as Ray Data stages:
+
+1. doc keys of every index → dedupe by filename (repo, path), first index
+   wins → new dense ids from the SAME global (repo, path, commit) sort the
+   build uses, so a merge of disjoint indexes is byte-identical to a direct
+   build over the union corpus (pinned by pytest);
+2. documents / docmeta / symbols rewritten with remapped ids (streaming
+   ``map_batches``, broadcast remap arrays);
+3. segments → :class:`SegmentsToRuns` (decode metadata, remap ids, gather
+   the still-compressed position slices) → the build's own
+   ``shuffle_encode_runs``.  Tokenization — the dominant CPU cost at
+   corpus scale — never runs; position bytes move but are never re-encoded.
+
+The corpus-level ``merge`` CLI (union of corpora → build) remains for when
+inputs are raw tables; this is the path for merging ALREADY-BUILT indexes
+(e.g. per-repo incremental shards).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..stages.encode_stage import SegmentsToRuns
+from ..state.manifest import Manifest
+from .build import (
+    DEFAULT_NUM_PARTS,
+    DEFAULT_SUB_SPLITS,
+    _prepare_dirs,
+    pick_chunk_span,
+    shuffle_encode_runs,
+)
+
+
+def _doc_keys(index_dir: str) -> pd.DataFrame:
+    t = pq.read_table(
+        os.path.join(index_dir, "documents"), columns=["doc_id", "repo", "path", "commit"]
+    )
+    return t.to_pandas()
+
+
+def merge_indexes(
+    index_dirs: list[str],
+    out_dir: str,
+    *,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    sub_splits: int = DEFAULT_SUB_SPLITS,
+    chunk_span: int | None = None,
+) -> Manifest:
+    t0 = time.monotonic()
+    manifests = [Manifest.load(d) for d in index_dirs]
+    tokenizer = manifests[0].tokenizer
+    if any(m.tokenizer != tokenizer for m in manifests):
+        raise ValueError("cannot merge indexes built with different tokenizers")
+    _prepare_dirs(out_dir, resume=False)
+
+    # ---- id reconciliation (metadata only — no content moves here) ----
+    # Dedupe by filename (repo, path), FIRST index wins (merge.go:164-171);
+    # new ids from the global (repo, path, commit) sort, identical to
+    # assign_doc_ids' ordering.
+    frames = []
+    for src, d in enumerate(index_dirs):
+        f = _doc_keys(d)
+        f["src"] = src
+        frames.append(f)
+    all_keys = pd.concat(frames, ignore_index=True)
+    all_keys = all_keys.sort_values(["src", "doc_id"], kind="stable")
+    all_keys["kept"] = ~all_keys.duplicated(subset=["repo", "path"], keep="first")
+    kept = all_keys[all_keys["kept"]].copy()
+    kept = kept.sort_values(["repo", "path", "commit"], kind="stable").reset_index(drop=True)
+    kept["new_id"] = np.arange(len(kept), dtype=np.int64)
+
+    remaps: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for src in range(len(index_dirs)):
+        mine = all_keys[all_keys["src"] == src][["doc_id", "kept"]].merge(
+            kept[kept["src"] == src][["doc_id", "new_id"]], on="doc_id", how="left"
+        )
+        mine = mine.sort_values("doc_id")
+        old_ids = mine["doc_id"].to_numpy(dtype=np.int64)
+        kept_mask = mine["kept"].to_numpy(dtype=bool)
+        new_ids = mine["new_id"].fillna(-1).to_numpy(dtype=np.int64)
+        remaps.append((old_ids, new_ids, kept_mask))
+
+    n_docs = len(kept)
+    max_doc_id = n_docs - 1 if n_docs else -1
+    if chunk_span is None:
+        chunk_span = pick_chunk_span(n_docs)
+
+    # ---- documents / symbols with remapped ids (streaming) ----
+    def remap_stage(src: int, id_col: str = "doc_id"):
+        ref = ray.put(remaps[src])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            old_ids, new_ids, kept_mask = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(old_ids, ids), max(len(old_ids) - 1, 0))
+            keep = (old_ids[idx] == ids) & kept_mask[idx]
+            t = batch.filter(pa.array(keep))
+            new_col = pa.array(new_ids[idx[keep]], type=pa.int64())
+            return t.set_column(t.schema.get_field_index(id_col), id_col, new_col)
+
+        return fn
+
+    docs_out = os.path.join(out_dir, "documents")
+    ds = None
+    for src, d in enumerate(index_dirs):
+        part = ray.data.read_parquet(os.path.join(d, "documents")).map_batches(
+            remap_stage(src), batch_format="pyarrow"
+        )
+        ds = part if ds is None else ds.union(part)
+    ds.write_parquet(docs_out)
+    ray.data.read_parquet(
+        docs_out, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
+    ).write_parquet(os.path.join(out_dir, "docmeta"))
+
+    sym = None
+    for src, d in enumerate(index_dirs):
+        sdir = os.path.join(d, "symbols")
+        if not (os.path.isdir(sdir) and os.listdir(sdir)):
+            continue
+        part = ray.data.read_parquet(sdir).map_batches(remap_stage(src), batch_format="pyarrow")
+        sym = part if sym is None else sym.union(part)
+    if sym is not None:
+        sym.write_parquet(os.path.join(out_dir, "symbols"))
+
+    # ---- stats from the merged metadata ----
+    meta = pq.read_table(os.path.join(out_dir, "docmeta"), columns=["n_tokens", "n_sym_tokens"])
+    total_tokens = int(pa.compute.sum(meta["n_tokens"]).as_py() or 0)
+    total_sym_tokens = int(pa.compute.sum(meta["n_sym_tokens"]).as_py() or 0)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    avg_sym_dl = total_sym_tokens / n_docs if n_docs else 0.0
+    t_docs = time.monotonic()
+
+    # ---- segments → remapped runs → the build's own shuffle+encode ----
+    runs = None
+    for src, (d, m) in enumerate(zip(index_dirs, manifests)):
+        ref = ray.put(remaps[src])
+        part = ray.data.read_parquet(
+            os.path.join(d, "segments"),
+            columns=["term_key", "chunk", "df", "meta_blob", "pos_len_blob", "pos_blob"],
+        ).map_batches(
+            SegmentsToRuns,
+            batch_format="pyarrow",
+            concurrency=(1, max(2, num_parts)),
+            fn_constructor_kwargs={
+                "remap_ref": ref,
+                "old_span": m.chunk_span,
+                "new_span": chunk_span,
+            },
+        )
+        runs = part if runs is None else runs.union(part)
+    summaries = shuffle_encode_runs(runs, out_dir, avgdl, chunk_span, num_parts, sub_splits)
+    t_end = time.monotonic()
+
+    manifest = Manifest(
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=avgdl,
+        total_sym_tokens=total_sym_tokens,
+        avg_sym_dl=avg_sym_dl,
+        tokenizer=tokenizer,
+        max_doc_id=max_doc_id,
+        chunk_span=chunk_span,
+        num_parts=num_parts,
+        sub_splits=sub_splits,
+        partitions={
+            str(s["pgrp"]): {k: s[k] for k in ("segments", "rows", "bytes", "wall_s", "skipped")}
+            for s in summaries
+        },
+        metrics={
+            "docs_stage_s": round(t_docs - t0, 3),
+            "postings_stage_s": round(t_end - t_docs, 3),
+            "total_s": round(t_end - t0, 3),
+        },
+    )
+    manifest.save(out_dir)
+    return manifest

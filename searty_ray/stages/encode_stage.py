@@ -83,18 +83,16 @@ def _decode_and_sort_runs(runs: pa.Table):
     return st, sc, sd, stf, sbytes, blob_buf[gidx]
 
 
-def combine_runs(runs: pa.Table) -> pa.Table:
-    """Phase-1 combiner of the salted two-phase merge (SURVEY.md §2.5 A2):
-    merge MANY small runs into ONE combined run per (term, chunk).
-
-    Output rows use the run schema, so phase 2 is the unchanged
-    ``encode_partition`` — its lexsort degenerates to a k-way merge of the
-    ≤ salt combined runs per (term, chunk), and the final bytes are
-    IDENTICAL to the unsalted build (the encode is a pure function of the
-    entry multiset; pinned by pytest)."""
-    if len(runs) == 0:
-        return runs
-    st, sc, sd, stf, sbytes, pos_stream = _decode_and_sort_runs(runs)
+def entries_to_runs(
+    st: np.ndarray,
+    sc: np.ndarray,
+    sd: np.ndarray,
+    stf: np.ndarray,
+    sbytes: np.ndarray,
+    pos_stream: np.ndarray,
+) -> pa.Table:
+    """(term, chunk, doc)-sorted entry arrays + their compressed position
+    stream → run-schema rows, one per (term, chunk)."""
     E = len(sd)
     new_run = np.empty(E, dtype=bool)
     new_run[0] = True
@@ -126,6 +124,104 @@ def combine_runs(runs: pa.Table) -> pa.Table:
             "pos_blob": _binary_from(byte_offsets, pos_stream),
         }
     )
+
+
+def combine_runs(runs: pa.Table) -> pa.Table:
+    """Phase-1 combiner of the salted two-phase merge (SURVEY.md §2.5 A2):
+    merge MANY small runs into ONE combined run per (term, chunk).
+
+    Output rows use the run schema, so phase 2 is the unchanged
+    ``encode_partition`` — its lexsort degenerates to a k-way merge of the
+    ≤ salt combined runs per (term, chunk), and the final bytes are
+    IDENTICAL to the unsalted build (the encode is a pure function of the
+    entry multiset; pinned by pytest)."""
+    if len(runs) == 0:
+        return runs
+    st, sc, sd, stf, sbytes, pos_stream = _decode_and_sort_runs(runs)
+    return entries_to_runs(st, sc, sd, stf, sbytes, pos_stream)
+
+
+def segment_rows_to_entries(t: pa.Table, old_span: int):
+    """Encoded segment rows → entry-level arrays, in stored (row-major) order.
+
+    → (term, docs_old, tfs, pos_lens, byte_starts, pos_buf): one entry per
+    (term, chunk, doc) posting; ``byte_starts``/``pos_lens`` address each
+    entry's compressed position slice inside ``pos_buf``.  The inverse of
+    :func:`encode_partition`'s packing, decoded with the same bulk varint
+    passes the query reader uses."""
+    t = t.combine_chunks()
+    df_col = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk = t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    meta_vals = varint_decode(_binary_values(t.column("meta_blob").chunk(0))).astype(np.int64)
+    row_off = np.concatenate(([0], np.cumsum(1 + 2 * df_col)))[:-1]
+    E = int(df_col.sum())
+    rank = np.arange(E, dtype=np.int64) - np.repeat(np.cumsum(df_col) - df_col, df_col)
+    gaps = meta_vals[np.repeat(row_off + 1, df_col) + rank]
+    tfs = meta_vals[np.repeat(row_off + 1 + df_col, df_col) + rank]
+    docs_old = segmented_undelta(gaps, df_col) + np.repeat(chunk * old_span, df_col)
+
+    pos_lens = varint_decode(_binary_values(t.column("pos_len_blob").chunk(0))).astype(np.int64)
+    pos_col = t.column("pos_blob").chunk(0)
+    pos_buf = np.frombuffer(_binary_values(pos_col), dtype=np.uint8)
+    row_blob_off = _binary_offsets(pos_col)
+    within = np.cumsum(pos_lens) - pos_lens
+    row_first_entry = np.cumsum(df_col) - df_col
+    base = row_blob_off[:-1] - within[np.minimum(row_first_entry, max(E - 1, 0))]
+    byte_starts = within + np.repeat(base, df_col)
+
+    term = np.repeat(tk, df_col)
+    return term, docs_old, tfs, pos_lens, byte_starts, pos_buf
+
+
+class SegmentsToRuns:
+    """Merge-time stage: one index's segment rows → run-schema rows with doc
+    ids remapped into the merged id space (dropped duplicates filtered).
+
+    This is what lets :func:`pipelines.merge.merge_indexes` reuse the build
+    shuffle WITHOUT re-tokenizing: positions stay compressed byte slices end
+    to end — only doc ids, chunks and gaps are recomputed."""
+
+    def __init__(self, remap_ref, old_span: int, new_span: int):
+        import ray
+
+        old_ids, new_ids, kept = (
+            ray.get(remap_ref) if isinstance(remap_ref, ray.ObjectRef) else remap_ref
+        )
+        self.old_ids = old_ids  # ascending
+        self.new_ids = new_ids
+        self.kept = kept
+        self.old_span = old_span
+        self.new_span = new_span
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        term, docs_old, tfs, pos_lens, byte_starts, pos_buf = segment_rows_to_entries(
+            batch, self.old_span
+        )
+        idx = np.minimum(np.searchsorted(self.old_ids, docs_old), len(self.old_ids) - 1)
+        keep = (self.old_ids[idx] == docs_old) & self.kept[idx]
+        term, tfs = term[keep], tfs[keep]
+        pos_lens, byte_starts = pos_lens[keep], byte_starts[keep]
+        if len(term) == 0:
+            from ..stages.tokenize_stage import _empty_runs
+
+            return _empty_runs()
+        new_docs = self.new_ids[idx[keep]]
+        new_chunk = new_docs // self.new_span
+        order = np.lexsort((new_docs, new_chunk, term))
+        st, sc, sd = term[order], new_chunk[order], new_docs[order]
+        stf, sbytes, sstart = tfs[order], pos_lens[order], byte_starts[order]
+        total = int(sbytes.sum())
+        ends = np.cumsum(sbytes)
+        gidx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(ends - sbytes, sbytes)
+            + np.repeat(sstart, sbytes)
+        )
+        return entries_to_runs(st, sc, sd, stf, sbytes, pos_buf[gidx])
 
 
 def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -> pa.Table:

@@ -1,0 +1,96 @@
+"""Index-level merge: N built indexes → one, no re-tokenization
+(pipelines/merge.py; reference parity with searty-merge, merge.go:455-502)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from searty_ray.pipelines.build import build_index
+from searty_ray.pipelines.merge import merge_indexes
+from searty_ray.query import BM25Searcher, IndexReader, PhraseSearcher, SymbolSearcher
+from searty_ray.sources.corpus import generate_fixture_corpus
+
+
+def _split(corpus: pa.Table, pred) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = pred(corpus["repo"])
+    return corpus.filter(mask)
+
+
+@pytest.fixture(scope="module")
+def merged_setup(ray_session, tmp_path_factory):
+    import pyarrow.compute as pc
+
+    root = tmp_path_factory.mktemp("merge")
+    corpus, _defs = generate_fixture_corpus(n_files=30, seed=13)
+    a = corpus.filter(pc.equal(corpus["repo"], "cl-ppcre"))
+    b = corpus.filter(pc.not_equal(corpus["repo"], "cl-ppcre"))
+    dirs = {}
+    for name, tbl in [("a", a), ("b", b), ("union", corpus)]:
+        d = str(root / f"ix_{name}")
+        build_index(ray.data.from_arrow(tbl), d, num_parts=4, chunk_span=16,
+                    tokenizer="trigram+symbols")
+        dirs[name] = d
+    out = str(root / "ix_merged")
+    merge_indexes([dirs["a"], dirs["b"]], out, num_parts=4, chunk_span=16)
+    return dirs, out
+
+
+def test_merge_segments_byte_identical_to_direct_build(merged_setup):
+    """Disjoint shards: merged segments == direct build over the union
+    corpus, byte for byte (same ids from the same global sort, same encode
+    over the same entry multiset)."""
+    dirs, out = merged_setup
+    a = pq.read_table(os.path.join(dirs["union"], "segments"))
+    b = pq.read_table(os.path.join(out, "segments"))
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert a.sort_by(order).equals(b.sort_by(order))
+
+
+def test_merge_manifest_and_queries(merged_setup):
+    dirs, out = merged_setup
+    from searty_ray.state.manifest import Manifest
+
+    mu = Manifest.load(dirs["union"])
+    mm = Manifest.load(out)
+    assert (mm.n_docs, mm.total_tokens, mm.max_doc_id) == (mu.n_docs, mu.total_tokens, mu.max_doc_id)
+    ru, rm = IndexReader(dirs["union"]), IndexReader(out)
+    pu = PhraseSearcher(ru).search("defun").to_pydict()
+    pm = PhraseSearcher(rm).search("defun").to_pydict()
+    assert pu == pm
+    bu = BM25Searcher(ru).topk("list cons", 10).to_pydict()
+    bm = BM25Searcher(rm).topk("list cons", 10).to_pydict()
+    assert bu == bm
+    su = SymbolSearcher(ru).search("PKG1").to_pydict()
+    sm = SymbolSearcher(rm).search("PKG1").to_pydict()
+    assert su == sm
+
+
+def test_merge_dedupes_duplicate_filenames_first_wins(ray_session, tmp_path):
+    """Reference semantics (merge.go:164-171): same (repo, path) in two
+    shards → the FIRST index's document survives."""
+
+    def mk(content: str) -> pa.Table:
+        return pa.table(
+            {
+                "repo": ["r"],
+                "path": ["src/x.lisp"],
+                "commit": ["c1"],
+                "lang": ["commonlisp"],
+                "content": pa.array([content], type=pa.large_string()),
+            }
+        )
+
+    d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(ray.data.from_arrow(mk("alpha unique-one")), d1, num_parts=2, chunk_span=16)
+    build_index(ray.data.from_arrow(mk("beta unique-two")), d2, num_parts=2, chunk_span=16)
+    out = str(tmp_path / "im")
+    m = merge_indexes([d1, d2], out, num_parts=2, chunk_span=16)
+    assert m.n_docs == 1
+    r = IndexReader(out)
+    assert PhraseSearcher(r).search("unique-one").num_rows == 1  # first index wins
+    assert PhraseSearcher(r).search("unique-two").num_rows == 0

@@ -214,6 +214,62 @@ ORDER BY term, doc_id, pos
 """
 
 
+def _ensure_merged_index(sf_dir: str) -> str:
+    """Two half-indexes (doc parity split) merged via the index-level merge
+    — the merged index must answer EXACTLY like one built over the full
+    corpus, so the full-corpus SQL oracles check the merge end to end."""
+    from .merge import merge_indexes
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(CACHE_ROOT, f"merge_{name}_{_data_fingerprint(sf_dir)}")
+    merged = os.path.join(base, "merged")
+    if os.path.exists(os.path.join(merged, "manifest.json")):
+        return merged
+    halves = []
+    for parity in (0, 1):
+        d = os.path.join(base, f"half{parity}")
+
+        def pick(batch, parity=parity):
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        corpus = corpus_from_documents(sf_dir, override_num_blocks=8).map_batches(
+            pick, batch_format="pyarrow"
+        )
+        build_index(corpus, d, tokenizer="trigram+symbols")
+        halves.append(d)
+    merge_indexes(halves, merged)
+    return merged
+
+
+def q_merge_postings(sf_dir: str):
+    """postings probe against the MERGED index — value-hash-checked against
+    the same full-corpus SQL as ``postings_probe``."""
+    index_dir = _ensure_merged_index(sf_dir)
+    r = IndexReader(index_dir)
+    keys = {t: int(pack_trigrams(codepoints(t))[0]) for t in _POSTING_PROBE}
+    plists = r.lookup(np.array(list(keys.values()), dtype=np.uint64))
+    terms, docs, poss = [], [], []
+    for t in sorted(_POSTING_PROBE):
+        tp = plists[keys[t]]
+        if tp is None:
+            continue
+        expanded = np.repeat(tp.doc_ids, tp.tfs)
+        terms.extend([t] * len(tp.positions))
+        docs.extend(expanded.tolist())
+        poss.extend(tp.positions.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+        }
+    )
+
+
 def q_phrase_search(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q)
@@ -1042,6 +1098,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "term_stats": q_term_stats,
     "postings_probe": q_postings_probe,
+    "merge_postings": q_merge_postings,
     "phrase_search": q_phrase_search,
     "phrase_ranges": q_phrase_ranges,
     "bm25_topk": q_bm25_topk,
@@ -1078,6 +1135,7 @@ ORACLE_SQL = {
     "corpus_stats": SQL_CORPUS_STATS,
     "term_stats": SQL_TERM_STATS,
     "postings_probe": SQL_POSTINGS_PROBE,
+    "merge_postings": SQL_POSTINGS_PROBE,  # merged index ≡ full-corpus build
     "phrase_search": SQL_PHRASE_SEARCH,
     "phrase_ranges": SQL_PHRASE_RANGES,
     "bm25_topk": SQL_BM25_TOPK,

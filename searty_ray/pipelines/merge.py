@@ -80,8 +80,17 @@ def merge_indexes(
     all_keys = all_keys.sort_values(["src", "doc_id"], kind="stable")
     all_keys["kept"] = ~all_keys.duplicated(subset=["repo", "path"], keep="first")
     kept = all_keys[all_keys["kept"]].copy()
-    kept = kept.sort_values(["repo", "path", "commit"], kind="stable").reset_index(drop=True)
-    kept["new_id"] = np.arange(len(kept), dtype=np.int64)
+    if kept["doc_id"].is_unique:
+        # collision-free shards (e.g. caller-assigned global ids): PRESERVE
+        # ids — exactly what a direct build over the union would produce,
+        # and what incremental re-merges need for id stability
+        kept = kept.reset_index(drop=True)
+        kept["new_id"] = kept["doc_id"].to_numpy(dtype=np.int64)
+    else:
+        # colliding per-shard dense ids: reassign from the same global
+        # (repo, path, commit) sort the build's assign_doc_ids uses
+        kept = kept.sort_values(["repo", "path", "commit"], kind="stable").reset_index(drop=True)
+        kept["new_id"] = np.arange(len(kept), dtype=np.int64)
 
     remaps: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for src in range(len(index_dirs)):
@@ -95,7 +104,7 @@ def merge_indexes(
         remaps.append((old_ids, new_ids, kept_mask))
 
     n_docs = len(kept)
-    max_doc_id = n_docs - 1 if n_docs else -1
+    max_doc_id = int(kept["new_id"].max()) if n_docs else -1
     if chunk_span is None:
         chunk_span = pick_chunk_span(n_docs)
 

@@ -1,15 +1,21 @@
 """Tokenize + batch-level combine: corpus batches → posting *runs*.
 
 This stage fuses searty's tokenizer (M1) with the per-document half of the
-posting aggregation (A1) **and** a free combiner: within each Arrow batch it
-groups the (term, doc, positions) triples by (term, chunk), emitting ONE run
-row per distinct (term, chunk) per batch, so the groupby-shuffle moves
-compact list-typed runs instead of one row per (term, doc).  For the
-head-heavy trigram distribution of code this collapses a batch of B docs
-from ~B·(runes-2) posting rows to ~|vocab| run rows.
+posting aggregation (A1) **and** a free combiner: it groups the
+(term, doc, position) occurrences of the WHOLE batch by (term, chunk),
+emitting ONE run row per distinct (term, chunk) per batch, so the
+groupby-shuffle moves compact compressed runs instead of one row per
+(term, doc).  For the head-heavy trigram distribution of code this
+collapses a batch of B docs from ~B·(runes-2) posting rows to ~|vocab|
+run rows.
 
-Everything is numpy; the only Python loop is over the documents of the
-batch (inner work is vectorized per doc, O(runes · log runes)).
+Batch-GLOBAL vectorization: all documents' codepoints are decoded in one
+pass over the joined text, every trigram window key is computed in one
+shifted-add, and a single stable lexsort by (term, doc) yields the final
+occurrence order (chunk is monotone in doc, and stability keeps per-doc
+positions ascending — the invariant the reference asserts in
+postinglist.go:96-106).  The only Python loop is the symbol-regex scan per
+document (optional, ``trigram+symbols``).
 
 A "chunk" is ``doc_id // chunk_span``: posting lists are doc-range-sharded
 so a df≈N term is built and queried as independent chunks (SURVEY.md §7
@@ -22,67 +28,96 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import position_gaps, varint_encode, varint_sizes
-from ..functions.tokenize import tokenize_doc, tokenize_doc_symbols
+from ..functions.tokenize import _SHIFT1, _SHIFT2, SYMBOL_RE, codepoints, symbol_key
+
+
+def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(starts, lens)
 
 
 class TokenizeCombine:
     """Callable for ``map_batches(..., batch_format="pyarrow")``.
 
-    Stateless in spirit, but declared as a class so the build pipeline can
-    run it in an actor pool and amortize nothing-yet / future tokenizer
-    state (e.g. alternative analyzers from the tokenizer registry).
-    """
+    Holds the per-process symbol-key cache (symbols repeat heavily across
+    documents; md5 runs once per distinct identifier)."""
 
     def __init__(self, chunk_span: int, emit_symbols: bool = False):
         self.chunk_span = chunk_span
         self.emit_symbols = emit_symbols
+        self._sym_cache: dict[str, int] = {}
+
+    def _symbol_occurrences(
+        self, texts: list[str], doc_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        keys: list[int] = []
+        docs: list[int] = []
+        pos: list[int] = []
+        cache = self._sym_cache
+        for d, text in zip(doc_ids, texts):
+            for mt in SYMBOL_RE.finditer(text):
+                s = mt.group(0)
+                k = cache.get(s)
+                if k is None:
+                    if len(cache) > 1 << 20:
+                        cache.clear()
+                    k = cache[s] = symbol_key(s)
+                keys.append(k)
+                docs.append(int(d))
+                pos.append(mt.start())
+        return (
+            np.array(keys, dtype=np.uint64),
+            np.array(docs, dtype=np.int64),
+            np.array(pos, dtype=np.int32),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        contents = batch["content"]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts: list[str] = batch["content"].to_pylist()
 
-        per_doc = []  # (doc_id, uniq_terms, tfs, positions)
-        for i in range(len(batch)):
-            text = contents[i].as_py()
-            uniq, tfs, positions = tokenize_doc(text)
-            if self.emit_symbols:
-                sk, stf_, sp = tokenize_doc_symbols(text)
-                if len(sk):  # symbol keys have the high bit set: disjoint range
-                    uniq = np.concatenate([uniq, sk])
-                    tfs = np.concatenate([tfs, stf_])
-                    positions = np.concatenate([positions, sp])
-            if len(uniq):
-                per_doc.append((int(doc_ids[i]), uniq, tfs, positions))
+        # ---- trigram occurrences, batch-global ----
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        cps = codepoints("".join(texts))
+        if len(cps) >= 3:
+            c = cps.astype(np.uint64)
+            gkeys = (c[:-2] << _SHIFT1) | (c[1:-1] << _SHIFT2) | c[2:]
+        else:
+            gkeys = np.empty(0, dtype=np.uint64)
+        off = np.cumsum(lens) - lens
+        nw = np.clip(lens - 2, 0, None)
+        widx = _expand_ranges(off, nw)  # global index of each window start
+        wkeys = gkeys[widx] if len(widx) else np.empty(0, dtype=np.uint64)
+        wdoc = np.repeat(doc_ids, nw)
+        wpos = (widx - np.repeat(off, nw)).astype(np.int32)
 
-        if not per_doc:
+        if self.emit_symbols:
+            sk, sd_, sp = self._symbol_occurrences(texts, doc_ids)
+            if len(sk):
+                wkeys = np.concatenate([wkeys, sk])
+                wdoc = np.concatenate([wdoc, sd_])
+                wpos = np.concatenate([wpos, sp])
+
+        n_occ = len(wkeys)
+        if n_occ == 0:
             return _empty_runs()
 
-        # row-level arrays: one row per (doc, term)
-        rk = np.concatenate([u for _, u, _, _ in per_doc])
-        rtf = np.concatenate([t for _, _, t, _ in per_doc]).astype(np.int64)
-        rdoc = np.concatenate(
-            [np.full(len(u), d, dtype=np.int64) for d, u, _, _ in per_doc]
-        )
-        pos_all = np.concatenate([p for _, _, _, p in per_doc])
-        # start offset of each row's position slice within pos_all
-        row_start = np.concatenate(
-            [np.cumsum(t, dtype=np.int64) - t for _, _, t, _ in per_doc]
-        )
-        doc_pos_base = np.cumsum([0] + [len(p) for _, _, _, p in per_doc[:-1]], dtype=np.int64)
-        row_start = row_start + np.repeat(
-            doc_pos_base, [len(u) for _, u, _, _ in per_doc]
-        )
+        # ONE stable sort: (term, doc); chunk = doc // span is monotone in
+        # doc, and stability keeps each doc's positions ascending
+        order = np.lexsort((wdoc, wkeys))
+        k_occ, d_occ, out_pos = wkeys[order], wdoc[order], wpos[order]
 
-        rchunk = rdoc // self.chunk_span
-
-        order = np.lexsort((rdoc, rchunk, rk))
-        sk, sc, sd, stf, sstart = rk[order], rchunk[order], rdoc[order], rtf[order], row_start[order]
-
-        # gather positions into run order (expand-ranges trick, no loop)
-        total = int(stf.sum())
-        ends = np.cumsum(stf)
-        idx = np.arange(total, dtype=np.int64) - np.repeat(ends - stf, stf) + np.repeat(sstart, stf)
-        out_pos = pos_all[idx]
+        # row boundaries: change of (term, doc) → one row per (doc, term)
+        new_row = np.empty(n_occ, dtype=bool)
+        new_row[0] = True
+        new_row[1:] = (k_occ[1:] != k_occ[:-1]) | (d_occ[1:] != d_occ[:-1])
+        row_starts = np.nonzero(new_row)[0]
+        sk_r = k_occ[row_starts]
+        sd_r = d_occ[row_starts]
+        stf = np.diff(np.append(row_starts, n_occ)).astype(np.int64)
+        sc_r = sd_r // self.chunk_span
 
         # delta+varbyte-compress positions HERE, before the shuffle: the
         # groupby then moves ~1.2 bytes/position instead of 4, and the
@@ -92,13 +127,13 @@ class TokenizeCombine:
         pg = position_gaps(out_pos, stf)
         sizes = varint_sizes(pg)
         data = varint_encode(pg)
-        entry_bytes = np.add.reduceat(sizes, ends - stf).astype(np.int32) if total else np.empty(0, np.int32)
+        entry_bytes = np.add.reduceat(sizes, row_starts).astype(np.int64)
 
-        # run boundaries: change of (term, chunk)
-        n = len(sk)
+        # run boundaries: change of (term, chunk) over the rows
+        n = len(sk_r)
         new_run = np.empty(n, dtype=bool)
         new_run[0] = True
-        new_run[1:] = (sk[1:] != sk[:-1]) | (sc[1:] != sc[:-1])
+        new_run[1:] = (sk_r[1:] != sk_r[:-1]) | (sc_r[1:] != sc_r[:-1])
         run_starts = np.nonzero(new_run)[0]
         run_counts = np.diff(np.append(run_starts, n))
 
@@ -108,13 +143,13 @@ class TokenizeCombine:
         # byte lengths, each one varint stream sliced per run.  The shuffle
         # then moves ~3-4 B per entry + ~1.2 B per position.
         dgap = np.empty(n, dtype=np.int64)
-        dgap[1:] = sd[1:] - sd[:-1]
-        dgap[run_starts] = sd[run_starts]
+        dgap[1:] = sd_r[1:] - sd_r[:-1]
+        dgap[run_starts] = sd_r[run_starts]
 
         def _stream(values: np.ndarray) -> pa.Array:
-            sizes = varint_sizes(values)
+            sizes_ = varint_sizes(values)
             data_ = varint_encode(values)
-            per_run = np.add.reduceat(sizes, run_starts)
+            per_run = np.add.reduceat(sizes_, run_starts)
             offs = np.concatenate(([0], np.cumsum(per_run))).astype(np.int64)
             return pa.Array.from_buffers(
                 pa.large_binary(),
@@ -122,7 +157,7 @@ class TokenizeCombine:
                 [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data_.tobytes())],
             )
 
-        run_byte_counts = np.add.reduceat(entry_bytes.astype(np.int64), run_starts)
+        run_byte_counts = np.add.reduceat(entry_bytes, run_starts)
         byte_offsets = np.concatenate(([0], np.cumsum(run_byte_counts))).astype(np.int64)
         pos_blob = pa.Array.from_buffers(
             pa.large_binary(),
@@ -131,8 +166,8 @@ class TokenizeCombine:
         )
         return pa.table(
             {
-                "term_key": pa.array(sk[run_starts], type=pa.uint64()),
-                "chunk": pa.array(sc[run_starts], type=pa.int64()),
+                "term_key": pa.array(sk_r[run_starts], type=pa.uint64()),
+                "chunk": pa.array(sc_r[run_starts], type=pa.int64()),
                 "n_docs": pa.array(run_counts.astype(np.int32), type=pa.int32()),
                 "doc_blob": _stream(dgap.astype(np.uint64)),
                 "tf_blob": _stream(stf.astype(np.uint64)),

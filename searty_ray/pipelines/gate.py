@@ -73,8 +73,11 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
-def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """documents table; pass ``columns`` so the projection happens AT the
+    parquet scan (Ray's planner runs select_columns as a separate Project
+    operator after the read — it does not push down)."""
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _trigrams(s: str) -> list[str]:
@@ -550,8 +553,7 @@ def q_topk_words(sf_dir: str):
         return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy()})
 
     counts = (
-        _docs(sf_dir)
-        .select_columns(["text"])
+        _docs(sf_dir, ["text"])
         .map_batches(partial_counts, batch_format="pandas")
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="n"))
@@ -572,7 +574,7 @@ LIMIT {TOPK_WORDS_N}
 
 
 def q_dedup_exact(sf_dir: str):
-    return dedup.exact_dedup(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_DEDUP_EXACT = """
@@ -585,7 +587,7 @@ ORDER BY doc_id
 
 def q_dedup_jaccard(sf_dir: str):
     out = dedup.jaccard_dedup_pairs(
-        _docs(sf_dir).select_columns(["doc_id", "text", "source", "lang"]),
+        _docs(sf_dir, ["doc_id", "text", "source", "lang"]),
         ["source", "lang"],
         JACCARD_THRESHOLD,
     )
@@ -614,7 +616,7 @@ ORDER BY doc_id_a, doc_id_b
 
 def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(
-        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
     )
 
 
@@ -691,7 +693,7 @@ SQL_DEDUP_MINHASH = _sql_dedup_minhash(0.5)
 
 
 def q_dedup_simhash(sf_dir: str):
-    return dedup.simhash_near_dups(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return dedup.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
 
 
 # DuckDB mirror of SimHash near-dup: md5-derived word hashes, per-bit signed
@@ -816,8 +818,7 @@ SQL_ANN_IVF = SQL_KNN_COSINE
 
 def q_lang_id(sf_dir: str):
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(textstats.lang_id_batch, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
@@ -854,8 +855,7 @@ SQL_LANG_ID = _sql_lang_id()
 
 def q_quality(sf_dir: str):
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(textstats.quality_batch, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
@@ -881,8 +881,7 @@ FROM w ORDER BY doc_id
 
 def q_token_counts(sf_dir: str):
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(textstats.token_counts_batch, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
@@ -901,8 +900,7 @@ FROM documents ORDER BY doc_id
 
 def q_fingerprint(sf_dir: str):
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(textstats.fingerprint_batch, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
@@ -923,8 +921,7 @@ def q_multimodal_meta(sf_dir: str):
     from ..functions.resources import actor_pool
 
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
         .map_batches(
             multimodal.ImageDecodeStage,
@@ -958,8 +955,7 @@ def q_frame_sample(sf_dir: str):
     from ..functions.resources import actor_pool
 
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
         .map_batches(
             multimodal.FrameSampleStage,
@@ -988,8 +984,7 @@ def q_audio_meta(sf_dir: str):
     from ..functions.resources import actor_pool
 
     return (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(multimodal.attach_audio_batch, batch_format="pyarrow")
         .map_batches(
             multimodal.AudioDecodeStage,

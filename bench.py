@@ -213,7 +213,9 @@ def main() -> None:
         _emit(timings, n_files, n_bytes, p50, p95, cores_used)
         ray.shutdown()
         return
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )  # prune at the scan: the ops only touch (doc_id, text)
     t0 = time.monotonic()
     dedup.exact_dedup(docs).count()
     timings["dedup_exact"] = time.monotonic() - t0

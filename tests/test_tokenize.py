@@ -51,3 +51,55 @@ def test_doc_length():
     assert tk.doc_length("あいうえお") == 3
     assert tk.doc_length("ab") == 0
     assert tk.doc_length("") == 0
+
+
+def test_tokenize_combine_batch_global_equals_per_doc():
+    """Property: the batch-GLOBAL TokenizeCombine (one joined codepoint pass
+    + one lexsort) emits exactly the runs a per-document tokenize_doc oracle
+    would — random unicode content, short docs, empties, multibyte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    from searty_ray.functions.codec import decode_pos_blob, varint_decode, segmented_undelta
+    from searty_ray.functions.tokenize import tokenize_doc, tokenize_doc_symbols
+    from searty_ray.stages.encode_stage import _binary_values
+    from searty_ray.stages.tokenize_stage import TokenizeCombine
+
+    alphabet = st.sampled_from(list("ab z\n()-*日本語x"))
+    texts_s = st.lists(st.text(alphabet, min_size=0, max_size=40), min_size=1, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(texts=texts_s)
+    def check(texts):
+        span = 8
+        batch = pa.table(
+            {
+                "doc_id": pa.array(list(range(0, 3 * len(texts), 3)), type=pa.int64()),
+                "content": pa.array(texts, type=pa.large_string()),
+            }
+        )
+        runs = TokenizeCombine(span, emit_symbols=True)(batch)
+        # decode the emitted runs back into (term -> {doc -> positions})
+        got: dict[int, dict[int, list[int]]] = {}
+        if len(runs):
+            n_docs = runs["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dgap = varint_decode(_binary_values(runs.column("doc_blob").combine_chunks()))
+            docs = segmented_undelta(dgap, n_docs)
+            tfs = varint_decode(_binary_values(runs.column("tf_blob").combine_chunks())).astype(np.int64)
+            pos = decode_pos_blob(_binary_values(runs.column("pos_blob").combine_chunks()), tfs)
+            tk = np.repeat(runs["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64), n_docs)
+            off = np.cumsum(tfs) - tfs
+            for i, (k, d) in enumerate(zip(tk, docs)):
+                got.setdefault(int(k), {})[int(d)] = pos[off[i] : off[i] + tfs[i]].tolist()
+        # per-doc oracle
+        want: dict[int, dict[int, list[int]]] = {}
+        for di, text in zip(batch["doc_id"].to_pylist(), texts):
+            for fn in (tokenize_doc, tokenize_doc_symbols):
+                uniq, tfs_d, positions = fn(text)
+                o = np.cumsum(tfs_d) - tfs_d
+                for j, k in enumerate(uniq):
+                    want.setdefault(int(k), {})[di] = positions[o[j] : o[j] + tfs_d[j]].tolist()
+        assert got == want
+
+    check()

@@ -109,8 +109,10 @@ def merge_indexes(
         chunk_span = pick_chunk_span(n_docs)
 
     # ---- documents / symbols with remapped ids (streaming) ----
+    remap_refs = [ray.put(r) for r in remaps]  # one broadcast per index
+
     def remap_stage(src: int, id_col: str = "doc_id"):
-        ref = ray.put(remaps[src])
+        ref = remap_refs[src]
 
         def fn(batch: pa.Table) -> pa.Table:
             old_ids, new_ids, kept_mask = ray.get(ref)
@@ -156,7 +158,7 @@ def merge_indexes(
     # ---- segments → remapped runs → the build's own shuffle+encode ----
     runs = None
     for src, (d, m) in enumerate(zip(index_dirs, manifests)):
-        ref = ray.put(remaps[src])
+        ref = remap_refs[src]
         part = ray.data.read_parquet(
             os.path.join(d, "segments"),
             columns=["term_key", "chunk", "df", "meta_blob", "pos_len_blob", "pos_blob"],

@@ -92,3 +92,42 @@ def test_index_spec_end_to_end(ray_session, spec_tree, tmp_path):
     root_doc = sys_t["root_doc_id"].iloc[0]
     docs = pq.read_table(f"{index_dir}/documents", columns=["doc_id", "path"]).to_pandas()
     assert docs[docs["doc_id"] == root_doc]["path"].iloc[0] == "cl-demo.asd"
+
+
+def test_index_spec_multi_system(ray_session, spec_tree, tmp_path):
+    """Two specs → one index (the reference's merge workflow, spec-level):
+    both systems' docs, symbols and provenance rows land in one index."""
+    import json
+
+    spec_path, _root = spec_tree
+    root2 = tmp_path / "other-sys"
+    (root2 / "src").mkdir(parents=True)
+    asd2 = root2 / "other-sys.asd"
+    asd2.write_text('(defsystem :other-sys)\n')
+    f2 = root2 / "src" / "core.lisp"
+    f2.write_text("(defpackage :other-sys (:use :cl))\n(defun widget-maker (x) x)\n")
+    spec2 = {
+        "system_name": "other-sys",
+        "asd_file": str(asd2),
+        "root_directory": str(root2),
+        "files": [str(f2)],
+        "definitions": [
+            {
+                "identifier": {"type": "symbol", "name": "WIDGET-MAKER", "package": "OTHER-SYS"},
+                "locations": [{"specifier": "DEFUN", "file": str(f2), "position": 33}],
+            }
+        ],
+        "time": 1.0,
+    }
+    p2 = root2 / "other-sys.json"
+    p2.write_text(json.dumps(spec2))
+
+    index_dir = str(tmp_path / "multi")
+    m = index_spec([spec_path, str(p2)], index_dir)
+    assert m.n_docs == 5  # 3 from cl-demo + 2 from other-sys
+    r = IndexReader(index_dir)
+    assert len(SymbolSearcher(r).search("other-sys::widget-maker")) == 1
+    assert len(SymbolSearcher(r).search("cl-demo::greet")) == 1
+    sys_t = pq.read_table(f"{index_dir}/system").to_pandas().sort_values("system_name")
+    assert list(sys_t["system_name"]) == ["cl-demo", "other-sys"]
+    assert (sys_t["root_doc_id"] >= 0).all()

@@ -893,7 +893,8 @@ SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_words,
-       greatest(length(text) - 2, 0)::BIGINT AS n_trigrams
+       greatest(length(text) - 2, 0)::BIGINT AS n_trigrams,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+'))::BIGINT AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -976,6 +977,62 @@ SELECT * FROM (
   FROM documents
 ) ORDER BY doc_id, frame_idx
 """
+
+
+RESIZE_W, RESIZE_H = 16, 12
+
+
+def q_image_resize(sf_dir: str):
+    """Real nearest-neighbor resize over the decoded P6 rasters; the oracle
+    checks the full plumbing geometry (every doc resized to fixed dims, P6
+    re-encode size exact); pixel-level correctness is pinned against a numpy
+    reference in pytest."""
+    from ..functions.resources import actor_pool
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.ImageResizeStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=actor_pool(),
+            fn_constructor_kwargs={"out_w": RESIZE_W, "out_h": RESIZE_H},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "width", "height", "n_bytes"]]
+
+
+_P6_HDR_LEN = len(f"P6\n{RESIZE_W} {RESIZE_H}\n255\n")
+SQL_IMAGE_RESIZE = f"""
+SELECT doc_id, {RESIZE_W}::BIGINT AS width, {RESIZE_H}::BIGINT AS height,
+       ({_P6_HDR_LEN} + {RESIZE_W} * {RESIZE_H} * 3)::BIGINT AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_image_features(sf_dir: str):
+    """Numpy feature kernels over decoded rasters (mean RGB, luminance std,
+    edge density) — decoded-binary math, no SQL equivalent: rows-only gate
+    + numpy-reference pytest."""
+    from ..functions.resources import actor_pool
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.ImageFeatureStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=actor_pool(),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def q_audio_meta(sf_dir: str):
@@ -1120,6 +1177,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
+    "image_resize": q_image_resize,
+    "image_features": q_image_features,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
@@ -1157,6 +1216,8 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,
+    "image_resize": SQL_IMAGE_RESIZE,
+    # image_features: decoded-binary numpy kernels — rows-only by design
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,

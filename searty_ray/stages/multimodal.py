@@ -159,6 +159,83 @@ class FrameSampleStage:
         )
 
 
+def _ppm_pixels(buf: bytes) -> tuple[np.ndarray, int]:
+    """Parse a P6 payload into an (h, w, 3) uint8 array (+ n_frames)."""
+    w, h, maxval, f = _parse_ppm(buf)
+    if maxval != 255:
+        raise ValueError("only 8-bit P6 supported")
+    # pixel data = last w*h*3 bytes (header is ASCII, ends with single ws)
+    data = np.frombuffer(buf, dtype=np.uint8)[-w * h * 3 :]
+    return data.reshape(h, w, 3), f
+
+
+class ImageResizeStage:
+    """Actor-pool resize: REAL nearest-neighbor resampling of the decoded
+    raster (pure numpy fancy-index gather), re-encoded as a valid P6
+    payload.  `map_batches(ImageResizeStage, batch_size=32,
+    fn_constructor_kwargs={"out_w": .., "out_h": ..})`."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 12):
+        self.out_w = out_w
+        self.out_h = out_h
+        # precomputed per-actor: nothing heavy here, but the contract stands
+        self._header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out = []
+        for v in col:
+            px, _f = _ppm_pixels(v.as_py())
+            h, w, _ = px.shape
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            small = px[yi][:, xi]
+            out.append(self._header + small.tobytes())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(out, type=pa.large_binary()),
+                "width": pa.array([self.out_w] * len(out), type=pa.int64()),
+                "height": pa.array([self.out_h] * len(out), type=pa.int64()),
+                "n_bytes": pa.array([len(b) for b in out], type=pa.int64()),
+            }
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool feature extraction over decoded rasters — REAL numpy
+    kernels: per-channel means, luminance standard deviation, and edge
+    density (mean |∇| of the luminance plane).  Engine-defined values →
+    rows-only gate + numpy-reference pytest."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        mr, mg, mb, lstd, edge = [], [], [], [], []
+        for v in col:
+            px, _f = _ppm_pixels(v.as_py())
+            f64 = px.astype(np.float64)
+            mr.append(f64[:, :, 0].mean())
+            mg.append(f64[:, :, 1].mean())
+            mb.append(f64[:, :, 2].mean())
+            lum = f64 @ np.array([0.299, 0.587, 0.114])
+            lstd.append(float(lum.std()))
+            gy = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+            gx = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
+            edge.append(float(gy + gx))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "mean_r": pa.array(np.round(mr, 6), type=pa.float64()),
+                "mean_g": pa.array(np.round(mg, 6), type=pa.float64()),
+                "mean_b": pa.array(np.round(mb, 6), type=pa.float64()),
+                "lum_std": pa.array(np.round(lstd, 6), type=pa.float64()),
+                "edge_density": pa.array(np.round(edge, 6), type=pa.float64()),
+            }
+        )
+
+
 # ---------------------------------------------------------------------------
 # audio: RIFF/WAVE
 # ---------------------------------------------------------------------------

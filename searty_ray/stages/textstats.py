@@ -96,15 +96,24 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization (driver instructions: "whitespace + a BPE-ish
+#: regex"): letter runs, digit runs, punctuation runs — the granularity a
+#: byte-pair tokenizer merges from.  Alternation-order-free, so Python re
+#: and DuckDB RE2 count identically (SQL mirror in pipelines/gate.py).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
 def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_chars = batch["text"].str.len().astype("int64")
     n_words = batch["text"].str.split().str.len().fillna(0).astype("int64")
+    n_bpe = batch["text"].str.count(BPE_RE).astype("int64")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_chars": n_chars,
             "n_words": n_words,
             "n_trigrams": (n_chars - 2).clip(lower=0),
+            "n_bpe_tokens": n_bpe,
         }
     )
 

@@ -307,3 +307,28 @@ def test_ivf_search_batch_distributed(ray_session, tmp_path):
     # full probe == exact: self is nearest for every query
     top = out.sort_values(["query_id", "score"], ascending=[True, False]).groupby("query_id").head(1)
     assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()
+
+
+def test_image_resize_and_features_real_kernels(ray_session):
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["hello world " * 5, "z" * 200])})
+    payload = multimodal.attach_payload_batch(t)
+    resized = multimodal.ImageResizeStage(out_w=8, out_h=6)(payload)
+    assert resized["width"].to_pylist() == [8, 8] and resized["height"].to_pylist() == [6, 6]
+    # resized payloads are themselves valid P6 images
+    for v in resized["payload"]:
+        w, h, mx, _f = multimodal._parse_ppm(v.as_py())
+        assert (w, h, mx) == (8, 6, 255)
+    # nearest-neighbor matches a numpy reference on the first doc
+    px, _ = multimodal._ppm_pixels(payload["payload"][0].as_py())
+    hh, ww, _ = px.shape
+    yi = (np.arange(6) * hh) // 6
+    xi = (np.arange(8) * ww) // 8
+    want = px[yi][:, xi]
+    got, _ = multimodal._ppm_pixels(resized["payload"][0].as_py())
+    assert (got == want).all()
+    feats = multimodal.ImageFeatureStage()(payload)
+    f64 = px.astype(np.float64)
+    assert feats["mean_r"][0].as_py() == pytest.approx(f64[:, :, 0].mean(), abs=1e-6)
+    lum = f64 @ np.array([0.299, 0.587, 0.114])
+    assert feats["lum_std"][0].as_py() == pytest.approx(lum.std(), abs=1e-6)

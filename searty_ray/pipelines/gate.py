@@ -879,6 +879,54 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_quality_score(sf_dir: str):
+    """Batched model inference: actor-pool stage loads the (deterministic)
+    logistic model once per actor and scores whole batches (one matmul +
+    sigmoid); weights are embedded verbatim in the SQL mirror."""
+    from ..functions.resources import actor_pool
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            textstats.QualityModelStage,
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=actor_pool(),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_quality_score() -> str:
+    w0, w1, w2, w3, w4 = textstats.QUALITY_MODEL_W
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(len(list_filter(words, x -> list_contains({_sql_str_list(list(textstats.STOPWORDS))}, x)))::DOUBLE
+               / greatest(len(words), 1), 6) AS stop_ratio,
+         round(len(list_distinct(words))::DOUBLE / greatest(len(words), 1), 6) AS distinct_ratio,
+         round(list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE
+               / greatest(len(words), 1), 6) AS mean_word_len
+  FROM w
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({w0} + {w1} * (n_words / 100.0) + {w2} * stop_ratio
+                               + {w3} * distinct_ratio + {w4} * (mean_word_len / 10.0)))), 6)
+         AS quality_score
+FROM q ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_SCORE = _sql_quality_score()
+
+
 def q_token_counts(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1172,6 +1220,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1211,6 +1260,7 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,
+    "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,

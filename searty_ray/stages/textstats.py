@@ -118,6 +118,39 @@ def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: fixed quality-model coefficients (bias, n_words/100, stop_ratio,
+#: distinct_ratio, mean_word_len/10) — embedded verbatim in the SQL mirror
+QUALITY_MODEL_W = (-1.5, 0.8, 2.0, 1.2, 0.5)
+
+
+class QualityModelStage:
+    """Batched model inference (driver instructions: "batched model
+    inference" as an actor-pool stage): the "model" — a logistic regression
+    over the quality features — is materialized ONCE per actor in
+    ``__init__`` (stand-in for a real model load), and ``__call__`` scores a
+    whole batch with one matrix product + sigmoid.  Deterministic weights
+    keep it SQL-mirrorable (gate ``quality_score``); swap the constructor
+    body for a real checkpoint load in production."""
+
+    def __init__(self):
+        self.w = np.array(QUALITY_MODEL_W, dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(batch)
+        X = np.column_stack(
+            [
+                np.ones(len(q)),
+                q["n_words"].to_numpy(dtype=np.float64) / 100.0,
+                q["stop_ratio"].to_numpy(dtype=np.float64),
+                q["distinct_ratio"].to_numpy(dtype=np.float64),
+                q["mean_word_len"].to_numpy(dtype=np.float64) / 10.0,
+            ]
+        )
+        z = X @ self.w
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({"doc_id": q["doc_id"], "quality_score": np.round(score, 6)})
+
+
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     norm = batch["text"].map(lambda t: _WS_RE.sub(" ", t).lower())
     fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())

@@ -59,6 +59,7 @@ def merge_indexes(
     num_parts: int = DEFAULT_NUM_PARTS,
     sub_splits: int = DEFAULT_SUB_SPLITS,
     chunk_span: int | None = None,
+    preserve_ids: bool = False,
 ) -> Manifest:
     t0 = time.monotonic()
     manifests = [Manifest.load(d) for d in index_dirs]
@@ -80,15 +81,19 @@ def merge_indexes(
     all_keys = all_keys.sort_values(["src", "doc_id"], kind="stable")
     all_keys["kept"] = ~all_keys.duplicated(subset=["repo", "path"], keep="first")
     kept = all_keys[all_keys["kept"]].copy()
-    if kept["doc_id"].is_unique:
-        # collision-free shards (e.g. caller-assigned global ids): PRESERVE
-        # ids — exactly what a direct build over the union would produce,
-        # and what incremental re-merges need for id stability
+    if preserve_ids:
+        # explicit opt-in for caller-assigned global ids (hash mode /
+        # incremental re-merges needing id stability).  Never auto-detected:
+        # two sort-mode shards whose dense ranges coincidentally don't
+        # overlap would otherwise silently violate the byte-identical-to-
+        # direct-build contract (dense ids come from the GLOBAL sort).
+        if not kept["doc_id"].is_unique:
+            raise ValueError("preserve_ids=True but doc ids collide across indexes")
         kept = kept.reset_index(drop=True)
         kept["new_id"] = kept["doc_id"].to_numpy(dtype=np.int64)
     else:
-        # colliding per-shard dense ids: reassign from the same global
-        # (repo, path, commit) sort the build's assign_doc_ids uses
+        # reassign from the same global (repo, path, commit) sort the
+        # build's assign_doc_ids uses
         kept = kept.sort_values(["repo", "path", "commit"], kind="stable").reset_index(drop=True)
         kept["new_id"] = np.arange(len(kept), dtype=np.int64)
 
@@ -116,8 +121,10 @@ def merge_indexes(
 
         def fn(batch: pa.Table) -> pa.Table:
             old_ids, new_ids, kept_mask = ray.get(ref)
+            if len(old_ids) == 0:  # empty source index: nothing survives
+                return batch.slice(0, 0)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            idx = np.minimum(np.searchsorted(old_ids, ids), max(len(old_ids) - 1, 0))
+            idx = np.minimum(np.searchsorted(old_ids, ids), len(old_ids) - 1)
             keep = (old_ids[idx] == ids) & kept_mask[idx]
             t = batch.filter(pa.array(keep))
             new_col = pa.array(new_ids[idx[keep]], type=pa.int64())

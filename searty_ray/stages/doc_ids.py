@@ -74,7 +74,10 @@ def _hash_ids_batch(batch: pa.Table) -> pa.Table:
     col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
     mat[row, col] = buf[np.repeat(offs[:-1], lens) + col]
     h = mix64(lens.astype(np.uint64))  # length seed keeps prefixes distinct
+    # Mix only real key bytes per row (rows shorter than the batch max must
+    # NOT absorb padding rounds, or the id would depend on batch composition).
     for j in range(width):
-        h = mix64(h ^ mat[:, j].astype(np.uint64))
+        sel = lens > j
+        h[sel] = mix64(h[sel] ^ mat[sel, j].astype(np.uint64))
     ids = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return batch.add_column(0, "doc_id", pa.array(ids, type=pa.int64()))

@@ -196,8 +196,10 @@ class SegmentsToRuns:
         self.new_span = new_span
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
+        if len(batch) == 0 or len(self.old_ids) == 0:
+            from ..stages.tokenize_stage import _empty_runs
+
+            return _empty_runs()
         term, docs_old, tfs, pos_lens, byte_starts, pos_buf = segment_rows_to_entries(
             batch, self.old_span
         )

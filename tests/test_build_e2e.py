@@ -194,3 +194,31 @@ def test_salted_two_phase_merge_bytes_identical(fixture_corpus, tmp_path):
     first_docs = np.arange(0, 64, 8, dtype=np.uint64)  # one run per 8-doc block
     salts = set((mix64(first_docs) % np.uint64(4)).tolist())
     assert len(salts) > 1
+
+
+def test_hash_doc_ids_batch_composition_independent():
+    """Hash-mode ids are a pure function of (repo, path, commit) — the same key
+    must hash identically no matter what else shares its batch (mixing only
+    real key bytes per row, never batch-max padding rounds)."""
+    import pyarrow as pa
+
+    from searty_ray.stages.doc_ids import _hash_ids_batch
+
+    def tbl(rows):
+        return pa.table(
+            {
+                k: pa.array([r[i] for r in rows], type=pa.string())
+                for i, k in enumerate(("repo", "path", "commit"))
+            }
+        )
+
+    short = ("r", "a.lisp", "c1")
+    alone = _hash_ids_batch(tbl([short]))["doc_id"][0].as_py()
+    with_long = _hash_ids_batch(
+        tbl([short, ("repo-with-a-much-longer-name", "deep/nested/path/file.lisp", "c2" * 20)])
+    )["doc_id"][0].as_py()
+    assert alone == with_long
+    # and distinct keys still get distinct ids
+    t = _hash_ids_batch(tbl([short, ("r", "a.lisp", "c2"), ("r", "b.lisp", "c1")]))
+    ids = t["doc_id"].to_pylist()
+    assert len(set(ids)) == 3

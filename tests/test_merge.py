@@ -94,3 +94,48 @@ def test_merge_dedupes_duplicate_filenames_first_wins(ray_session, tmp_path):
     r = IndexReader(out)
     assert PhraseSearcher(r).search("unique-one").num_rows == 1  # first index wins
     assert PhraseSearcher(r).search("unique-two").num_rows == 0
+
+
+def test_merge_with_empty_index(ray_session, tmp_path):
+    """Merging an index that contributed zero documents (e.g. an all-duplicate
+    shard) must not crash on its empty remap array."""
+
+    def mk(path: str, content: str) -> pa.Table:
+        return pa.table(
+            {
+                "repo": ["r"],
+                "path": [path],
+                "commit": ["c1"],
+                "lang": ["commonlisp"],
+                "content": pa.array([content], type=pa.large_string()),
+            }
+        )
+
+    d1, d2, d3 = (str(tmp_path / f"i{i}") for i in range(3))
+    build_index(ray.data.from_arrow(mk("a.lisp", "alpha unique-one")), d1, num_parts=2, chunk_span=16)
+    # d2 duplicates d1's only filename — after first-wins dedupe it keeps 0 docs
+    build_index(ray.data.from_arrow(mk("a.lisp", "beta unique-two")), d2, num_parts=2, chunk_span=16)
+    build_index(ray.data.from_arrow(mk("b.lisp", "gamma unique-three")), d3, num_parts=2, chunk_span=16)
+    out = str(tmp_path / "im")
+    m = merge_indexes([d1, d2, d3], out, num_parts=2, chunk_span=16)
+    assert m.n_docs == 2
+    r = IndexReader(out)
+    assert PhraseSearcher(r).search("unique-one").num_rows == 1
+    assert PhraseSearcher(r).search("unique-two").num_rows == 0
+    assert PhraseSearcher(r).search("unique-three").num_rows == 1
+
+
+def test_merge_preserve_ids_requires_flag_and_uniqueness(ray_session, tmp_path):
+    """Id preservation is explicit opt-in (never auto-detected from a
+    coincidentally-collision-free union), and colliding ids reject it."""
+    corpus, _ = generate_fixture_corpus(n_files=8, seed=7)
+    import pyarrow.compute as pc
+
+    a = corpus.filter(pc.equal(corpus["repo"], corpus["repo"][0]))
+    b = corpus.filter(pc.not_equal(corpus["repo"], corpus["repo"][0]))
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    build_index(ray.data.from_arrow(a), d1, num_parts=2, chunk_span=16)
+    build_index(ray.data.from_arrow(b), d2, num_parts=2, chunk_span=16)
+    with pytest.raises(ValueError, match="preserve_ids"):
+        merge_indexes([d1, d2], str(tmp_path / "pm"), num_parts=2, chunk_span=16,
+                      preserve_ids=True)

@@ -53,3 +53,103 @@ def partition_group(
     p = term_part(np.asarray(term_key, dtype=np.uint64), num_parts).astype(np.int64)
     cg = np.asarray(chunk, dtype=np.int64) % sub_splits
     return (p * sub_splits + cg).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized byte-string hash + its DuckDB mirror (dedup word/shingle hashes)
+# ---------------------------------------------------------------------------
+
+def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """uint64 hash of n byte slices of ``buf`` — a length-seeded splitmix64
+    fold over big-endian 8-byte chunks (last chunk zero-padded; the length
+    seed keeps prefixes distinct, so padding is unambiguous).
+
+    This is the dedup pipeline's word/shingle hash primitive.  It is chosen
+    to be BOTH numpy-vectorizable (≈6 ops per 8 bytes over the whole batch —
+    no per-string Python, unlike a hashlib loop) AND bit-exactly expressible
+    in DuckDB (:func:`sql_hash_expr`), so the correctness gate mirrors
+    candidate generation end to end.  Rows are bucketed by chunk count: each
+    bucket runs with a fixed-width padded matrix, so one pathological huge
+    slice can't widen everyone's.
+    """
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    wlens = (lens + 7) // 8
+    for wl in np.unique(wlens):
+        sel = np.where(wlens == wl)[0]
+        out[sel] = _hash_bucket(buf, starts[sel], lens[sel], int(wl))
+    return out
+
+
+def _hash_bucket(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, wl: int) -> np.ndarray:
+    n = len(starts)
+    h = mix64(lens.astype(np.uint64))
+    if wl == 0:  # empty slices: hash = mix64(0)
+        return h
+    mat = np.zeros((n, wl * 8), dtype=np.uint8)
+    total = int(lens.sum())
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = buf[np.repeat(starts, lens) + col]
+    words = mat.view(">u8")  # big-endian chunks == the SQL mirror's hex substr
+    for j in range(wl):
+        h = mix64(h ^ words[:, j].astype(np.uint64))
+    return h
+
+
+def hash_str_u64(s: str) -> int:
+    """Scalar convenience wrapper over :func:`hash_bytes_u64`."""
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    return int(
+        hash_bytes_u64(b, np.zeros(1, dtype=np.int64), np.array([len(b)], dtype=np.int64))[0]
+    )
+
+
+_SQL_U64 = "18446744073709551616"
+_SQL_C = (11400714819323198485, 13787848793156543929, 10723151780598845931)
+
+
+def _sql_mul64(c: int, v: str) -> str:
+    """``(c * v) mod 2^64`` via HUGEINT hi/lo split — DuckDB UBIGINT
+    arithmetic errors on overflow instead of wrapping."""
+    return (
+        f"(({c}::HUGEINT * (({v}) % 4294967296)"
+        f" + (({c}::HUGEINT * (({v}) // 4294967296)) % 4294967296) * 4294967296)"
+        f" % {_SQL_U64})::UBIGINT"
+    )
+
+
+def _sql_mix64(x: str) -> str:
+    """Inline DuckDB expression computing ``mix64(x)``.  Each step is
+    let-bound via a single-element ``list_transform`` lambda so it evaluates
+    ONCE — naive textual nesting re-evaluates the whole prefix at every
+    reference (2^steps blowup)."""
+    c1, c2, c3 = _SQL_C
+    return (
+        f"list_transform([((({x})::HUGEINT + {c1}) % {_SQL_U64})::UBIGINT], mx1 -> "
+        f"list_transform([xor(mx1, mx1 >> 30)], mx2 -> "
+        f"list_transform([{_sql_mul64(c2, 'mx2')}], mx3 -> "
+        f"list_transform([xor(mx3, mx3 >> 27)], mx4 -> "
+        f"list_transform([{_sql_mul64(c3, 'mx4')}], mx5 -> "
+        f"xor(mx5, mx5 >> 31))[1])[1])[1])[1])[1]"
+    )
+
+
+def sql_hash_expr(s: str) -> str:
+    """DuckDB expression bit-identical to ``hash_str_u64(s)`` for a VARCHAR
+    expression ``s``: big-endian 8-byte chunks come from the hex dump of the
+    UTF-8 bytes (right-padded = zero-padded last chunk), the length seed is
+    prepended, and ``list_reduce`` performs the same fold."""
+    words = (
+        f"list_transform(range(0, (octet_length(encode({s})) + 7) // 8), "
+        f"j -> ('0x' || rpad(substr(hex(encode({s})), (j*16 + 1)::INT, 16), 16, '0'))::UBIGINT)"
+    )
+    seed = _sql_mix64(f"octet_length(encode({s}))")
+    return (
+        f"list_reduce(list_prepend(({seed})::UBIGINT, {words}), "
+        f"(h, w) -> ({_sql_mix64('xor(h, w)')})::UBIGINT)"
+    )

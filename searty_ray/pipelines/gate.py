@@ -21,6 +21,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..functions.hashing import sql_hash_expr as _hash_sql
 from ..functions.tokenize import pack_trigrams, codepoints, unpack_terms
 from ..query import (
     BM25Searcher,
@@ -621,9 +622,10 @@ def q_dedup_minhash(sf_dir: str):
 
 
 # DuckDB mirror of the ENTIRE MinHash+LSH pipeline — every hash primitive is
-# SQL-expressible by design (stages/dedup.py): md5-derived shingle hashes,
-# multiply-shift permutations (64-bit wrap via HUGEINT hi/lo split), band
-# candidacy on raw value tuples, exact-Jaccard verify at the same threshold.
+# SQL-expressible by design (stages/dedup.py): splitmix64 chunk-fold shingle
+# hashes (hashing.sql_hash_expr, bit-identical to the vectorized numpy
+# kernel), multiply-shift permutations (64-bit wrap via HUGEINT hi/lo split),
+# band candidacy on raw value tuples, exact-Jaccard verify at the threshold.
 _SQL_U64 = "18446744073709551616"
 
 
@@ -652,7 +654,7 @@ shl AS (
   FROM wordlists
 ),
 shstr AS (SELECT doc_id, unnest(shs) AS s FROM shl),
-sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS shh FROM shstr),
+sh AS (SELECT doc_id, ({_hash_sql('s')})::HUGEINT AS shh FROM shstr),
 perms(p, a, b) AS (VALUES {perm_rows}),
 mh AS (
   SELECT doc_id, p,
@@ -671,7 +673,7 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND {vjoin} AND a.doc_id < b.doc_id
 ),
 shsets AS (
-  SELECT doc_id, list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT)) AS hs
+  SELECT doc_id, list_distinct(list_transform(shs, s -> {_hash_sql('s')})) AS hs
   FROM shl
 ),
 jac AS (
@@ -696,17 +698,18 @@ def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
 
 
-# DuckDB mirror of SimHash near-dup: md5-derived word hashes, per-bit signed
-# sums, signature rebuilt from 32-bit halves, hamming = bit_count(xor(…)).
-# The engine's 4×16-bit band candidacy has recall 1 for hamming ≤ 3
-# (pigeonhole), so "all pairs with hamming ≤ 3" is the exact output contract.
-SQL_DEDUP_SIMHASH = """
+# DuckDB mirror of SimHash near-dup: splitmix64 chunk-fold word hashes
+# (hashing.sql_hash_expr), per-bit signed sums, signature rebuilt from 32-bit
+# halves, hamming = bit_count(xor(…)).  The engine's 4×16-bit band candidacy
+# has recall 1 for hamming ≤ 3 (pigeonhole), so "all pairs with hamming ≤ 3"
+# is the exact output contract.
+SQL_DEDUP_SIMHASH = f"""
 WITH wordlists AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
   FROM documents
 ),
 wr AS (SELECT doc_id, unnest(words) AS word FROM wordlists),
-wh AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM wr),
+wh AS (SELECT doc_id, {_hash_sql('word')} AS h FROM wr),
 bitsum AS (
   SELECT doc_id, bb.b AS b,
          sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v

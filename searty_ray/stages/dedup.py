@@ -18,10 +18,14 @@ Scale shapes:
                 has recall 1 for hamming ≤ 3; verified by true hamming in a
                 Ray filter stage.
 
-Every hash primitive here is deliberately SQL-expressible (md5-derived word
-and shingle hashes, multiply-shift permutations) so the correctness gate can
-mirror the ENTIRE pipeline — candidate generation included — in DuckDB
-(pipelines/gate.py SQL_DEDUP_MINHASH / SQL_DEDUP_SIMHASH).
+Every hash primitive here is deliberately SQL-expressible (the splitmix64
+chunk-fold word/shingle hash of functions/hashing.py, multiply-shift
+permutations) so the correctness gate can mirror the ENTIRE pipeline —
+candidate generation included — in DuckDB (pipelines/gate.py
+SQL_DEDUP_MINHASH / SQL_DEDUP_SIMHASH via hashing.sql_hash_expr).  The
+signature path has no per-row Python: shingle/word byte slices are computed
+from one normalized byte buffer per batch and hashed by the vectorized
+:func:`hash_bytes_u64` kernel.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.hashing import mix64
+from ..functions.hashing import hash_bytes_u64, hash_str_u64, mix64
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -62,18 +66,38 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _word_sets(texts: list[str]) -> list[set[str]]:
-    return [set(t.split()) for t in texts]
+JACCARD_BLOCK_CAP = 4096  # docs per block; overflow logged, never silent
 
 
 def jaccard_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Pairwise word-set Jaccard inside one block.
+
+    Word sets are sorted unique uint64 hash arrays from the batched kernel
+    (identical Jaccard values to string sets absent 64-bit collisions), so
+    the pair comparison is C-speed ``intersect1d`` — no Python set ops.
+    Blocks over JACCARD_BLOCK_CAP are truncated to the lowest doc_ids with a
+    logged warning (the gate's SQL oracle is uncapped, so a cap engaging at
+    gate scale fails the compare loudly)."""
+    group = group.sort_values("doc_id")
+    if len(group) > JACCARD_BLOCK_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "blocked Jaccard: block of %d docs over JACCARD_BLOCK_CAP=%d — "
+            "pairs among overflow docs dropped", len(group), JACCARD_BLOCK_CAP,
+        )
+        group = group.head(JACCARD_BLOCK_CAP)
     ids = group["doc_id"].to_numpy()
-    sets = _word_sets(group["text"].tolist())
+    flat, counts = _batch_word_set_hashes(group["text"].tolist())
+    sets = np.split(flat, np.cumsum(counts)[:-1]) if len(counts) else []
     a_ids, b_ids, sims = [], [], []
     for i, j in combinations(range(len(ids)), 2):
-        inter = len(sets[i] & sets[j])
-        union = len(sets[i] | sets[j])
-        sim = inter / union if union else 0.0
+        si, sj = sets[i], sets[j]
+        if len(si) == 0 and len(sj) == 0:
+            sim = 0.0
+        else:
+            inter = len(np.intersect1d(si, sj, assume_unique=True))
+            sim = inter / (len(si) + len(sj) - inter)
         if sim >= threshold:
             lo, hi = (i, j) if ids[i] < ids[j] else (j, i)
             a_ids.append(ids[lo])
@@ -110,22 +134,10 @@ PERM_A = (mix64(np.arange(N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
 PERM_B = mix64(np.arange(N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(2))
 
 
-def _md5_u64(s: str) -> int:
-    """First 8 bytes of md5, big-endian — ('0x' || substr(md5(s),1,16))::UBIGINT
-    in DuckDB, so the SQL oracle reproduces every hash bit-exactly."""
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-
-
-_hash_cache: dict[str, int] = {}
-
-
 def hash_word(word: str) -> int:
-    h = _hash_cache.get(word)
-    if h is None:
-        if len(_hash_cache) > 1 << 20:
-            _hash_cache.clear()
-        h = _hash_cache[word] = _md5_u64(word)
-    return h
+    """Scalar word/shingle hash — hashing.hash_str_u64 (the batch paths use
+    the vectorized hash_bytes_u64 directly; sql_hash_expr is the mirror)."""
+    return hash_str_u64(word)
 
 
 def shingle_strings(text: str, w: int = 3) -> list[str]:
@@ -138,12 +150,77 @@ def shingle_strings(text: str, w: int = 3) -> list[str]:
     return [" ".join(words)] if words else []
 
 
+def _norm_word_bounds(texts: list[str]):
+    """Whitespace-normalized UTF-8 buffer + flat word boundaries for a batch.
+
+    ``buf`` holds each text's ``" ".join(text.split())`` bytes concatenated;
+    since ``str.split()`` words contain no spaces and multi-byte UTF-8 never
+    contains 0x20, every space byte in ``buf`` is a word separator — so word
+    boundaries come from ONE vectorized byte scan, not per-word Python.
+    Returns (buf, doc_offsets[n+1], word_starts, word_ends, words_per_doc).
+    """
+    norms = [" ".join(t.split()).encode("utf-8") for t in texts]
+    dlens = np.array([len(b) for b in norms], dtype=np.int64)
+    buf = np.frombuffer(b"".join(norms), dtype=np.uint8)
+    doffs = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)
+    sp = np.where(buf == 0x20)[0]
+    nonempty = dlens > 0
+    ws = np.sort(np.concatenate([doffs[:-1][nonempty], sp + 1]))
+    we = np.sort(np.concatenate([doffs[1:][nonempty], sp]))
+    sp_doc = np.searchsorted(doffs, sp, side="right") - 1
+    nw = np.bincount(sp_doc, minlength=len(texts)).astype(np.int64) + nonempty.astype(np.int64)
+    return buf, doffs, ws, we, nw
+
+
+def _batch_shingle_hashes(texts: list[str], w: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct ascending shingle hashes for every doc of a batch, flattened.
+
+    Shingle byte ranges are slices of the normalized buffer (word i start →
+    word i+w-1 end spans exactly the ``" ".join(words[i:i+w])`` string), so
+    no shingle string is ever materialized.  → (flat_hashes, counts_per_doc).
+    """
+    n_docs = len(texts)
+    buf, doffs, ws, we, nw = _norm_word_bounds(texts)
+    base = np.cumsum(nw) - nw  # first flat word index per doc
+    ns = np.where(nw >= w, nw - w + 1, (nw > 0).astype(np.int64))
+    total = int(ns.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    docrep = np.repeat(np.arange(n_docs), ns)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(ns) - ns, ns)
+    full = nw[docrep] >= w
+    wi = base[docrep] + k
+    sstart = np.where(full, ws[wi], doffs[:-1][docrep])
+    send = np.where(full, we[np.minimum(wi + w - 1, len(we) - 1)], doffs[1:][docrep])
+    h = hash_bytes_u64(buf, sstart, send - sstart)
+    order = np.lexsort((h, docrep))
+    dh, hh = docrep[order], h[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+    return hh[keep], np.bincount(dh[keep], minlength=n_docs).astype(np.int64)
+
+
+def _batch_word_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash per word OCCURRENCE, doc-major. → (flat, words_per_doc)."""
+    buf, _doffs, ws, we, nw = _norm_word_bounds(texts)
+    return hash_bytes_u64(buf, ws, we - ws), nw
+
+
+def _batch_word_set_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct ascending word hashes per doc. → (flat, counts_per_doc)."""
+    flat, nw = _batch_word_hashes(texts)
+    docrep = np.repeat(np.arange(len(texts)), nw)
+    order = np.lexsort((flat, docrep))
+    dh, hh = docrep[order], flat[order]
+    keep = np.ones(len(hh), dtype=bool)
+    keep[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+    return hh[keep], np.bincount(dh[keep], minlength=len(texts)).astype(np.int64)
+
+
 def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Distinct uint64 md5-hashes of the word w-shingles, ascending."""
-    ss = shingle_strings(text, w)
-    if not ss:
-        return np.empty(0, np.uint64)
-    return np.unique(np.array([hash_word(s) for s in ss], dtype=np.uint64))
+    """Distinct uint64 hashes of the word w-shingles, ascending."""
+    flat, _counts = _batch_shingle_hashes([text], w)
+    return flat
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -167,15 +244,13 @@ class MinHashStage:
     shingles emit no rows (they can never be near-dups)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh_arrays = [_shingle_hashes(t) for t in batch["text"]]
-        lens = np.array([len(a) for a in sh_arrays], dtype=np.int64)
-        keep = lens > 0
+        cat, counts = _batch_shingle_hashes(batch["text"].tolist())
+        keep = counts > 0
         n = int(keep.sum())
         if n == 0:
             return _empty_band_rows()
         ids = batch["doc_id"].to_numpy()[keep].astype(np.int64)
-        cat = np.concatenate([a for a in sh_arrays if len(a)])
-        starts = np.concatenate(([0], np.cumsum(lens[keep])[:-1]))
+        starts = (np.cumsum(counts) - counts)[keep]
         with np.errstate(over="ignore"):
             H = PERM_A[:, None] * cat[None, :] + PERM_B[:, None]  # (64, S)
         sig = np.minimum.reduceat(H, starts, axis=1)  # (64, n)
@@ -220,18 +295,37 @@ def _empty_pairs() -> pd.DataFrame:
 def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs for every LSH bucket in one hash partition, each
     bucket capped at BUCKET_CAP docs.  Single-doc buckets (the vast
-    majority) are dropped with one vectorized ``duplicated`` mask."""
+    majority) are dropped with one vectorized ``duplicated`` mask.
+
+    Truncation is never silent: each engaged cap is counted and logged
+    (pairs among overflow docs are dropped; the dup CLUSTER stays linked
+    through the first CAP ids).  The gate's SQL oracle is uncapped, so a
+    cap engaging at gate scale fails the compare loudly rather than
+    diverging quietly."""
     multi = part[part.duplicated(subset=_BAND_COLS, keep=False)]
     if len(multi) == 0:
         return _empty_pairs()
     out_a, out_b = [], []
+    n_trunc = trunc_max = 0
     for _, g in multi.groupby(_BAND_COLS, sort=False):
-        ids = np.unique(g["doc_id"].to_numpy())[:BUCKET_CAP]
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) > BUCKET_CAP:
+            n_trunc += 1
+            trunc_max = max(trunc_max, len(ids))
+            ids = ids[:BUCKET_CAP]
         if len(ids) < 2:
             continue
         ii, jj = np.triu_indices(len(ids), k=1)
         out_a.append(ids[ii])
         out_b.append(ids[jj])
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash LSH: %d bucket(s) over BUCKET_CAP=%d (largest %d) — pairs "
+            "among overflow docs dropped; cluster linkage via first %d kept",
+            n_trunc, BUCKET_CAP, trunc_max, BUCKET_CAP,
+        )
     if not out_a:
         return _empty_pairs()
     return pd.DataFrame(
@@ -289,10 +383,9 @@ def _fetch_shingles(docs: ray.data.Dataset, ids: list[int]) -> dict[int, np.ndar
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["doc_id"].isin(id_set)]
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"].to_numpy(),
-             "sh": [_shingle_hashes(t) for t in b["text"]]}
-        )
+        flat, counts = _batch_shingle_hashes(b["text"].tolist())
+        parts = np.split(flat, np.cumsum(counts)[:-1]) if len(counts) else []
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sh": parts})
 
     out: dict[int, np.ndarray] = {}
     picked = docs.select_columns(["doc_id", "text"]).map_batches(pick, batch_format="pandas")
@@ -353,25 +446,22 @@ SIMHASH_BUCKET_CAP = 4096
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word-unigram md5 hashes (Charikar 2002)."""
+    """64-bit SimHash over word-unigram hashes (Charikar 2002)."""
     sig = _simhash_vec([text])
     return int(sig[0])
 
 
 def _simhash_vec(texts: list[str]) -> np.ndarray:
-    """Vectorized simhash for a batch: one (total_words × 64) bit matrix,
-    per-doc signed sums via ``add.reduceat``."""
-    word_lists = [t.split() for t in texts]
-    lens = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+    """Vectorized simhash for a batch: word hashes from the batched byte
+    kernel, one (total_words × 64) bit matrix, per-doc signed sums via
+    ``add.reduceat``."""
+    hs, lens = _batch_word_hashes(texts)
     sig = np.zeros(len(texts), dtype=np.uint64)
     nz = lens > 0
     if not nz.any():
         return sig
-    hs = np.array(
-        [hash_word(w) for ws, l in zip(word_lists, lens) if l for w in ws], dtype=np.uint64
-    )
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    starts = (np.cumsum(lens) - lens)[nz]
     v = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (n_nz, 64)
     sig[nz] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
     return sig
@@ -394,13 +484,18 @@ def _simhash_add_bpart(b: pd.DataFrame) -> pd.DataFrame:
 
 def _simhash_bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
     """Pairs for every (band, value) bucket in one hash partition (see
-    :func:`_bucket_pairs` for the coarse-partition rationale)."""
+    :func:`_bucket_pairs` for the coarse-partition rationale and the
+    cap-logging contract)."""
     multi = part[part.duplicated(subset=["band", "value"], keep=False)]
     if len(multi) == 0:
         return _simhash_empty_pairs()
     frames = []
+    n_trunc = 0
     for _, g in multi.groupby(["band", "value"], sort=False):
-        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id").head(SIMHASH_BUCKET_CAP)
+        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        if len(g) > SIMHASH_BUCKET_CAP:
+            n_trunc += 1
+            g = g.head(SIMHASH_BUCKET_CAP)
         if len(g) < 2:
             continue
         ids = g["doc_id"].to_numpy(dtype=np.int64)
@@ -410,6 +505,13 @@ def _simhash_bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
             pd.DataFrame(
                 {"doc_id_a": ids[ii], "doc_id_b": ids[jj], "sig_a": sigs[ii], "sig_b": sigs[jj]}
             )
+        )
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash LSH: %d bucket(s) over SIMHASH_BUCKET_CAP=%d — pairs "
+            "among overflow docs dropped", n_trunc, SIMHASH_BUCKET_CAP,
         )
     return pd.concat(frames, ignore_index=True) if frames else _simhash_empty_pairs()
 

@@ -332,3 +332,74 @@ def test_image_resize_and_features_real_kernels(ray_session):
     assert feats["mean_r"][0].as_py() == pytest.approx(f64[:, :, 0].mean(), abs=1e-6)
     lum = f64 @ np.array([0.299, 0.587, 0.114])
     assert feats["lum_std"][0].as_py() == pytest.approx(lum.std(), abs=1e-6)
+
+
+def test_hash_bytes_u64_matches_scalar_and_sql():
+    """The vectorized chunk-fold hash == the scalar wrapper == the DuckDB
+    mirror expression, bit for bit (the dedup oracles depend on this)."""
+    import duckdb
+    import numpy as np
+
+    from searty_ray.functions.hashing import hash_bytes_u64, hash_str_u64, sql_hash_expr
+
+    strs = ["", "a", "ab", "abcdefg", "abcdefgh", "abcdefghi", "hello world foo",
+            "日本語テスト", "é" * 11, "x" * 100, "word1 word2 word3"]
+    bs = [s.encode("utf-8") for s in strs]
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    vec = hash_bytes_u64(buf, starts, lens)
+    con = duckdb.connect()
+    for s, v in zip(strs, vec):
+        assert int(v) == hash_str_u64(s)
+        got = con.sql(
+            f"SELECT {sql_hash_expr('s')} FROM (SELECT $1::VARCHAR AS s)", params=[s]
+        ).fetchone()[0]
+        assert int(got) == int(v), s
+
+
+def test_batch_shingle_hashes_match_naive():
+    """The zero-per-row-Python batch shingle kernel == the per-string naive
+    path (shingle_strings + hash_word + unique) for every doc shape."""
+    import numpy as np
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "one two",
+        "one two three",
+        "one two three four five",
+        "dup dup dup dup",
+        "日本 語 テスト です ね",
+        "a  b\t c\nd",  # mixed whitespace normalizes
+    ]
+    flat, counts = dedup._batch_shingle_hashes(texts)
+    assert len(flat) == counts.sum()
+    off = 0
+    for t, c in zip(texts, counts):
+        got = flat[off : off + c]
+        off += c
+        want = np.unique(
+            np.array([dedup.hash_word(s) for s in dedup.shingle_strings(t)], dtype=np.uint64)
+        )
+        assert (got == want).all(), t
+
+
+def test_simhash_matches_naive_word_hashes():
+    import numpy as np
+
+    texts = ["hello world hello", "", "one", "日本 語 テスト"]
+    sigs = dedup._simhash_vec(texts)
+    for t, s in zip(texts, sigs):
+        words = t.split()
+        if not words:
+            assert int(s) == 0
+            continue
+        v = np.zeros(64, dtype=np.int64)
+        for w in words:
+            h = dedup.hash_word(w)
+            for b in range(64):
+                v[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(64) if v[b] > 0)
+        assert int(s) == want, t

@@ -14,6 +14,7 @@ statistics on the sorted ``term_key`` column prune reads further.
 from __future__ import annotations
 
 import os
+import re
 from collections import OrderedDict
 from dataclasses import dataclass
 
@@ -434,25 +435,39 @@ class PhraseSearcher:
             cur = cur[other[idx] == cur]
         return (cur // _POS_SPAN).astype(np.int64), (cur % _POS_SPAN).astype(np.int64)
 
-    def search(self, query: str) -> pa.Table:
-        """→ (doc_id, filename, start, end), ranges merged, sorted (filename, start)."""
+    def search(self, query: str, limit: int | None = None) -> pa.Table:
+        """→ (doc_id, filename, start, end), ranges merged, sorted (filename, start).
+
+        ``limit=None`` keeps the reference's print-everything semantics
+        (pretty_print.go:56-76).  With a limit, the result is exactly the
+        head of the unlimited ordering (pinned by pytest), but only those
+        rows materialize Arrow strings — the sort runs on integer rank
+        arrays, so a >10k-match phrase no longer pays a full resolve+sort
+        tail.  The filename join is vectorized either way (searchsorted into
+        the doc_id-sorted cache + one take; no per-row dict lookups)."""
         docs, bases = self.base_positions(query)
         qlen = len(query)
         starts, ends, out_docs = _merge_ranges_vec(docs, bases, qlen)
         if len(out_docs) == 0:
             return _phrase_empty()
-        meta = self.reader.resolve_docs(out_docs, ["filename"])
-        fn = dict(zip(meta["doc_id"].to_pylist(), meta["filename"].to_pylist()))
-        filenames = [fn[int(d)] for d in out_docs]
-        t = pa.table(
+        meta = self.reader.resolve_docs(out_docs, ["filename"])  # unique, doc_id-sorted
+        m_ids = meta["doc_id"].to_numpy()
+        fnames = meta["filename"].combine_chunks()
+        sort_idx = pc.sort_indices(fnames).to_numpy()
+        rank = np.empty(len(m_ids), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(m_ids))
+        codes = np.searchsorted(m_ids, out_docs)
+        order = np.lexsort((starts, rank[codes]))
+        if limit is not None:
+            order = order[:limit]
+        return pa.table(
             {
-                "doc_id": pa.array(out_docs, type=pa.int64()),
-                "filename": pa.array(filenames, type=pa.string()),
-                "start": pa.array(starts, type=pa.int64()),
-                "end": pa.array(ends, type=pa.int64()),
+                "doc_id": pa.array(out_docs[order], type=pa.int64()),
+                "filename": fnames.take(pa.array(codes[order], type=pa.int64())),
+                "start": pa.array(starts[order], type=pa.int64()),
+                "end": pa.array(ends[order], type=pa.int64()),
             }
         )
-        return t.sort_by([("filename", "ascending"), ("start", "ascending")])
 
 
 _POS_SPAN = np.int64(1) << np.int64(33)
@@ -717,22 +732,47 @@ class FileSearcher:
 
 
 class PrettyPrinter:
-    """filename:start:end:line result rendering (pretty_print.go:56-76)."""
+    """filename:start:end:line result rendering (pretty_print.go:56-76).
 
-    def __init__(self, reader: IndexReader):
+    Doc-major streamed: results arrive sorted by (filename, start) with one
+    filename per doc, so each doc's rows are contiguous; bodies are fetched
+    ``doc_batch`` docs at a time and released — memory is bounded by the
+    chunk, not the result set.  Line boundaries per doc come from one
+    C-regex newline scan + searchsorted over all of that doc's matches."""
+
+    _NL = re.compile("\n")
+
+    def __init__(self, reader: IndexReader, doc_batch: int = 256):
         self.reader = reader
+        self.doc_batch = doc_batch
 
     def render(self, phrase_results: pa.Table) -> pa.Table:
-        doc_ids = phrase_results["doc_id"].to_numpy()
-        if len(doc_ids) == 0:
+        n = len(phrase_results)
+        if n == 0:
             return phrase_results.append_column("line", pa.array([], type=pa.string()))
-        bodies = self.reader.content_for(doc_ids)
-        lines = []
-        for row in phrase_results.to_pylist():
-            text = bodies[row["doc_id"]]
-            ls = text.rfind("\n", 0, row["start"]) + 1
-            le = text.find("\n", row["end"])
-            lines.append(text[ls : le if le >= 0 else len(text)])
+        docs = phrase_results["doc_id"].to_numpy()
+        starts = phrase_results["start"].to_numpy()
+        ends = phrase_results["end"].to_numpy()
+        bounds = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1, [n]))
+        group_docs = docs[bounds[:-1]]
+        lines: list[str | None] = [None] * n
+        for gi in range(0, len(group_docs), self.doc_batch):
+            bodies = self.reader.content_for(group_docs[gi : gi + self.doc_batch])
+            for g in range(gi, min(gi + self.doc_batch, len(group_docs))):
+                text = bodies[int(group_docs[g])]
+                lo, hi = int(bounds[g]), int(bounds[g + 1])
+                nls = np.array([m.start() for m in self._NL.finditer(text)], dtype=np.int64)
+                s, e = starts[lo:hi], ends[lo:hi]
+                if len(nls):
+                    k = np.searchsorted(nls, s)  # rfind("\n", 0, start) + 1
+                    ls = np.where(k > 0, nls[np.maximum(k - 1, 0)] + 1, 0)
+                    k2 = np.searchsorted(nls, e)  # find("\n", end)
+                    le = np.where(k2 < len(nls), nls[np.minimum(k2, len(nls) - 1)], len(text))
+                else:
+                    ls = np.zeros(hi - lo, dtype=np.int64)
+                    le = np.full(hi - lo, len(text), dtype=np.int64)
+                for r in range(hi - lo):
+                    lines[lo + r] = text[ls[r] : le[r]]
         return phrase_results.append_column("line", pa.array(lines, type=pa.string()))
 
 
@@ -744,7 +784,11 @@ class QueryEngine:
     summary columns kept scalar for Arrow friendliness.
     """
 
-    def __init__(self, index_dir: str, prewarm: bool = True):
+    def __init__(self, index_dir: str, prewarm: bool = True, phrase_limit: int | None = None):
+        # phrase_limit=None = reference print-all parity; a bound is the
+        # practical scale knob for >10k-match phrases (limited == head of the
+        # unlimited ordering, so n_results/head stay comparable)
+        self.phrase_limit = phrase_limit
         self.reader = IndexReader(index_dir)
         self.phrase = PhraseSearcher(self.reader)
         self.ranked = BM25Searcher(self.reader)
@@ -770,7 +814,7 @@ class QueryEngine:
             k = int(row.get("k") or 10)
             t0 = time.monotonic()
             if kind == "phrase":
-                res = self.phrase.search(q)
+                res = self.phrase.search(q, limit=self.phrase_limit)
                 head = res["filename"][0].as_py() if len(res) else ""
             elif kind == "ranked":
                 # exhaustive DAAT is the fast path for trigram queries (every

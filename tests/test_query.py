@@ -89,3 +89,23 @@ def test_phrase_multibyte_rune_offsets(reader, fixture_oracle):
     for row in res:
         doc = fixture_oracle.docs[row["doc_id"]]
         assert doc.content[row["start"] : row["start"] + 3] == "あいう"
+
+
+def test_phrase_limit_is_head_of_unlimited(reader):
+    """limit= materializes exactly the first rows of the print-all ordering
+    (reference parity stays the default; the bound is the scale knob)."""
+    ph = PhraseSearcher(reader)
+    full = ph.search("defun")
+    assert len(full) > 3
+    for lim in (1, 3, len(full), len(full) + 10):
+        head = ph.search("defun", limit=lim)
+        assert head.equals(full.slice(0, min(lim, len(full))))
+
+
+def test_pretty_print_small_doc_batch(reader, fixture_oracle):
+    """Doc-major streaming with a tiny chunk renders identically."""
+    ph = PhraseSearcher(reader)
+    res = ph.search("defun")
+    a = PrettyPrinter(reader).render(res)
+    b = PrettyPrinter(reader, doc_batch=1).render(res)
+    assert a.equals(b)

@@ -9,9 +9,10 @@ SURVEY.md §2.9), so windows are expressed batch-style over the ordered
   partial per-batch aggregation, then one small ``groupby`` over partials:
   the pre-aggregate pattern, so the shuffle moves one row per
   (key, window, batch) instead of per event.
-* session — ``groupby(user).map_groups``: gap-based sessionization inside
-  each sorted group (the partitioning assumption: one user's events fit one
-  group; salt by time-range per user if a user exceeds that at scale).
+* session — two-phase TIME-SALTED sessionization: (user, time-range salt)
+  fragments first, then an O(sessions) per-user fragment merge — no group
+  ever holds more than one user's one time range of events, so a skewed
+  user cannot create an unbounded group.
 """
 
 from __future__ import annotations
@@ -82,28 +83,101 @@ def hopping_aggregate(
     )
 
 
+SESSION_PARTS = 64  # coarse hash partitions (see NOTES: never group by a
+# fine key — per-group UDF overhead; per-key work is C-level pandas inside)
+
+
 def sessionize(
-    events: ray.data.Dataset, gap_s: int = 1800
+    events: ray.data.Dataset, gap_s: int = 1800, salt_span_s: int | None = None
 ) -> ray.data.Dataset:
     """→ (user_id, session_start_us, n_events, duration_us): gap-based
-    sessions per user (new session when ts - prev_ts > gap)."""
+    sessions per user (new session when ts - prev_ts > gap).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("datetime64[us]").astype("int64").sort_values().to_numpy()
-        gaps = np.diff(ts, prepend=ts[0])
-        new = gaps > gap_s * 1_000_000
-        new[0] = True
-        sid = np.cumsum(new) - 1
-        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid").agg(
-            session_start_us=("ts", "min"), session_end_us=("ts", "max"), n_events=("ts", "size")
-        )
+    Two-phase TIME-SALTED so one pathological user is never one unbounded
+    group: phase 1 partitions by hash(user, salt) where salt = a coarse
+    time range (default 256 gaps wide), sessionizing each (user, salt)
+    range independently into session FRAGMENTS; phase 2 partitions by
+    hash(user) over the fragments (O(sessions), not O(events)) and merges
+    fragments whose boundary gap ≤ gap — salt ranges partition time, so
+    ``start_next - end_prev`` IS the true inter-event gap at the seam and
+    the merged output is exactly the unsalted sessionization.  Both phases
+    group by SESSION_PARTS coarse hash partitions with vectorized multi-key
+    kernels inside.
+    """
+    gap_us = gap_s * 1_000_000
+    span_us = (salt_span_s if salt_span_s is not None else gap_s * 256) * 1_000_000
+
+    from ..functions.hashing import mix64
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        salt = epoch_us // span_us
+        uid = b["user_id"].to_numpy()
+        h = mix64(uid.astype(np.uint64) ^ mix64(salt.astype(np.uint64)))
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].iloc[0],
-                "session_start_us": out["session_start_us"],
-                "n_events": out["n_events"],
-                "duration_us": out["session_end_us"] - out["session_start_us"],
+                "user_id": uid,
+                "salt": salt,
+                "epoch_us": epoch_us,
+                "bpart": (h % np.uint64(SESSION_PARTS)).astype(np.int32),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def fragments(part: pd.DataFrame) -> pd.DataFrame:
+        """All (user, salt) ranges of one partition → session fragments,
+        one vectorized pass (no per-user Python)."""
+        p = part.sort_values(["user_id", "salt", "epoch_us"], kind="stable")
+        ts = p["epoch_us"].to_numpy()
+        uid = p["user_id"].to_numpy()
+        salt = p["salt"].to_numpy()
+        new = np.ones(len(p), dtype=bool)
+        new[1:] = (
+            (uid[1:] != uid[:-1])
+            | (salt[1:] != salt[:-1])  # never merge across salts here: the
+            # in-between range may live in another partition (phase 2 merges)
+            | (ts[1:] - ts[:-1] > gap_us)
+        )
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid").agg(
+            s=("ts", "min"), e=("ts", "max"), n=("ts", "size")
+        )
+        out["user_id"] = uid[new]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(),
+                "s": out["s"].to_numpy(),
+                "e": out["e"].to_numpy(),
+                "n": out["n"].to_numpy(dtype=np.int64),
+                "bpart2": (
+                    mix64(out["user_id"].to_numpy().astype(np.uint64))
+                    % np.uint64(SESSION_PARTS)
+                ).astype(np.int32),
+            }
+        )
+
+    def merge_fragments(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "s"], kind="stable")
+        uid = p["user_id"].to_numpy()
+        s, e, n = p["s"].to_numpy(), p["e"].to_numpy(), p["n"].to_numpy()
+        new = np.ones(len(p), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (s[1:] - e[:-1] > gap_us)
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"sid": sid, "s": s, "e": e, "n": n}).groupby("sid").agg(
+            session_start_us=("s", "min"), session_end_us=("e", "max"), n_events=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": uid[new],
+                "session_start_us": out["session_start_us"].to_numpy(),
+                "n_events": out["n_events"].to_numpy(dtype=np.int64),
+                "duration_us": (out["session_end_us"] - out["session_start_us"]).to_numpy(),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pandas")
+        .groupby("bpart")
+        .map_groups(fragments, batch_format="pandas")
+        .groupby("bpart2")
+        .map_groups(merge_fragments, batch_format="pandas")
+    )

@@ -403,3 +403,60 @@ def test_simhash_matches_naive_word_hashes():
                 v[b] += 1 if (h >> b) & 1 else -1
         want = sum(1 << b for b in range(64) if v[b] > 0)
         assert int(s) == want, t
+
+
+def _naive_sessions(df: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].astype("datetime64[us]").astype("int64").to_numpy())
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] > gap_s * 1_000_000:
+                rows.append((uid, cur[0], len(cur), cur[-1] - cur[0]))
+                cur = [t]
+            else:
+                cur.append(t)
+        rows.append((uid, cur[0], len(cur), cur[-1] - cur[0]))
+    return (
+        pd.DataFrame(rows, columns=["user_id", "session_start_us", "n_events", "duration_us"])
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sessionize_salted_skewed_user(ray_session):
+    """One user owning 90% of events: the time salt splits that user across
+    >1 phase-1 fragment group, and the merged output still equals the naive
+    unsalted sessionization exactly (boundary sessions healed)."""
+    from searty_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(77)
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    rows = []
+    # hot user 1: 900 events over ~10 days, gaps straddling the 1800s gap
+    t = base
+    for _ in range(900):
+        t += int(rng.integers(60, 4000)) * 1_000_000
+        rows.append({"ts": pd.Timestamp(t, unit="us"), "user_id": 1})
+    # 10 cold users with a few events each
+    for uid in range(2, 12):
+        t2 = base
+        for _ in range(10):
+            t2 += int(rng.integers(60, 4000)) * 1_000_000
+            rows.append({"ts": pd.Timestamp(t2, unit="us"), "user_id": uid})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    # small salt span (2h) → the hot user spans many salt ranges
+    got = (
+        sessionize(ds, gap_s=1800, salt_span_s=7200)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = _naive_sessions(df, 1800)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), want.astype({"n_events": "int64"})
+    )
+    # the salt really engaged: hot user's events span > 1 salt range
+    span = df[df.user_id == 1]["ts"].astype("datetime64[us]").astype("int64")
+    assert (span.max() - span.min()) // (7200 * 1_000_000) > 1

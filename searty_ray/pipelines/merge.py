@@ -11,7 +11,8 @@ single-threaded.  This pipeline does the same job as Ray Data stages:
    build uses, so a merge of disjoint indexes is byte-identical to a direct
    build over the union corpus (pinned by pytest);
 2. documents / docmeta / symbols rewritten with remapped ids (streaming
-   ``map_batches``, broadcast remap arrays);
+   ``map_batches``; remaps ship as per-old-chunk shards resolved on demand,
+   never a whole O(docs) broadcast per index);
 3. segments → :class:`SegmentsToRuns` (decode metadata, remap ids, gather
    the still-compressed position slices) → the build's own
    ``shuffle_encode_runs``.  Tokenization — the dominant CPU cost at
@@ -34,7 +35,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..stages.encode_stage import SegmentsToRuns
+from ..stages.encode_stage import SegmentsToRuns, resolve_shards, shard_remap
 from ..state.manifest import Manifest
 from .build import (
     DEFAULT_NUM_PARTS,
@@ -113,17 +114,29 @@ def merge_indexes(
     if chunk_span is None:
         chunk_span = pick_chunk_span(n_docs)
 
-    # ---- documents / symbols with remapped ids (streaming) ----
-    remap_refs = [ray.put(r) for r in remaps]  # one broadcast per index
+    # ---- remaps SHARDED by old-chunk range, not broadcast whole ----
+    # Each index's remap is split along the chunk ranges its segments files
+    # already use; stages resolve only the shards their batches touch (LRU),
+    # so per-actor remap residency is O(shards touched × chunk_span), never
+    # O(index docs) — the 10^12-doc path.  Only the dict of ObjectRefs
+    # (O(#chunks), tiny) ships to every task.
+    remap_shards = [
+        shard_remap(r, m.chunk_span) for r, m in zip(remaps, manifests)
+    ]
 
     def remap_stage(src: int, id_col: str = "doc_id"):
-        ref = remap_refs[src]
+        shards = remap_shards[src]
+        old_span = manifests[src].chunk_span
 
         def fn(batch: pa.Table) -> pa.Table:
-            old_ids, new_ids, kept_mask = ray.get(ref)
-            if len(old_ids) == 0:  # empty source index: nothing survives
+            if not shards:  # empty source index: nothing survives
                 return batch.slice(0, 0)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            old_ids, new_ids, kept_mask = resolve_shards(
+                shards, np.unique(ids // old_span)
+            )
+            if len(old_ids) == 0:
+                return batch.slice(0, 0)
             idx = np.minimum(np.searchsorted(old_ids, ids), len(old_ids) - 1)
             keep = (old_ids[idx] == ids) & kept_mask[idx]
             t = batch.filter(pa.array(keep))
@@ -165,7 +178,6 @@ def merge_indexes(
     # ---- segments → remapped runs → the build's own shuffle+encode ----
     runs = None
     for src, (d, m) in enumerate(zip(index_dirs, manifests)):
-        ref = remap_refs[src]
         part = ray.data.read_parquet(
             os.path.join(d, "segments"),
             columns=["term_key", "chunk", "df", "meta_blob", "pos_len_blob", "pos_blob"],
@@ -174,7 +186,7 @@ def merge_indexes(
             batch_format="pyarrow",
             concurrency=(1, max(2, num_parts)),
             fn_constructor_kwargs={
-                "remap_ref": ref,
+                "remap_shards": remap_shards[src],
                 "old_span": m.chunk_span,
                 "new_span": chunk_span,
             },

@@ -175,43 +175,97 @@ def segment_rows_to_entries(t: pa.Table, old_span: int):
     return term, docs_old, tfs, pos_lens, byte_starts, pos_buf
 
 
+def shard_remap(
+    remap: tuple[np.ndarray, np.ndarray, np.ndarray], old_span: int
+) -> dict[int, object]:
+    """Split one index's (old_ids, new_ids, kept) remap into per-old-chunk
+    shards, each placed in the object store once.  Stages ship only the dict
+    of refs (O(#chunks)) and resolve the shards their batches touch — never
+    the whole O(docs) remap (the 10^12-doc merge path)."""
+    import ray
+
+    old_ids, new_ids, kept_mask = remap
+    if len(old_ids) == 0:
+        return {}
+    chunks = old_ids // old_span
+    bounds = np.flatnonzero(np.concatenate(([True], chunks[1:] != chunks[:-1])))
+    bounds = np.concatenate((bounds, [len(old_ids)]))
+    out: dict[int, object] = {}
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        out[int(chunks[lo])] = ray.put(
+            (old_ids[lo:hi], new_ids[lo:hi], kept_mask[lo:hi])
+        )
+    return out
+
+
+_REMAP_CACHE_SHARDS = 64  # bounded per-actor residency: shards × chunk_span
+
+
+def resolve_shards(
+    shards: dict[int, object], needed_chunks: np.ndarray, cache: dict | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenated (old_ids, new_ids, kept) covering ``needed_chunks`` only
+    (np.unique gives ascending chunks → ascending old ids, so the callers'
+    searchsorted lookups are unaffected)."""
+    import ray
+
+    parts = []
+    for c in np.asarray(needed_chunks).tolist():
+        c = int(c)
+        ref = shards.get(c)
+        if ref is None:
+            continue
+        if cache is not None and c in cache:
+            parts.append(cache[c])
+            continue
+        val = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if cache is not None:
+            cache[c] = val
+            while len(cache) > _REMAP_CACHE_SHARDS:
+                cache.pop(next(iter(cache)))
+        parts.append(val)
+    if not parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=bool)
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+
+
 class SegmentsToRuns:
     """Merge-time stage: one index's segment rows → run-schema rows with doc
     ids remapped into the merged id space (dropped duplicates filtered).
 
     This is what lets :func:`pipelines.merge.merge_indexes` reuse the build
     shuffle WITHOUT re-tokenizing: positions stay compressed byte slices end
-    to end — only doc ids, chunks and gaps are recomputed."""
+    to end — only doc ids, chunks and gaps are recomputed.  The remap
+    arrives as per-old-chunk shards; each actor resolves only the shards its
+    batches cover (bounded cache), not the whole index's remap."""
 
-    def __init__(self, remap_ref, old_span: int, new_span: int):
-        import ray
-
-        old_ids, new_ids, kept = (
-            ray.get(remap_ref) if isinstance(remap_ref, ray.ObjectRef) else remap_ref
-        )
-        self.old_ids = old_ids  # ascending
-        self.new_ids = new_ids
-        self.kept = kept
+    def __init__(self, remap_shards: dict[int, object], old_span: int, new_span: int):
+        self.shards = remap_shards
+        self.cache: dict[int, tuple] = {}
         self.old_span = old_span
         self.new_span = new_span
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0 or len(self.old_ids) == 0:
-            from ..stages.tokenize_stage import _empty_runs
+        from ..stages.tokenize_stage import _empty_runs
 
+        if len(batch) == 0 or not self.shards:
+            return _empty_runs()
+        needed = np.unique(batch["chunk"].to_numpy(zero_copy_only=False))
+        old_ids, new_ids, kept = resolve_shards(self.shards, needed, self.cache)
+        if len(old_ids) == 0:
             return _empty_runs()
         term, docs_old, tfs, pos_lens, byte_starts, pos_buf = segment_rows_to_entries(
             batch, self.old_span
         )
-        idx = np.minimum(np.searchsorted(self.old_ids, docs_old), len(self.old_ids) - 1)
-        keep = (self.old_ids[idx] == docs_old) & self.kept[idx]
+        idx = np.minimum(np.searchsorted(old_ids, docs_old), len(old_ids) - 1)
+        keep = (old_ids[idx] == docs_old) & kept[idx]
         term, tfs = term[keep], tfs[keep]
         pos_lens, byte_starts = pos_lens[keep], byte_starts[keep]
         if len(term) == 0:
-            from ..stages.tokenize_stage import _empty_runs
-
             return _empty_runs()
-        new_docs = self.new_ids[idx[keep]]
+        new_docs = new_ids[idx[keep]]
         new_chunk = new_docs // self.new_span
         order = np.lexsort((new_docs, new_chunk, term))
         st, sc, sd = term[order], new_chunk[order], new_docs[order]

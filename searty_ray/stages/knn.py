@@ -93,17 +93,26 @@ def knn_brute_cosine(
         concurrency=actor_pool(),
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
     ).to_pandas()  # ≤ (#queries × k × #blocks) partial rows — small by contract
-    out = []
-    for qid, g in partial.groupby("query_id"):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        for r in g.itertuples():
-            out.append((int(qid), int(r.vec_id), round(float(r.score), 6)))
-    out.sort(key=lambda t: (t[0], -t[2], t[1]))
+    # final merge: one lexsort over the partial table + per-query rank mask
+    # (no per-group pandas loop); selection on EXACT scores, then the output
+    # re-ordered on rounded scores like the SQL oracle hashes them
+    q = partial["query_id"].to_numpy()
+    v = partial["vec_id"].to_numpy()
+    s = partial["score"].to_numpy()
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    starts = np.flatnonzero(np.concatenate(([True], q[1:] != q[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(q)])))
+    rank = np.arange(len(q)) - np.repeat(starts, sizes)
+    keep = rank < k
+    q, v = q[keep], v[keep]
+    sr = np.round(s[keep], 6)
+    order2 = np.lexsort((v, -sr, q))
     return pa.table(
         {
-            "query_id": pa.array([a for a, _, _ in out], type=pa.int64()),
-            "vec_id": pa.array([b for _, b, _ in out], type=pa.int64()),
-            "score": pa.array([c for _, _, c in out], type=pa.float64()),
+            "query_id": pa.array(q[order2], type=pa.int64()),
+            "vec_id": pa.array(v[order2], type=pa.int64()),
+            "score": pa.array(sr[order2], type=pa.float64()),
         }
     )
 

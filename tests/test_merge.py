@@ -139,3 +139,39 @@ def test_merge_preserve_ids_requires_flag_and_uniqueness(ray_session, tmp_path):
     with pytest.raises(ValueError, match="preserve_ids"):
         merge_indexes([d1, d2], str(tmp_path / "pm"), num_parts=2, chunk_span=16,
                       preserve_ids=True)
+
+
+def test_segments_to_runs_resolves_only_touched_shards(ray_session, tmp_path):
+    """Per-actor remap residency is bounded by the shards a batch touches,
+    not the index's O(docs) remap: a batch covering one old chunk resolves
+    exactly that chunk's shard (and each shard is ≤ chunk_span entries)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from searty_ray.stages.encode_stage import SegmentsToRuns
+
+    corpus, _ = generate_fixture_corpus(n_files=12, seed=3)
+    d = str(tmp_path / "ix")
+    build_index(ray.data.from_arrow(corpus), d, num_parts=2, chunk_span=4)
+    seg = pq.read_table(os.path.join(d, "segments"))
+    assert len(set(seg["chunk"].to_pylist())) > 1, "need multiple chunks"
+    batch = seg.filter(pc.equal(seg["chunk"], 0))
+
+    fetched = []
+
+    class CountingShards(dict):
+        def get(self, k, default=None):
+            v = super().get(k, default)
+            if v is not None:
+                fetched.append(k)
+            return v
+
+    span = 4
+    shards = CountingShards()
+    for c in range(4):  # identity remap, sharded by old chunk
+        ids = np.arange(c * span, (c + 1) * span, dtype=np.int64)
+        shards[c] = (ids, ids, np.ones(span, dtype=bool))
+        assert len(ids) <= span  # shard size bounded by chunk_span
+    out = SegmentsToRuns(shards, old_span=span, new_span=span)(batch)
+    assert out.num_rows > 0
+    assert set(fetched) == {0}, f"resolved shards {set(fetched)}, expected only chunk 0"

@@ -104,10 +104,89 @@ def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(starts, lens)
 
 
-class IndexReader:
-    """Read-side view of one index directory (manifest + lazy doc metadata)."""
+class DocRangeMeta:
+    """Doc-range-sharded docmeta lookups: the 10^12-doc query-actor state.
 
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    The ``docmeta`` sidecar is written from doc-id-sorted blocks, so each
+    parquet row group covers a contiguous-ish doc range.  This store reads
+    ONLY row-group STATISTICS up front (an O(#row-groups) range index, no
+    data pages), then resolves the row groups a lookup's doc ids actually
+    hit, keeping at most ``cap`` row groups resident (LRU).  A query actor
+    therefore holds O(ranges touched × row-group size) of norms/filenames,
+    never the whole corpus."""
+
+    def __init__(self, meta_dir: str, cap: int = 64):
+        self.meta_dir = meta_dir
+        self.cap = cap
+        self._index: list[tuple[int, int, str, int]] | None = None  # (min,max,file,rg)
+        self._cache: OrderedDict[tuple[str, int], pa.Table] = OrderedDict()
+        self.resolved: set[tuple[str, int]] = set()  # instrumentation for tests
+
+    def _range_index(self) -> list[tuple[int, int, str, int]]:
+        if self._index is None:
+            idx = []
+            for name in sorted(os.listdir(self.meta_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(self.meta_dir, name)
+                pf = pq.ParquetFile(path)
+                ci = pf.schema_arrow.get_field_index("doc_id")
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(ci).statistics
+                    idx.append((int(st.min), int(st.max), path, rg))
+            self._index = sorted(idx)
+        return self._index
+
+    def _resolve(self, path: str, rg: int) -> pa.Table:
+        key = (path, rg)
+        t = self._cache.get(key)
+        if t is None:
+            t = pq.ParquetFile(path).read_row_group(rg)
+            self._cache[key] = t
+            self.resolved.add(key)
+            while len(self._cache) > self.cap:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(key)
+        return t
+
+    def gather(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        """Rows for ``doc_ids`` (order-aligned, duplicates preserved)."""
+        index = self._range_index()
+        mins = np.array([r[0] for r in index], dtype=np.int64)
+        maxs = np.array([r[1] for r in index], dtype=np.int64)
+        uniq = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        # row groups whose [min, max] contains any requested id
+        hit = np.zeros(len(index), dtype=bool)
+        lo = np.searchsorted(uniq, mins, side="left")
+        hi = np.searchsorted(uniq, maxs, side="right")
+        hit = hi > lo
+        parts = [self._resolve(index[i][2], index[i][3]) for i in np.flatnonzero(hit)]
+        if not parts:
+            raise KeyError("doc ids outside every docmeta row-group range")
+        tbl = pa.concat_tables([p.select(["doc_id", *columns]) for p in parts])
+        ids = tbl["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], np.asarray(doc_ids, dtype=np.int64))
+        sel = order[np.minimum(pos, len(order) - 1)]
+        if not (ids[sel] == np.asarray(doc_ids)).all():
+            raise KeyError("doc id missing from docmeta")
+        return tbl.take(pa.array(sel, type=pa.int64()))
+
+
+class IndexReader:
+    """Read-side view of one index directory (manifest + lazy doc metadata).
+
+    ``sharded_meta``: None = auto (doc-range-sharded docmeta lookups above
+    ``SHARDED_META_MIN_DOCS`` docs, whole-corpus per-actor arrays below —
+    the small-corpus arrays are faster and fit trivially); True/False
+    forces the mode."""
+
+    SHARDED_META_MIN_DOCS = 5_000_000
+
+    def __init__(
+        self, index_dir: str, cache_terms: int = 4096, sharded_meta: bool | None = None
+    ):
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         self.seg_root = os.path.join(index_dir, "segments")
@@ -117,6 +196,14 @@ class IndexReader:
         self._meta_filenames: np.ndarray | None = None
         self._cache: OrderedDict[int, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
+        if sharded_meta is None:
+            sharded_meta = self.manifest.n_docs > self.SHARDED_META_MIN_DOCS
+        meta_dir = os.path.join(index_dir, "docmeta")
+        self.range_meta = (
+            DocRangeMeta(meta_dir)
+            if sharded_meta and os.path.isdir(meta_dir) and os.listdir(meta_dir)
+            else None
+        )
 
     # -- documents ----------------------------------------------------------
 
@@ -139,14 +226,19 @@ class IndexReader:
             self._norm_len = t["n_tokens"].to_numpy()[order]
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Norms lookup (BM25 |D|).  In-memory per actor at sandbox scale; at
-        10^12 docs this shards by doc range alongside the segment chunks."""
+        """Norms lookup (BM25 |D|).  Whole-corpus per-actor arrays at small
+        scale; doc-range-sharded row-group reads (``range_meta``) above
+        SHARDED_META_MIN_DOCS."""
+        if self.range_meta is not None:
+            return self.range_meta.gather(doc_ids, ["n_tokens"])["n_tokens"].to_numpy()
         self._load_norms()
         idx = np.searchsorted(self._norm_ids, doc_ids)
         return self._norm_len[idx]
 
     def sym_doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         """Symbol-token norms (BM25 |D| for the symbol-term index)."""
+        if self.range_meta is not None:
+            return self.range_meta.gather(doc_ids, ["n_sym_tokens"])["n_sym_tokens"].to_numpy()
         if getattr(self, "_sym_norm_len", None) is None:
             t = self.documents(["doc_id", "n_sym_tokens"])
             ids = t["doc_id"].to_numpy()
@@ -174,8 +266,16 @@ class IndexReader:
         side); at 10^12 docs this becomes a doc-range-sharded selective
         parquet read like :meth:`content_for`."""
         if columns == ["filename"]:
-            self._load_meta()
             uniq = np.unique(doc_ids)
+            if self.range_meta is not None:
+                t = self.range_meta.gather(uniq, ["filename"])
+                return pa.table(
+                    {
+                        "doc_id": pa.array(uniq, type=pa.int64()),
+                        "filename": t["filename"],
+                    }
+                )
+            self._load_meta()
             idx = np.searchsorted(self._meta_ids, uniq)
             return pa.table(
                 {
@@ -721,6 +821,20 @@ class FileSearcher:
 
     def search(self, query: str) -> pa.Table:
         r = self.reader
+        if r.range_meta is not None:
+            # sharded mode: stream docmeta row groups through the C substring
+            # kernel — only matches accumulate, the corpus never does
+            index = r.range_meta._range_index()
+            parts = []
+            seen = set()
+            for _mn, _mx, path, _rg in index:
+                if path in seen:
+                    continue
+                seen.add(path)
+                for rb in pq.ParquetFile(path).iter_batches(columns=["doc_id", "filename"]):
+                    t = pa.Table.from_batches([rb])
+                    parts.append(t.filter(pc.match_substring(t["filename"], query)))
+            return pa.concat_tables(parts).sort_by("filename")
         r._load_meta()
         t = pa.table(
             {
@@ -799,9 +913,14 @@ class QueryEngine:
             # per-actor one-time loads happen at actor CONSTRUCTION (the
             # actor-pool contract: setup in __init__), not inside the first
             # unlucky query: norms, doc_id→filename, the sorted symbols
-            # table, and the hottest posting lists (by df)
-            self.reader._load_norms()
-            self.reader._load_meta()
+            # table, and the hottest posting lists (by df).  In sharded-meta
+            # mode only the O(#row-groups) range index is prewarmed — data
+            # pages resolve per query, bounded by the LRU.
+            if self.reader.range_meta is None:
+                self.reader._load_norms()
+                self.reader._load_meta()
+            else:
+                self.reader.range_meta._range_index()
             self.symbol._table()
             self.reader.prewarm_hot_terms()
 

@@ -109,3 +109,40 @@ def test_pretty_print_small_doc_batch(reader, fixture_oracle):
     a = PrettyPrinter(reader).render(res)
     b = PrettyPrinter(reader, doc_batch=1).render(res)
     assert a.equals(b)
+
+
+def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
+    """sharded_meta=True serves identical query results while resolving only
+    the docmeta row groups the queried doc ids hit (the 10^12-doc
+    query-actor state: never whole-corpus norms/filename arrays)."""
+    import numpy as np
+    import ray.data
+
+    from searty_ray.pipelines.build import build_index
+    from searty_ray.query import BM25Searcher, FileSearcher, IndexReader, PhraseSearcher
+    from searty_ray.sources.corpus import generate_fixture_corpus
+
+    corpus, _ = generate_fixture_corpus(n_files=40, seed=5)
+    d = str(tmp_path / "ix")
+    build_index(ray.data.from_arrow(corpus).repartition(8), d, num_parts=4, chunk_span=8)
+
+    full = IndexReader(d, sharded_meta=False)
+    shard = IndexReader(d, sharded_meta=True)
+    assert shard.range_meta is not None
+    total_rgs = len(shard.range_meta._range_index())
+    assert total_rgs > 1, "need multiple docmeta row groups for this test"
+
+    # a lookup touching one narrow id range resolves a strict subset
+    one = shard.doc_len(np.array([0], dtype=np.int64))
+    assert one == full.doc_len(np.array([0], dtype=np.int64))
+    assert 0 < len(shard.range_meta.resolved) < total_rgs
+
+    # full query-path equality across modes
+    for q in ("defun", "あいう"):
+        a = PhraseSearcher(full).search(q)
+        b = PhraseSearcher(shard).search(q)
+        assert a.equals(b)
+    assert BM25Searcher(full).topk("list cons", 10).equals(
+        BM25Searcher(shard).topk("list cons", 10)
+    )
+    assert FileSearcher(full).search("file00").equals(FileSearcher(shard).search("file00"))

@@ -31,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .encode_stage import _binary_offsets, _binary_values
+
 # synthetic geometry: small dims keep a batch of payloads ≪ worker heap
 IMG_W_MOD, IMG_H_MOD, FRAMES_MOD = 64, 48, 30
 WAV_SAMPLES_MOD, WAV_RATE_BASE, WAV_RATE_MOD = 500, 8000, 8
@@ -87,13 +89,90 @@ def _parse_ppm(buf: bytes) -> tuple[int, int, int, int]:
     return vals[0], vals[1], vals[2], n_frames
 
 
+_HDR_WIDTH = 96  # canonical P6 headers fit well inside this prefix
+
+
+def _parse_int_fields(mat: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """ASCII decimal fields mat[i, s[i]:e[i]] → int64, all rows at once
+    (one masked pass per digit column, like the hash kernels)."""
+    v = np.zeros(len(s), dtype=np.int64)
+    width = int((e - s).max()) if len(s) else 0
+    for j in range(width):
+        m = s + j < e
+        v[m] = v[m] * 10 + (mat[m, (s + j)[m]].astype(np.int64) - 48)
+    return v
+
+
+def _parse_ppm_batch(col: pa.Array) -> tuple[np.ndarray, ...]:
+    """Batched P6 header parse over a binary column, ZERO-COPY.
+
+    The payload bytes stay in the Arrow values buffer (no per-row
+    ``as_py()`` copies); the canonical synthetic header layout
+    (``P6\\n# frames=F\\nW H\\n255\\n`` — fixed-shape ASCII) is parsed fully
+    vectorized from one (n × 96) gathered prefix matrix: newline/space
+    positions via cumsum+argmax, integer fields via one masked pass per
+    digit.  Rows that don't match the canonical shape (extra comments,
+    other whitespace) fall back to the scalar :func:`_parse_ppm` scanner.
+
+    → (width, height, maxval, n_frames, px_start, buf) where ``buf`` is the
+    shared uint8 view and ``px_start`` the per-row pixel-data offset.
+    """
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    offs = _binary_offsets(col).astype(np.int64)
+    n = len(col)
+    lens = np.diff(offs)
+    take = np.minimum(lens, _HDR_WIDTH)
+    mat = np.zeros((n, _HDR_WIDTH), dtype=np.uint8)
+    row = np.repeat(np.arange(n), take)
+    cidx = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
+    mat[row, cidx] = buf[np.repeat(offs[:-1], take) + cidx]
+
+    cols = np.arange(_HDR_WIDTH)
+    nlc = np.cumsum(mat == 10, axis=1)
+    nl1 = np.argmax(nlc == 1, axis=1)  # after "P6"
+    nl2 = np.argmax(nlc == 2, axis=1)  # after comment
+    nl3 = np.argmax(nlc == 3, axis=1)  # after "W H"
+    nl4 = np.argmax(nlc == 4, axis=1)  # after maxval
+    prefix = np.frombuffer(b"P6\n# frames=", dtype=np.uint8)
+    canonical = (
+        (mat[:, : len(prefix)] == prefix).all(axis=1)
+        & (nl4 > nl3) & (nl3 > nl2) & (nl2 > nl1) & (nl1 == 2)
+    )
+    w = np.empty(n, dtype=np.int64)
+    h = np.empty(n, dtype=np.int64)
+    maxval = np.empty(n, dtype=np.int64)
+    frames = np.empty(n, dtype=np.int64)
+    px_start = np.empty(n, dtype=np.int64)
+    if canonical.any():
+        c = np.flatnonzero(canonical)
+        sp = np.argmax(
+            (mat[c] == 32) & (cols > nl2[c, None]) & (cols < nl3[c, None]), axis=1
+        )
+        frames[c] = _parse_int_fields(mat[c], np.full(len(c), len(prefix)), nl2[c])
+        w[c] = _parse_int_fields(mat[c], nl2[c] + 1, sp)
+        h[c] = _parse_int_fields(mat[c], sp + 1, nl3[c])
+        maxval[c] = _parse_int_fields(mat[c], nl3[c] + 1, nl4[c])
+        px_start[c] = offs[:-1][c] + nl4[c] + 1
+    for i in np.flatnonzero(~canonical):
+        raw = bytes(buf[offs[i] : offs[i + 1]])
+        w[i], h[i], maxval[i], frames[i] = _parse_ppm(raw)
+        px_start[i] = offs[i + 1] - w[i] * h[i] * 3
+    return w, h, maxval, frames, px_start, buf
+
+
 class ImageDecodeStage:
     """Actor-pool decode stage over binary payloads.
 
-    ``codec="ppm"`` (default) is a REAL parser over the payload bytes;
+    ``codec="ppm"`` (default) is a REAL parser over the payload bytes —
+    batched (:func:`_parse_ppm_batch`), zero-copy from the Arrow buffer;
     ``codec="jpeg"`` (or any other) marks the deliberate stub — external
-    imaging libs are absent from this container.  Real deployments:
-    ``map_batches(ImageDecodeStage, batch_size=32, concurrency=(2, 8))``.
+    imaging libs are absent from this container.  PRODUCTION SWAP POINT:
+    for JPEG/PNG/H.264-class formats, replace the parse call inside
+    ``__call__`` with a C codec (libjpeg-turbo / ffmpeg bindings); the
+    actor-pool plumbing, schema and batch sizing stay as-is.  Real
+    deployments: ``map_batches(ImageDecodeStage, batch_size=32,
+    concurrency=(2, 8))``.
     """
 
     def __init__(self, codec: str = "ppm", fake: bool | None = None):
@@ -114,13 +193,7 @@ class ImageDecodeStage:
             height = n_bytes % 480 + 1
             n_frames = n_bytes % 30 + 1
         else:
-            width = np.empty(len(batch), dtype=np.int64)
-            height = np.empty(len(batch), dtype=np.int64)
-            n_frames = np.empty(len(batch), dtype=np.int64)
-            col = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
-            for i, v in enumerate(col):
-                w, h, _maxval, f = _parse_ppm(v.as_py())
-                width[i], height[i], n_frames[i] = w, h, f
+            width, height, _maxval, n_frames, _ps, _buf = _parse_ppm_batch(payload)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -142,9 +215,7 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        payload = batch["payload"]
-        col = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
-        n_frames = np.array([_parse_ppm(v.as_py())[3] for v in col], dtype=np.int64)
+        n_frames = _parse_ppm_batch(batch["payload"])[3]
         sampled = (n_frames + self.stride - 1) // self.stride
         out_doc = np.repeat(doc_ids, sampled)
         frame_idx = (
@@ -182,16 +253,17 @@ class ImageResizeStage:
         self._header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch["payload"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        w, h, mx, _f, ps, buf = _parse_ppm_batch(batch["payload"])
+        if len(w) and (mx != 255).any():
+            raise ValueError("only 8-bit P6 supported")
         out = []
-        for v in col:
-            px, _f = _ppm_pixels(v.as_py())
-            h, w, _ = px.shape
-            yi = (np.arange(self.out_h) * h) // self.out_h
-            xi = (np.arange(self.out_w) * w) // self.out_w
-            small = px[yi][:, xi]
-            out.append(self._header + small.tobytes())
+        for i in range(len(w)):
+            # zero-copy raster view into the Arrow buffer; the gather is the
+            # only per-image numpy work (shapes differ row to row)
+            px = buf[ps[i] : ps[i] + w[i] * h[i] * 3].reshape(h[i], w[i], 3)
+            yi = (np.arange(self.out_h) * h[i]) // self.out_h
+            xi = (np.arange(self.out_w) * w[i]) // self.out_w
+            out.append(self._header + px[yi][:, xi].tobytes())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -210,11 +282,10 @@ class ImageFeatureStage:
     rows-only gate + numpy-reference pytest."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch["payload"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        w, h, _mx, _f, ps, buf = _parse_ppm_batch(batch["payload"])
         mr, mg, mb, lstd, edge = [], [], [], [], []
-        for v in col:
-            px, _f = _ppm_pixels(v.as_py())
+        for i in range(len(w)):
+            px = buf[ps[i] : ps[i] + w[i] * h[i] * 3].reshape(h[i], w[i], 3)
             f64 = px.astype(np.float64)
             mr.append(f64[:, :, 0].mean())
             mg.append(f64[:, :, 1].mean())
@@ -294,19 +365,62 @@ def attach_audio_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _parse_wav_batch(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched RIFF/WAVE header decode → (rate, channels, n_samples).
+
+    The canonical layout (``RIFF·WAVE`` + 16-byte ``fmt `` + ``data`` at
+    offset 36 — fixed-shape) is decoded fully vectorized from one (n × 44)
+    gathered header matrix viewed as little-endian fields; payloads with
+    extra chunks fall back to the scalar :func:`_parse_wav` chunk walker.
+    Payload bytes never leave the Arrow buffer on the canonical path."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    offs = _binary_offsets(col).astype(np.int64)
+    n = len(col)
+    lens = np.diff(offs)
+    take = np.minimum(lens, 44)
+    mat = np.zeros((n, 44), dtype=np.uint8)
+    row = np.repeat(np.arange(n), take)
+    cidx = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
+    mat[row, cidx] = buf[np.repeat(offs[:-1], take) + cidx]
+
+    def le32(o):
+        return np.ascontiguousarray(mat[:, o : o + 4]).view("<u4").ravel().astype(np.int64)
+
+    def le16(o):
+        return np.ascontiguousarray(mat[:, o : o + 2]).view("<u2").ravel().astype(np.int64)
+
+    pre1 = np.frombuffer(b"RIFF", dtype=np.uint8)
+    pre2 = np.frombuffer(b"WAVEfmt ", dtype=np.uint8)
+    pre3 = np.frombuffer(b"data", dtype=np.uint8)
+    canonical = (
+        (lens >= 44)
+        & (mat[:, 0:4] == pre1).all(axis=1)
+        & (mat[:, 8:16] == pre2).all(axis=1)
+        & (le32(16) == 16)
+        & (mat[:, 36:40] == pre3).all(axis=1)
+    )
+    rate = np.empty(n, dtype=np.int64)
+    channels = np.empty(n, dtype=np.int64)
+    n_samples = np.empty(n, dtype=np.int64)
+    c = canonical
+    rate[c], channels[c] = le32(24)[c], le16(22)[c]
+    block_align = np.maximum(le16(32), 1)
+    n_samples[c] = (le32(40) // block_align)[c]
+    for i in np.flatnonzero(~canonical):
+        r, ch, _b, s = _parse_wav(bytes(buf[offs[i] : offs[i + 1]]))
+        rate[i], channels[i], n_samples[i] = r, ch, s
+    return rate, channels, n_samples
+
+
 class AudioDecodeStage:
-    """Actor-pool WAV header decode: real RIFF chunk walking per payload."""
+    """Actor-pool WAV header decode: batched RIFF parsing
+    (:func:`_parse_wav_batch`), scalar chunk-walk fallback.  PRODUCTION
+    SWAP POINT for compressed audio (MP3/AAC/Opus): replace the parse call
+    with a C codec; the actor-pool plumbing and schema stay as-is."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payload = batch["payload"]
-        col = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
-        n = len(batch)
-        rate = np.empty(n, dtype=np.int64)
-        n_samples = np.empty(n, dtype=np.int64)
-        channels = np.empty(n, dtype=np.int64)
-        for i, v in enumerate(col):
-            r, c, _b, s = _parse_wav(v.as_py())
-            rate[i], channels[i], n_samples[i] = r, c, s
+        rate, channels, n_samples = _parse_wav_batch(batch["payload"])
         duration_us = n_samples * 1_000_000 // rate
         return pa.table(
             {

@@ -115,7 +115,7 @@ def cmd_search(args) -> int:
         for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
     for phrase in args.phrase:
-        res = printer.render(PhraseSearcher(reader).search(phrase))
+        res = printer.render(PhraseSearcher(reader).search(phrase, limit=args.limit))
         for r in res.to_pylist():
             print(f"{r['filename']}:{r['start']}:{r['end']}:{r['line']}")
     return 0
@@ -162,6 +162,8 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--ranked")
     ps.add_argument("--words")
     ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--limit", type=int, default=None,
+                    help="cap phrase results (default: print all, reference parity)")
     ps.add_argument("phrase", nargs="*")
     ps.set_defaults(fn=cmd_search)
 

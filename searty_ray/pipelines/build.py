@@ -289,10 +289,16 @@ def shuffle_encode_runs(
     # The groupby sort is a barrier anyway; materializing the runs first
     # keeps the upstream map stage at full parallelism (the streaming
     # executor throttles an AllToAll's upstream maps to a fraction of the
-    # CPU slots — measured ~40% on this host).  The materialized runs are
-    # the compressed shuffle rows (~4 B/entry), and the object store spills
-    # them if they exceed memory — same cost the sort would pay internally.
-    runs = runs.map_batches(add_pgrp, batch_format="pyarrow").materialize()
+    # CPU slots).  Re-measured on Ray 2.49.2 (2026-08-17): NEUTRAL at 32
+    # cpus (10.7s vs 10.7s) but still +20-25% at a 2-cpu pin — the
+    # throttling persists at low parallelism, so the materialize stays.
+    # The materialized runs are the compressed shuffle rows (~4 B/entry),
+    # and the object store spills them if they exceed memory — same cost
+    # the sort would pay internally.  SEARTY_NO_MATERIALIZE=1 is the A/B
+    # knob for re-evaluating per Ray release.
+    runs = runs.map_batches(add_pgrp, batch_format="pyarrow")
+    if not os.environ.get("SEARTY_NO_MATERIALIZE"):
+        runs = runs.materialize()
     return (
         runs.groupby("pgrp").map_groups(encode_and_write, batch_format="pyarrow").take_all()
     )  # ≤ num_parts × sub_splits tiny rows

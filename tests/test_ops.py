@@ -460,3 +460,26 @@ def test_sessionize_salted_skewed_user(ray_session):
     # the salt really engaged: hot user's events span > 1 salt range
     span = df[df.user_id == 1]["ts"].astype("datetime64[us]").astype("int64")
     assert (span.max() - span.min()) // (7200 * 1_000_000) > 1
+
+
+def test_ppm_batch_parser_fallback_matches_scalar():
+    """Non-canonical P6 headers (extra comments, CRLF-free whitespace soup)
+    take the scalar fallback and agree with the scalar parser; canonical
+    ones take the vectorized path — both through the same batch entry."""
+    import pyarrow as pa
+
+    from searty_ray.stages.multimodal import _parse_ppm, _parse_ppm_batch, _ppm_bytes
+
+    weird = (
+        b"P6\n# a comment\n# frames=7\n# more\n  5  \t 4\n255\n" + bytes(5 * 4 * 3)
+    )
+    canonical = _ppm_bytes("hello world payload")
+    col = pa.array([weird, canonical], type=pa.large_binary())
+    w, h, mx, f, ps, buf = _parse_ppm_batch(col)
+    for i, raw in enumerate([weird, canonical]):
+        ww, hh, mm, ff = _parse_ppm(raw)
+        assert (w[i], h[i], mx[i], f[i]) == (ww, hh, mm, ff), i
+    # pixel offsets address the real raster in both paths
+    assert ps[0] == len(weird) - 5 * 4 * 3
+    raster = buf[ps[1] : ps[1] + w[1] * h[1] * 3]
+    assert len(raster) == w[1] * h[1] * 3

@@ -509,21 +509,35 @@ class PhraseSearcher:
         if len(cand) == 0:
             return empty
 
-        # (2) position constraints over candidate docs only
-        constraints = []
-        for k, offs in zip(keys, offsets):
+        # (2) position constraints over candidate docs only.  Each term's
+        # position decode + gather is independent pure-numpy work (the GIL
+        # releases inside the kernels), so cold multi-term phrases build
+        # their constraints in parallel threads — the decode of hot-term
+        # position streams is the cold-phrase p95 driver.
+        def _term_constraints(k, offs):
             tp = plists[int(k)]
             idx = np.searchsorted(tp.doc_ids, cand)
             pos = tp.positions_for(idx).astype(np.int64)
             tf_sel = tp.tfs[idx].astype(np.int64)
             bk = np.repeat(cand, tf_sel) * _POS_SPAN + pos
+            out = []
             for off in offs:
                 if off == 0:
-                    constraints.append(bk)
+                    out.append(bk)
                 else:
                     # drop occurrences whose pos < off (would wrap into the
                     # previous doc's key range)
-                    constraints.append((bk - int(off))[pos >= off])
+                    out.append((bk - int(off))[pos >= off])
+            return out
+
+        if len(keys) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(keys))) as ex:
+                per_term = list(ex.map(_term_constraints, keys, offsets))
+        else:
+            per_term = [_term_constraints(keys[0], offsets[0])]
+        constraints = [c for group in per_term for c in group]
         constraints.sort(key=len)
         cur = constraints[0]
         for other in constraints[1:]:

@@ -419,8 +419,17 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
         .groupby("bpart")
         .map_groups(_bucket_pairs, batch_format="pandas")
     ).materialize()
+
+    def _batch_ids(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([b["doc_id_a"].to_numpy(), b["doc_id_b"].to_numpy()]))
+        return pd.DataFrame({"doc_id": u})
+
+    # ONE pass collects both columns' unique ids (instead of two unique()
+    # executions); per-batch uniques are tiny, the driver unions them
     ids = sorted(
-        set(cand.unique("doc_id_a")) | set(cand.unique("doc_id_b"))
+        {int(i) for b in cand.map_batches(_batch_ids, batch_format="pandas")
+                            .iter_batches(batch_format="pandas")
+         for i in b["doc_id"]}
     )  # unique ids only — O(candidate docs) on the driver
     if not ids:
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),

@@ -483,3 +483,40 @@ def test_ppm_batch_parser_fallback_matches_scalar():
     assert ps[0] == len(weird) - 5 * 4 * 3
     raster = buf[ps[1] : ps[1] + w[1] * h[1] * 3]
     assert len(raster) == w[1] * h[1] * 3
+
+
+def test_batch_shingle_hashes_property():
+    """Hypothesis: the batch shingle/word kernels equal the naive per-string
+    paths on arbitrary unicode text mixes (whitespace soup, multibyte,
+    empty, giant words)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(text, min_size=0, max_size=8))
+    def check(texts):
+        flat, counts = dedup._batch_shingle_hashes(texts)
+        off = 0
+        for t, c in zip(texts, counts):
+            got = flat[off : off + c]
+            off += c
+            want = np.unique(
+                np.array(
+                    [dedup.hash_word(s) for s in dedup.shingle_strings(t)], dtype=np.uint64
+                )
+            )
+            assert (got == want).all()
+        wf, wn = dedup._batch_word_hashes(texts)
+        off = 0
+        for t, c in zip(texts, wn):
+            got = wf[off : off + c]
+            off += c
+            want = np.array([dedup.hash_word(w) for w in t.split()], dtype=np.uint64)
+            assert (got == want).all()
+
+    check()

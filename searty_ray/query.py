@@ -115,9 +115,10 @@ class DocRangeMeta:
     therefore holds O(ranges touched × row-group size) of norms/filenames,
     never the whole corpus."""
 
-    def __init__(self, meta_dir: str, cap: int = 64):
+    def __init__(self, meta_dir: str, cap: int = 64, columns: list[str] | None = None):
         self.meta_dir = meta_dir
         self.cap = cap
+        self.columns = columns  # row-group read projection (None = all)
         self._index: list[tuple[int, int, str, int]] | None = None  # (min,max,file,rg)
         self._cache: OrderedDict[tuple[str, int], pa.Table] = OrderedDict()
         self.resolved: set[tuple[str, int]] = set()  # instrumentation for tests
@@ -141,7 +142,7 @@ class DocRangeMeta:
         key = (path, rg)
         t = self._cache.get(key)
         if t is None:
-            t = pq.ParquetFile(path).read_row_group(rg)
+            t = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
             self._cache[key] = t
             self.resolved.add(key)
             while len(self._cache) > self.cap:
@@ -196,6 +197,7 @@ class IndexReader:
         self._meta_filenames: np.ndarray | None = None
         self._cache: OrderedDict[int, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
+        self._content_store: DocRangeMeta | None = None
         if sharded_meta is None:
             sharded_meta = self.manifest.n_docs > self.SHARDED_META_MIN_DOCS
         meta_dir = os.path.join(index_dir, "docmeta")
@@ -288,10 +290,22 @@ class IndexReader:
         return t.filter(mask)
 
     def content_for(self, doc_ids: np.ndarray) -> dict[int, str]:
-        """Body fetch from the content sidecar (J2 semi-join by doc_id)."""
-        ds = pads.dataset(os.path.join(self.index_dir, "documents"))
-        t = ds.to_table(filter=pads.field("doc_id").isin([int(d) for d in np.unique(doc_ids)]))
-        return dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
+        """Body fetch from the content sidecar (J2 semi-join by doc_id).
+
+        Served through the same row-group range index as :class:`DocRangeMeta`
+        — a pyarrow ``isin`` dataset filter decodes EVERY content page (3.3 s
+        for 5 docs at 600k, measured), while range-pruned row-group reads
+        touch only the groups the ids hit (LRU-capped at 8 resident groups —
+        content groups are big)."""
+        if self._content_store is None:
+            self._content_store = DocRangeMeta(
+                os.path.join(self.index_dir, "documents"),
+                cap=8,
+                columns=["doc_id", "content"],
+            )
+        uniq = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        t = self._content_store.gather(uniq, ["content"])
+        return dict(zip(uniq.tolist(), t["content"].to_pylist()))
 
     # -- postings -----------------------------------------------------------
 

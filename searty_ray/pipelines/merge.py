@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from ..stages.encode_stage import SegmentsToRuns, resolve_shards, shard_remap
-from ..state.manifest import Manifest
+from ..state.manifest import Manifest, finished_partitions
 from .build import (
     DEFAULT_NUM_PARTS,
     DEFAULT_SUB_SPLITS,
@@ -61,13 +61,14 @@ def merge_indexes(
     sub_splits: int = DEFAULT_SUB_SPLITS,
     chunk_span: int | None = None,
     preserve_ids: bool = False,
+    resume: bool = False,
 ) -> Manifest:
     t0 = time.monotonic()
     manifests = [Manifest.load(d) for d in index_dirs]
     tokenizer = manifests[0].tokenizer
     if any(m.tokenizer != tokenizer for m in manifests):
         raise ValueError("cannot merge indexes built with different tokenizers")
-    _prepare_dirs(out_dir, resume=False)
+    _prepare_dirs(out_dir, resume=resume)
 
     # ---- id reconciliation (metadata only — no content moves here) ----
     # Dedupe by filename (repo, path), FIRST index wins (merge.go:164-171);
@@ -145,27 +146,36 @@ def merge_indexes(
 
         return fn
 
+    # documents / docmeta / symbols: the remap is a pure function of the
+    # inputs, so a resumed merge that already wrote them skips the pass
     docs_out = os.path.join(out_dir, "documents")
-    ds = None
-    for src, d in enumerate(index_dirs):
-        part = ray.data.read_parquet(os.path.join(d, "documents")).map_batches(
-            remap_stage(src), batch_format="pyarrow"
-        )
-        ds = part if ds is None else ds.union(part)
-    ds.write_parquet(docs_out)
-    ray.data.read_parquet(
-        docs_out, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
-    ).write_parquet(os.path.join(out_dir, "docmeta"))
+    if not (resume and os.path.isdir(docs_out) and os.listdir(docs_out)):
+        ds = None
+        for src, d in enumerate(index_dirs):
+            part = ray.data.read_parquet(os.path.join(d, "documents")).map_batches(
+                remap_stage(src), batch_format="pyarrow"
+            )
+            ds = part if ds is None else ds.union(part)
+        ds.write_parquet(docs_out)
+    meta_out = os.path.join(out_dir, "docmeta")
+    if not (resume and os.path.isdir(meta_out) and os.listdir(meta_out)):
+        ray.data.read_parquet(
+            docs_out, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
+        ).write_parquet(meta_out)
 
-    sym = None
-    for src, d in enumerate(index_dirs):
-        sdir = os.path.join(d, "symbols")
-        if not (os.path.isdir(sdir) and os.listdir(sdir)):
-            continue
-        part = ray.data.read_parquet(sdir).map_batches(remap_stage(src), batch_format="pyarrow")
-        sym = part if sym is None else sym.union(part)
-    if sym is not None:
-        sym.write_parquet(os.path.join(out_dir, "symbols"))
+    sym_out = os.path.join(out_dir, "symbols")
+    if not (resume and os.path.isdir(sym_out) and os.listdir(sym_out)):
+        sym = None
+        for src, d in enumerate(index_dirs):
+            sdir = os.path.join(d, "symbols")
+            if not (os.path.isdir(sdir) and os.listdir(sdir)):
+                continue
+            part = ray.data.read_parquet(sdir).map_batches(
+                remap_stage(src), batch_format="pyarrow"
+            )
+            sym = part if sym is None else sym.union(part)
+        if sym is not None:
+            sym.write_parquet(sym_out)
 
     # ---- stats from the merged metadata ----
     meta = pq.read_table(os.path.join(out_dir, "docmeta"), columns=["n_tokens", "n_sym_tokens"])
@@ -192,7 +202,10 @@ def merge_indexes(
             },
         )
         runs = part if runs is None else runs.union(part)
-    summaries = shuffle_encode_runs(runs, out_dir, avgdl, chunk_span, num_parts, sub_splits)
+    finished = finished_partitions(out_dir) if resume else set()
+    summaries = shuffle_encode_runs(
+        runs, out_dir, avgdl, chunk_span, num_parts, sub_splits, finished
+    )
     t_end = time.monotonic()
 
     manifest = Manifest(

@@ -175,3 +175,47 @@ def test_segments_to_runs_resolves_only_touched_shards(ray_session, tmp_path):
     out = SegmentsToRuns(shards, old_span=span, new_span=span)(batch)
     assert out.num_rows > 0
     assert set(fetched) == {0}, f"resolved shards {set(fetched)}, expected only chunk 0"
+
+
+def test_merge_resume_skips_finished(ray_session, tmp_path):
+    """A resumed merge rebuilds ONLY the partitions whose sidecars are
+    missing; output is byte-identical to the uninterrupted merge."""
+    import glob
+    import shutil
+
+    corpus, _ = generate_fixture_corpus(n_files=20, seed=11)
+    import pyarrow.compute as pc
+
+    a = corpus.filter(pc.equal(corpus["repo"], "cl-ppcre"))
+    b = corpus.filter(pc.not_equal(corpus["repo"], "cl-ppcre"))
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(ray.data.from_arrow(a), d1, num_parts=2, chunk_span=16)
+    build_index(ray.data.from_arrow(b), d2, num_parts=2, chunk_span=16)
+
+    ref = str(tmp_path / "m_ref")
+    merge_indexes([d1, d2], ref, num_parts=2, chunk_span=16)
+    out = str(tmp_path / "m_resume")
+    merge_indexes([d1, d2], out, num_parts=2, chunk_span=16)
+
+    # simulate a crash that lost one reducer partition: remove one segment
+    # file AND its sidecar
+    seg_files = sorted(glob.glob(os.path.join(out, "segments", "part=*", "cg-*.parquet")))
+    assert len(seg_files) > 1
+    victim = seg_files[0]
+    os.remove(victim)
+    sidecars = sorted(glob.glob(os.path.join(out, "manifest", "part-*.json")))
+    removed = 0
+    import json
+    for sc in sidecars:
+        if json.load(open(sc)).get("file") == victim:
+            os.remove(sc)
+            removed += 1
+    assert removed == 1
+
+    m = merge_indexes([d1, d2], out, num_parts=2, chunk_span=16, resume=True)
+    skipped = [v for v in m.partitions.values() if v.get("skipped")]
+    assert skipped, "resume must skip the finished partitions"
+    ra = pq.read_table(os.path.join(ref, "segments"))
+    rb = pq.read_table(os.path.join(out, "segments"))
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert ra.sort_by(order).equals(rb.sort_by(order))

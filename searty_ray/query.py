@@ -372,20 +372,23 @@ class IndexReader:
             ).combine_chunks()
             return t if len(t) else None
 
+        def read_and_decode(item: tuple[int, set[int]]) -> dict[int, TermPostings]:
+            t = read_part(item)
+            return self._decode_partition(t) if t is not None else {}
+
         found: dict[int, TermPostings] = {}
         items = sorted(by_part.items())
         if len(items) > 1:
-            # parquet reads release the GIL: overlap the per-partition I/O
-            # (the decode stays serial — it's vectorized numpy)
+            # parquet reads AND the vectorized decode release the GIL:
+            # each partition reads+decodes in its own thread, so decode of
+            # early partitions overlaps I/O of later ones
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
-                tables = list(ex.map(read_part, items))
+                for d in ex.map(read_and_decode, items):
+                    found.update(d)
         else:
-            tables = [read_part(items[0])]
-        for t in tables:
-            if t is not None:
-                found.update(self._decode_partition(t))
+            found.update(read_and_decode(items[0]))
 
         for key in missing:
             out[key] = tp = found.get(key)

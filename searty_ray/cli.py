@@ -68,7 +68,8 @@ def cmd_merge_index(args) -> int:
     _ray_session()
     from .pipelines.merge import merge_indexes
 
-    manifest = merge_indexes(args.index, args.output, resume=args.resume)
+    manifest = merge_indexes(args.index, args.output, resume=args.resume,
+                             preserve_ids=args.preserve_ids)
     print(
         f"merged {len(args.index)} indexes: {manifest.n_docs} docs, "
         f"{manifest.total_tokens} tokens -> {args.output}"
@@ -146,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("merge-index", help="merge BUILT indexes (no re-tokenization)")
     pm.add_argument("-o", "--output", required=True)
     pm.add_argument("--resume", action="store_true")
+    pm.add_argument("--preserve-ids", action="store_true",
+                    help="keep caller-assigned global doc ids (hash mode); "
+                         "rejects colliding per-shard ids")
     pm.add_argument("index", nargs="+")
     pm.set_defaults(fn=cmd_merge_index)
 

@@ -59,6 +59,23 @@ def partition_group(
 # Vectorized byte-string hash + its DuckDB mirror (dedup word/shingle hashes)
 # ---------------------------------------------------------------------------
 
+def gather_padded(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, width: int
+) -> np.ndarray:
+    """Scatter n ragged byte slices of ``buf`` into one zero-padded
+    (n, width) uint8 matrix with a single fancy-index gather — the shared
+    kernel under the byte-hash, doc-id-hash and multimodal header parsers.
+    Every ``lens[i]`` must be ≤ width (clamp before calling)."""
+    n = len(starts)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    total = int(np.sum(lens))
+    if total:
+        row = np.repeat(np.arange(n), lens)
+        col = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[row, col] = buf[np.repeat(starts, lens) + col]
+    return mat
+
+
 def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """uint64 hash of n byte slices of ``buf`` — a length-seeded splitmix64
     fold over big-endian 8-byte chunks (last chunk zero-padded; the length
@@ -86,15 +103,10 @@ def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.
 
 
 def _hash_bucket(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, wl: int) -> np.ndarray:
-    n = len(starts)
     h = mix64(lens.astype(np.uint64))
     if wl == 0:  # empty slices: hash = mix64(0)
         return h
-    mat = np.zeros((n, wl * 8), dtype=np.uint8)
-    total = int(lens.sum())
-    row = np.repeat(np.arange(n), lens)
-    col = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
-    mat[row, col] = buf[np.repeat(starts, lens) + col]
+    mat = gather_padded(buf, starts, lens, wl * 8)
     words = mat.view(">u8")  # big-endian chunks == the SQL mirror's hex substr
     for j in range(wl):
         h = mix64(h ^ words[:, j].astype(np.uint64))

@@ -147,9 +147,24 @@ def merge_indexes(
         return fn
 
     # documents / docmeta / symbols: the remap is a pure function of the
-    # inputs, so a resumed merge that already wrote them skips the pass
+    # inputs, so a resumed merge skips a pass — but ONLY when its completion
+    # marker exists (a non-empty dir may be a crashed partial write; trusting
+    # it would silently drop documents and corrupt the avgdl stats)
+    def _marker(name: str) -> str:
+        return os.path.join(out_dir, f".{name}.done")
+
+    def _pass_done(name: str) -> bool:
+        return resume and os.path.exists(_marker(name))
+
+    def _mark_done(name: str) -> None:
+        with open(_marker(name), "w") as f:
+            f.write("ok\n")
+
     docs_out = os.path.join(out_dir, "documents")
-    if not (resume and os.path.isdir(docs_out) and os.listdir(docs_out)):
+    if not _pass_done("documents"):
+        if os.path.isdir(docs_out):  # clear any partial write
+            for f in os.listdir(docs_out):
+                os.remove(os.path.join(docs_out, f))
         ds = None
         for src, d in enumerate(index_dirs):
             part = ray.data.read_parquet(os.path.join(d, "documents")).map_batches(
@@ -157,14 +172,22 @@ def merge_indexes(
             )
             ds = part if ds is None else ds.union(part)
         ds.write_parquet(docs_out)
+        _mark_done("documents")
     meta_out = os.path.join(out_dir, "docmeta")
-    if not (resume and os.path.isdir(meta_out) and os.listdir(meta_out)):
+    if not _pass_done("docmeta"):
+        if os.path.isdir(meta_out):
+            for f in os.listdir(meta_out):
+                os.remove(os.path.join(meta_out, f))
         ray.data.read_parquet(
             docs_out, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
         ).write_parquet(meta_out)
+        _mark_done("docmeta")
 
     sym_out = os.path.join(out_dir, "symbols")
-    if not (resume and os.path.isdir(sym_out) and os.listdir(sym_out)):
+    if not _pass_done("symbols"):
+        if os.path.isdir(sym_out):
+            for f in os.listdir(sym_out):
+                os.remove(os.path.join(sym_out, f))
         sym = None
         for src, d in enumerate(index_dirs):
             sdir = os.path.join(d, "symbols")
@@ -176,6 +199,7 @@ def merge_indexes(
             sym = part if sym is None else sym.union(part)
         if sym is not None:
             sym.write_parquet(sym_out)
+        _mark_done("symbols")
 
     # ---- stats from the merged metadata ----
     meta = pq.read_table(os.path.join(out_dir, "docmeta"), columns=["n_tokens", "n_sym_tokens"])

@@ -120,8 +120,15 @@ class DocRangeMeta:
         self.cap = cap
         self.columns = columns  # row-group read projection (None = all)
         self._index: list[tuple[int, int, str, int]] | None = None  # (min,max,file,rg)
+        self._mins: np.ndarray | None = None
+        self._maxs: np.ndarray | None = None
         self._cache: OrderedDict[tuple[str, int], pa.Table] = OrderedDict()
-        self.resolved: set[tuple[str, int]] = set()  # instrumentation for tests
+        # instrumentation: bounded SAMPLE of resolved row groups + a total
+        # counter (an unbounded set would leak in long-lived query actors)
+        self.resolved: set[tuple[str, int]] = set()
+        self.n_resolved = 0
+
+    _RESOLVED_SAMPLE_CAP = 4096
 
     def _range_index(self) -> list[tuple[int, int, str, int]]:
         if self._index is None:
@@ -136,6 +143,8 @@ class DocRangeMeta:
                     st = pf.metadata.row_group(rg).column(ci).statistics
                     idx.append((int(st.min), int(st.max), path, rg))
             self._index = sorted(idx)
+            self._mins = np.array([r[0] for r in self._index], dtype=np.int64)
+            self._maxs = np.array([r[1] for r in self._index], dtype=np.int64)
         return self._index
 
     def _resolve(self, path: str, rg: int) -> pa.Table:
@@ -144,7 +153,9 @@ class DocRangeMeta:
         if t is None:
             t = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
             self._cache[key] = t
-            self.resolved.add(key)
+            self.n_resolved += 1
+            if len(self.resolved) < self._RESOLVED_SAMPLE_CAP:
+                self.resolved.add(key)
             while len(self._cache) > self.cap:
                 self._cache.popitem(last=False)
         else:
@@ -154,13 +165,14 @@ class DocRangeMeta:
     def gather(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
         """Rows for ``doc_ids`` (order-aligned, duplicates preserved)."""
         index = self._range_index()
-        mins = np.array([r[0] for r in index], dtype=np.int64)
-        maxs = np.array([r[1] for r in index], dtype=np.int64)
         uniq = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        if len(uniq) == 0:
+            # schema-correct empty result (zero-row slice of any group)
+            first = index[0]
+            return self._resolve(first[2], first[3]).slice(0, 0).select(["doc_id", *columns])
         # row groups whose [min, max] contains any requested id
-        hit = np.zeros(len(index), dtype=bool)
-        lo = np.searchsorted(uniq, mins, side="left")
-        hi = np.searchsorted(uniq, maxs, side="right")
+        lo = np.searchsorted(uniq, self._mins, side="left")
+        hi = np.searchsorted(uniq, self._maxs, side="right")
         hit = hi > lo
         parts = [self._resolve(index[i][2], index[i][3]) for i in np.flatnonzero(hit)]
         if not parts:
@@ -585,8 +597,18 @@ class PhraseSearcher:
         m_ids = meta["doc_id"].to_numpy()
         fnames = meta["filename"].combine_chunks()
         sort_idx = pc.sort_indices(fnames).to_numpy()
+        # DENSE rank (equal filenames share a rank): two docs with the same
+        # filename must interleave their matches by start, exactly like the
+        # reference's (filename, start) sort — a per-doc rank would group
+        # doc A's rows before doc B's
+        sorted_f = fnames.take(pa.array(sort_idx, type=pa.int64()))
+        new_f = np.ones(len(m_ids), dtype=bool)
+        if len(m_ids) > 1:
+            new_f[1:] = np.asarray(
+                pc.not_equal(sorted_f.slice(1), sorted_f.slice(0, len(m_ids) - 1))
+            )
         rank = np.empty(len(m_ids), dtype=np.int64)
-        rank[sort_idx] = np.arange(len(m_ids))
+        rank[sort_idx] = np.cumsum(new_f) - 1
         codes = np.searchsorted(m_ids, out_docs)
         order = np.lexsort((starts, rank[codes]))
         if limit is not None:
@@ -669,7 +691,9 @@ class BM25Searcher:
         m = self.reader.manifest
         if not cursors:
             return _topk_empty()
-        if m.max_doc_id + 1 == m.n_docs:  # dense ids fast path
+        # dense-id fast path needs the whole-corpus norms array resident —
+        # only when the reader is in whole-corpus (unsharded) meta mode
+        if m.max_doc_id + 1 == m.n_docs and self.reader.range_meta is None:
             self.reader._load_norms()
             dl = self.reader._norm_len  # norms sorted by doc_id == index
             scores = np.zeros(m.n_docs, dtype=np.float64)
@@ -734,7 +758,9 @@ class WordSearcher:
         present = [(w, tp) for w, tp in present if tp is not None]
         if not present:
             return _topk_empty()
-        if m.max_doc_id + 1 == m.n_docs:  # dense ids fast path
+        if m.max_doc_id + 1 == m.n_docs and self.reader.range_meta is None:
+            # dense-id fast path (whole-corpus norms; sharded readers take
+            # the candidate path, whose sym_doc_len gathers by doc range)
             self.reader.sym_doc_len(np.empty(0, dtype=np.int64))  # ensure norms loaded
             dl = self.reader._sym_norm_len
             scores = np.zeros(m.n_docs, dtype=np.float64)

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import mix64
+from ..functions.hashing import gather_padded, mix64
 
 
 @ray.remote
@@ -67,12 +67,8 @@ def _hash_ids_batch(batch: pa.Table) -> pa.Table:
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
     lens = np.diff(offs)
     width = int(lens.max()) if n else 0
-    mat = np.zeros((n, width), dtype=np.uint8)
     buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
-    # scatter the packed bytes into the padded matrix (one fancy-index gather)
-    row = np.repeat(np.arange(n), lens)
-    col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
-    mat[row, col] = buf[np.repeat(offs[:-1], lens) + col]
+    mat = gather_padded(buf, offs[:-1], lens, width)
     h = mix64(lens.astype(np.uint64))  # length seed keeps prefixes distinct
     # Mix only real key bytes per row (rows shorter than the batch max must
     # NOT absorb padding rounds, or the id would depend on batch composition).

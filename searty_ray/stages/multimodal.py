@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import gather_padded
 from .encode_stage import _binary_offsets, _binary_values
 
 # synthetic geometry: small dims keep a batch of payloads ≪ worker heap
@@ -103,6 +104,22 @@ def _parse_int_fields(mat: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarr
     return v
 
 
+def _digit_fields_ok(mat: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """True where mat[i, s[i]:e[i]] is a NON-EMPTY run of ASCII digits —
+    guards the canonical fast path against headers it would misparse (e.g.
+    a double space would feed 0x20 into the digit arithmetic)."""
+    n = len(s)
+    ok = e > s
+    rows = np.arange(n)
+    width = int((e - s).max()) if n else 0
+    for j in range(width):
+        m = s + j < e
+        b = mat[rows[m], (s + j)[m]]
+        bad = (b < 48) | (b > 57)
+        ok[rows[m][bad]] = False
+    return ok
+
+
 def _parse_ppm_batch(col: pa.Array) -> tuple[np.ndarray, ...]:
     """Batched P6 header parse over a binary column, ZERO-COPY.
 
@@ -123,10 +140,7 @@ def _parse_ppm_batch(col: pa.Array) -> tuple[np.ndarray, ...]:
     n = len(col)
     lens = np.diff(offs)
     take = np.minimum(lens, _HDR_WIDTH)
-    mat = np.zeros((n, _HDR_WIDTH), dtype=np.uint8)
-    row = np.repeat(np.arange(n), take)
-    cidx = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
-    mat[row, cidx] = buf[np.repeat(offs[:-1], take) + cidx]
+    mat = gather_padded(buf, offs[:-1], take, _HDR_WIDTH)
 
     cols = np.arange(_HDR_WIDTH)
     nlc = np.cumsum(mat == 10, axis=1)
@@ -146,13 +160,21 @@ def _parse_ppm_batch(col: pa.Array) -> tuple[np.ndarray, ...]:
     px_start = np.empty(n, dtype=np.int64)
     if canonical.any():
         c = np.flatnonzero(canonical)
-        sp = np.argmax(
-            (mat[c] == 32) & (cols > nl2[c, None]) & (cols < nl3[c, None]), axis=1
-        )
-        frames[c] = _parse_int_fields(mat[c], np.full(len(c), len(prefix)), nl2[c])
-        w[c] = _parse_int_fields(mat[c], nl2[c] + 1, sp)
-        h[c] = _parse_int_fields(mat[c], sp + 1, nl3[c])
-        maxval[c] = _parse_int_fields(mat[c], nl3[c] + 1, nl4[c])
+        mc = mat[c]
+        sp = np.argmax((mc == 32) & (cols > nl2[c, None]) & (cols < nl3[c, None]), axis=1)
+        # fields must be non-empty digit runs with exactly one separating
+        # space, or the row is demoted to the scalar fallback parser
+        good = (sp > nl2[c]) & (sp + 1 < nl3[c])
+        good &= _digit_fields_ok(mc, np.full(len(c), len(prefix)), nl2[c])
+        good &= _digit_fields_ok(mc, nl2[c] + 1, sp)
+        good &= _digit_fields_ok(mc, sp + 1, nl3[c])
+        good &= _digit_fields_ok(mc, nl3[c] + 1, nl4[c])
+        canonical[c[~good]] = False
+        c, mc, sp = c[good], mc[good], sp[good]
+        frames[c] = _parse_int_fields(mc, np.full(len(c), len(prefix)), nl2[c])
+        w[c] = _parse_int_fields(mc, nl2[c] + 1, sp)
+        h[c] = _parse_int_fields(mc, sp + 1, nl3[c])
+        maxval[c] = _parse_int_fields(mc, nl3[c] + 1, nl4[c])
         px_start[c] = offs[:-1][c] + nl4[c] + 1
     for i in np.flatnonzero(~canonical):
         raw = bytes(buf[offs[i] : offs[i + 1]])
@@ -379,10 +401,7 @@ def _parse_wav_batch(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     n = len(col)
     lens = np.diff(offs)
     take = np.minimum(lens, 44)
-    mat = np.zeros((n, 44), dtype=np.uint8)
-    row = np.repeat(np.arange(n), take)
-    cidx = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
-    mat[row, cidx] = buf[np.repeat(offs[:-1], take) + cidx]
+    mat = gather_padded(buf, offs[:-1], take, 44)
 
     def le32(o):
         return np.ascontiguousarray(mat[:, o : o + 4]).view("<u4").ravel().astype(np.int64)

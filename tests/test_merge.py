@@ -219,3 +219,31 @@ def test_merge_resume_skips_finished(ray_session, tmp_path):
     rb = pq.read_table(os.path.join(out, "segments"))
     order = [("term_key", "ascending"), ("chunk", "ascending")]
     assert ra.sort_by(order).equals(rb.sort_by(order))
+
+
+def test_merge_resume_redoes_partial_metadata(ray_session, tmp_path):
+    """A non-empty documents/ dir WITHOUT its completion marker (crash mid
+    write) is rebuilt on resume, not trusted."""
+    corpus, _ = generate_fixture_corpus(n_files=10, seed=19)
+    import pyarrow.compute as pc
+
+    a = corpus.filter(pc.equal(corpus["repo"], corpus["repo"][0]))
+    b = corpus.filter(pc.not_equal(corpus["repo"], corpus["repo"][0]))
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(ray.data.from_arrow(a), d1, num_parts=2, chunk_span=16)
+    build_index(ray.data.from_arrow(b), d2, num_parts=2, chunk_span=16)
+    out = str(tmp_path / "m")
+    merge_indexes([d1, d2], out, num_parts=2, chunk_span=16)
+    full_docs = pq.read_table(os.path.join(out, "documents")).num_rows
+
+    # simulate a crash mid documents-write: delete one parquet file AND the
+    # completion marker; resume must rebuild the documents pass
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out, "documents", "*.parquet")))
+    os.remove(files[0])
+    os.remove(os.path.join(out, ".documents.done"))
+    os.remove(os.path.join(out, ".docmeta.done"))  # derived from documents
+    m = merge_indexes([d1, d2], out, num_parts=2, chunk_span=16, resume=True)
+    assert pq.read_table(os.path.join(out, "documents")).num_rows == full_docs
+    assert m.n_docs == full_docs

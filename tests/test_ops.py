@@ -473,16 +473,20 @@ def test_ppm_batch_parser_fallback_matches_scalar():
     weird = (
         b"P6\n# a comment\n# frames=7\n# more\n  5  \t 4\n255\n" + bytes(5 * 4 * 3)
     )
+    # canonical prefix + 4 newlines, but a DOUBLE space between W and H —
+    # must demote to the scalar parser, not misparse 0x20 as a digit
+    double_space = b"P6\n# frames=3\n5  4\n255\n" + bytes(5 * 4 * 3)
     canonical = _ppm_bytes("hello world payload")
-    col = pa.array([weird, canonical], type=pa.large_binary())
+    col = pa.array([weird, double_space, canonical], type=pa.large_binary())
     w, h, mx, f, ps, buf = _parse_ppm_batch(col)
-    for i, raw in enumerate([weird, canonical]):
+    for i, raw in enumerate([weird, double_space, canonical]):
         ww, hh, mm, ff = _parse_ppm(raw)
         assert (w[i], h[i], mx[i], f[i]) == (ww, hh, mm, ff), i
     # pixel offsets address the real raster in both paths
     assert ps[0] == len(weird) - 5 * 4 * 3
-    raster = buf[ps[1] : ps[1] + w[1] * h[1] * 3]
-    assert len(raster) == w[1] * h[1] * 3
+    assert ps[1] == len(weird) + len(double_space) - 5 * 4 * 3  # buffer-absolute
+    raster = buf[ps[2] : ps[2] + w[2] * h[2] * 3]
+    assert len(raster) == w[2] * h[2] * 3
 
 
 def test_batch_shingle_hashes_property():

@@ -124,7 +124,8 @@ def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
 
     corpus, _ = generate_fixture_corpus(n_files=40, seed=5)
     d = str(tmp_path / "ix")
-    build_index(ray.data.from_arrow(corpus).repartition(8), d, num_parts=4, chunk_span=8)
+    build_index(ray.data.from_arrow(corpus).repartition(8), d, num_parts=4, chunk_span=8,
+                tokenizer="trigram+symbols")
 
     full = IndexReader(d, sharded_meta=False)
     shard = IndexReader(d, sharded_meta=True)
@@ -146,3 +147,10 @@ def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
         BM25Searcher(shard).topk("list cons", 10)
     )
     assert FileSearcher(full).search("file00").equals(FileSearcher(shard).search("file00"))
+    # WordSearcher (symbol BM25) too — its dense fast path must not assume
+    # whole-corpus norms under a sharded reader
+    from searty_ray.query import WordSearcher
+
+    assert WordSearcher(full).topk("defun doc", 10).equals(
+        WordSearcher(shard).topk("defun doc", 10)
+    )

@@ -224,6 +224,10 @@ def main() -> None:
     dedup.minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]), threshold=0.5)
     timings["dedup_minhash"] = time.monotonic() - t0
 
+    t0 = time.monotonic()
+    dedup.simhash_near_dups(docs.select_columns(["doc_id", "text"]), max_hamming=3)
+    timings["dedup_simhash"] = time.monotonic() - t0
+
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     qt = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
         f"{SF_DIR}/embeddings.parquet"
@@ -235,6 +239,16 @@ def main() -> None:
     t0 = time.monotonic()
     knn.knn_brute_cosine(emb, qvecs, k=10)
     timings["knn_brute"] = time.monotonic() - t0
+
+    # IVF: disk-backed build + distributed batch search (the ANN scale path)
+    ivf_dir = "/tmp/searty_ray_bench_ivf"
+    import shutil as _sh
+
+    _sh.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    knn.IVFIndex.build(emb, ivf_dir, nlist=16)
+    knn.knn_ivf_search_batch(ivf_dir, emb.limit(64), k=10, nprobe=4).count()
+    timings["ann_ivf"] = time.monotonic() - t0
 
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()

@@ -166,6 +166,31 @@ def decode_meta_blob(
     return doc_ids.astype(np.int64), tfs
 
 
+def meta_blob_entries(
+    meta_values: bytes | memoryview | np.ndarray,
+    df_col: np.ndarray,
+    order: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bulk decode of CONCATENATED segment meta blobs ([df, gaps…, tfs…] per
+    row) → per-entry (doc_gaps, tfs, rank) arrays, one varint pass for the
+    whole stream.  ``order`` permutes rows (e.g. (term, chunk) sort) before
+    the entry gather; ``rank`` is each entry's ordinal within its row.  The
+    ONE place the wire-format entry layout is interpreted — both the query
+    reader and the merge path (encode_stage.segment_rows_to_entries) build
+    on it."""
+    meta_vals = varint_decode(meta_values).astype(np.int64)
+    row_off = np.concatenate(([0], np.cumsum(1 + 2 * df_col)))[:-1]
+    if order is None:
+        df_o, off_o = df_col, row_off
+    else:
+        df_o, off_o = df_col[order], row_off[order]
+    E = int(df_o.sum())
+    rank = np.arange(E, dtype=np.int64) - np.repeat(np.cumsum(df_o) - df_o, df_o)
+    gaps = meta_vals[np.repeat(off_o + 1, df_o) + rank]
+    tfs = meta_vals[np.repeat(off_o + 1 + df_o, df_o) + rank]
+    return gaps, tfs, rank
+
+
 def decode_pos_blob(blob: bytes | memoryview | np.ndarray, tfs: np.ndarray) -> np.ndarray:
     """Decode a compressed position stream given the per-doc tfs."""
     pg = varint_decode(blob)

@@ -113,7 +113,10 @@ def merge_indexes(
     n_docs = len(kept)
     max_doc_id = int(kept["new_id"].max()) if n_docs else -1
     if chunk_span is None:
-        chunk_span = pick_chunk_span(n_docs)
+        # span from the ID RANGE, exactly like build_index (build.py): with
+        # preserve_ids over hash-mode (63-bit) ids, spanning n_docs would
+        # make nearly every (term, doc) its own chunk
+        chunk_span = pick_chunk_span(max_doc_id + 1)
 
     # ---- remaps SHARDED by old-chunk range, not broadcast whole ----
     # Each index's remap is split along the chunk ranges its segments files

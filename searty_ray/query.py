@@ -85,15 +85,6 @@ class TermPostings:
         sub = self.pos_blob[_expand_ranges(b_starts, b_lens)]
         return decode_pos_blob(sub, tf_sel)
 
-    def pos_slices(self) -> np.ndarray:
-        return np.cumsum(self.tfs) - self.tfs
-
-    def doc_positions(self, doc_id: int) -> np.ndarray:
-        i = int(np.searchsorted(self.doc_ids, doc_id))
-        if i >= len(self.doc_ids) or self.doc_ids[i] != doc_id:
-            return np.empty(0, dtype=np.int32)
-        return self.positions_for(np.array([i], dtype=np.int64))
-
 
 def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one index array (no Python loop)."""
@@ -163,8 +154,16 @@ class DocRangeMeta:
         return t
 
     def gather(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
-        """Rows for ``doc_ids`` (order-aligned, duplicates preserved)."""
+        """Rows for ``doc_ids`` (order-aligned, duplicates preserved).
+
+        Per-call residency is bounded by the OUTPUT size, not the row
+        groups touched: each hit group contributes only its requested rows
+        (a take), so a corpus-spanning request holds ~len(doc_ids) rows,
+        never every hit group whole.  (The LRU cache separately bounds the
+        resident raw groups at ``cap``.)"""
         index = self._range_index()
+        if not index:
+            raise KeyError("docmeta has no row groups")
         uniq = np.unique(np.asarray(doc_ids, dtype=np.int64))
         if len(uniq) == 0:
             # schema-correct empty result (zero-row slice of any group)
@@ -174,10 +173,21 @@ class DocRangeMeta:
         lo = np.searchsorted(uniq, self._mins, side="left")
         hi = np.searchsorted(uniq, self._maxs, side="right")
         hit = hi > lo
-        parts = [self._resolve(index[i][2], index[i][3]) for i in np.flatnonzero(hit)]
+        parts = []
+        for i in np.flatnonzero(hit):
+            g = self._resolve(index[i][2], index[i][3])
+            g_ids = g["doc_id"].to_numpy()
+            p = np.minimum(np.searchsorted(uniq, g_ids), len(uniq) - 1)
+            m = uniq[p] == g_ids
+            if m.any():
+                parts.append(
+                    g.select(["doc_id", *columns]).take(
+                        pa.array(np.flatnonzero(m), type=pa.int64())
+                    )
+                )
         if not parts:
             raise KeyError("doc ids outside every docmeta row-group range")
-        tbl = pa.concat_tables([p.select(["doc_id", *columns]) for p in parts])
+        tbl = pa.concat_tables(parts)
         ids = tbl["doc_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         pos = np.searchsorted(ids[order], np.asarray(doc_ids, dtype=np.int64))
@@ -380,7 +390,9 @@ class IndexReader:
             # row-group statistics on the sorted term_key column prune I/O
             t = pads.dataset(part_dir).to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
-                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_len_blob", "pos_blob", "block_last_doc", "block_max_tf", "block_max_score"],
+                # block_max_tf stays on disk: the query path scores with
+                # block_max_score; don't decode pages nobody reads
+                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_len_blob", "pos_blob", "block_last_doc", "block_max_score"],
             ).combine_chunks()
             return t if len(t) else None
 
@@ -416,7 +428,7 @@ class IndexReader:
         pass for every meta blob, one segmented cumsum for every doc-id
         stream, zero-copy views + one per-term memcpy for position bytes and
         block metadata.  The only per-row Python is boundary slicing."""
-        from .functions.codec import segmented_undelta
+        from .functions.codec import meta_blob_entries, segmented_undelta
 
         span = self.manifest.chunk_span
         tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -426,16 +438,11 @@ class IndexReader:
         order = np.lexsort((chunk, tk))
         tk_s, chunk_s, df_s, cf_s = tk[order], chunk[order], df_col[order], cf_col[order]
 
-        # bulk meta decode: row blobs are adjacent → ONE varint pass for the
-        # whole read; per-entry gather indices rebuilt from [1+2·df] counts
+        # bulk meta decode in (term, chunk)-sorted entry coordinates — the
+        # shared wire-format interpreter (codec.meta_blob_entries)
         meta_col = t.column("meta_blob").chunk(0)
-        meta_vals = varint_decode(_binary_values(meta_col)).astype(np.int64)
-        row_off = np.concatenate(([0], np.cumsum(1 + 2 * df_col)))[:-1]
-        row_off_s = row_off[order]
-        E = int(df_s.sum())
-        rank = np.arange(E, dtype=np.int64) - np.repeat(np.cumsum(df_s) - df_s, df_s)
-        gaps = meta_vals[np.repeat(row_off_s + 1, df_s) + rank]
-        tfs_all = meta_vals[np.repeat(row_off_s + 1 + df_s, df_s) + rank].astype(np.int32)
+        gaps, tfs_raw, rank = meta_blob_entries(_binary_values(meta_col), df_col, order)
+        tfs_all = tfs_raw.astype(np.int32)
         docs_all = segmented_undelta(gaps, df_s) + np.repeat(chunk_s * span, df_s)
 
         pos_col = t.column("pos_blob").chunk(0)
@@ -543,12 +550,18 @@ class PhraseSearcher:
         # releases inside the kernels), so cold multi-term phrases build
         # their constraints in parallel threads — the decode of hot-term
         # position streams is the cold-phrase p95 driver.
+        # keys pack the candidate RANK (index into the sorted cand array),
+        # never the raw doc id: rank < len(cand) < 2^30 by memory alone, so
+        # rank * 2^33 + pos cannot overflow int64 — raw ids would wrap for
+        # hash-mode (63-bit) ids or >2^30-doc corpora
+        cand_rank = np.arange(len(cand), dtype=np.int64)
+
         def _term_constraints(k, offs):
             tp = plists[int(k)]
             idx = np.searchsorted(tp.doc_ids, cand)
             pos = tp.positions_for(idx).astype(np.int64)
             tf_sel = tp.tfs[idx].astype(np.int64)
-            bk = np.repeat(cand, tf_sel) * _POS_SPAN + pos
+            bk = np.repeat(cand_rank, tf_sel) * _POS_SPAN + pos
             out = []
             for off in offs:
                 if off == 0:
@@ -576,7 +589,7 @@ class PhraseSearcher:
             idx = np.searchsorted(other, cur)
             idx[idx == len(other)] = 0  # safe gather; mismatch filtered below
             cur = cur[other[idx] == cur]
-        return (cur // _POS_SPAN).astype(np.int64), (cur % _POS_SPAN).astype(np.int64)
+        return cand[(cur // _POS_SPAN).astype(np.int64)], (cur % _POS_SPAN).astype(np.int64)
 
     def search(self, query: str, limit: int | None = None) -> pa.Table:
         """→ (doc_id, filename, start, end), ranges merged, sorted (filename, start).
@@ -891,6 +904,11 @@ class FileSearcher:
                 for rb in pq.ParquetFile(path).iter_batches(columns=["doc_id", "filename"]):
                     t = pa.Table.from_batches([rb])
                     parts.append(t.filter(pc.match_substring(t["filename"], query)))
+            if not parts:
+                return pa.table(
+                    {"doc_id": pa.array([], type=pa.int64()),
+                     "filename": pa.array([], type=pa.string())}
+                )
             return pa.concat_tables(parts).sort_by("filename")
         r._load_meta()
         t = pa.table(
@@ -976,10 +994,13 @@ class QueryEngine:
             if self.reader.range_meta is None:
                 self.reader._load_norms()
                 self.reader._load_meta()
+                # hot-term prewarm reads (term_key, df) of the whole segments
+                # dataset — fine at whole-corpus-arrays scale, unbounded at
+                # sharded scale, so sharded actors warm terms via the LRU
+                self.reader.prewarm_hot_terms()
             else:
                 self.reader.range_meta._range_index()
             self.symbol._table()
-            self.reader.prewarm_hot_terms()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
@@ -987,7 +1008,7 @@ class QueryEngine:
         qids, kinds, ns, first, walls = [], [], [], [], []
         for row in batch.to_pylist():
             kind, q = row["kind"], row["query"]
-            k = int(row.get("k") or 10)
+            k = 10 if row.get("k") is None else int(row["k"])  # k=0 is valid
             t0 = time.monotonic()
             if kind == "phrase":
                 res = self.phrase.search(q, limit=self.phrase_limit)

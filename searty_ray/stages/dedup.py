@@ -243,6 +243,10 @@ class MinHashStage:
     SQL oracle can reproduce candidate generation exactly.  Docs with no
     shingles emit no rows (they can never be near-dups)."""
 
+    #: shingles per permutation slab — bounds the (64 × window) temporary at
+    #: ~128 MB regardless of how many MB-scale docs share a batch
+    SH_WINDOW = 1 << 18
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cat, counts = _batch_shingle_hashes(batch["text"].tolist())
         keep = counts > 0
@@ -251,9 +255,7 @@ class MinHashStage:
             return _empty_band_rows()
         ids = batch["doc_id"].to_numpy()[keep].astype(np.int64)
         starts = (np.cumsum(counts) - counts)[keep]
-        with np.errstate(over="ignore"):
-            H = PERM_A[:, None] * cat[None, :] + PERM_B[:, None]  # (64, S)
-        sig = np.minimum.reduceat(H, starts, axis=1)  # (64, n)
+        sig = _windowed_perm_minima(cat, starts, self.SH_WINDOW)  # (64, n)
         out = {
             "band": np.repeat(np.arange(N_BANDS, dtype=np.int32), n),
             "doc_id": np.tile(ids, N_BANDS),
@@ -261,6 +263,27 @@ class MinHashStage:
         for r in range(ROWS_PER_BAND):
             out[f"v{r}"] = sig[r::ROWS_PER_BAND].ravel()  # perm 4b+r of band b
         return pd.DataFrame(out)
+
+
+def _windowed_perm_minima(cat: np.ndarray, starts: np.ndarray, window: int) -> np.ndarray:
+    """Per-doc minima of the 64 multiply-shift permutations over the flat
+    shingle-hash array, processed in ``window``-sized slabs so the (64 ×
+    slab) product matrix is bounded no matter the batch's total shingles.
+    Minima are associative → identical to the one-shot reduceat."""
+    n = len(starts)
+    total = len(cat)
+    sig = np.full((64, n), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for a in range(0, total, window):
+        b = min(a + window, total)
+        with np.errstate(over="ignore"):
+            H = PERM_A[:, None] * cat[None, a:b] + PERM_B[:, None]
+        first = int(np.searchsorted(starts, a, side="right") - 1)
+        inner = np.flatnonzero((starts > a) & (starts < b))
+        red = np.concatenate(([a], starts[inner])) - a
+        mins = np.minimum.reduceat(H, red, axis=1)
+        docs_here = np.concatenate(([first], inner))
+        sig[:, docs_here] = np.minimum(sig[:, docs_here], mins)
+    return sig
 
 
 def _empty_band_rows() -> pd.DataFrame:
@@ -460,19 +483,33 @@ def simhash64(text: str) -> int:
     return int(sig[0])
 
 
+_SIMHASH_WINDOW = 1 << 18  # words per bit-matrix slab (~64 MB), so MB-scale
+# docs can't blow the (words × 64) temporary up to GBs
+
+
 def _simhash_vec(texts: list[str]) -> np.ndarray:
     """Vectorized simhash for a batch: word hashes from the batched byte
-    kernel, one (total_words × 64) bit matrix, per-doc signed sums via
-    ``add.reduceat``."""
+    kernel, per-doc signed bit sums accumulated in bounded word windows
+    (sums are associative → identical to the one-shot matrix)."""
     hs, lens = _batch_word_hashes(texts)
-    sig = np.zeros(len(texts), dtype=np.uint64)
+    n = len(texts)
+    sig = np.zeros(n, dtype=np.uint64)
     nz = lens > 0
     if not nz.any():
         return sig
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-    starts = (np.cumsum(lens) - lens)[nz]
-    v = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (n_nz, 64)
-    sig[nz] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    starts = (np.cumsum(lens) - lens)[nz]  # strictly increasing (lens > 0)
+    v = np.zeros((int(nz.sum()), 64), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    total = len(hs)
+    for a in range(0, total, _SIMHASH_WINDOW):
+        b = min(a + _SIMHASH_WINDOW, total)
+        bits = ((hs[a:b, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        first = int(np.searchsorted(starts, a, side="right") - 1)
+        inner = np.flatnonzero((starts > a) & (starts < b))
+        red = np.concatenate(([a], starts[inner])) - a
+        sums = np.add.reduceat(2 * bits - 1, red, axis=0)
+        v[np.concatenate(([first], inner))] += sums
+    sig[nz] = ((v > 0).astype(np.uint64) << shifts).sum(axis=1)
     return sig
 
 

@@ -154,12 +154,10 @@ def segment_rows_to_entries(t: pa.Table, old_span: int):
     chunk = t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
     tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
-    meta_vals = varint_decode(_binary_values(t.column("meta_blob").chunk(0))).astype(np.int64)
-    row_off = np.concatenate(([0], np.cumsum(1 + 2 * df_col)))[:-1]
+    from ..functions.codec import meta_blob_entries
+
+    gaps, tfs, _rank = meta_blob_entries(_binary_values(t.column("meta_blob").chunk(0)), df_col)
     E = int(df_col.sum())
-    rank = np.arange(E, dtype=np.int64) - np.repeat(np.cumsum(df_col) - df_col, df_col)
-    gaps = meta_vals[np.repeat(row_off + 1, df_col) + rank]
-    tfs = meta_vals[np.repeat(row_off + 1 + df_col, df_col) + rank]
     docs_old = segmented_undelta(gaps, df_col) + np.repeat(chunk * old_span, df_col)
 
     pos_lens = varint_decode(_binary_values(t.column("pos_len_blob").chunk(0))).astype(np.int64)

@@ -524,3 +524,29 @@ def test_batch_shingle_hashes_property():
             assert (got == want).all()
 
     check()
+
+
+def test_windowed_signature_kernels_match_one_shot():
+    """Window-sliced signature accumulation (bounded temporaries for
+    MB-scale docs) is bit-identical to the one-shot matrices, including
+    windows that split docs mid-stream."""
+    import numpy as np
+
+    texts = ["one two three four five six seven", "a b", "", "x y " * 40, "lone"]
+    cat, counts = dedup._batch_shingle_hashes(texts)
+    starts = (np.cumsum(counts) - counts)[counts > 0]
+    with np.errstate(over="ignore"):
+        H = dedup.PERM_A[:, None] * cat[None, :] + dedup.PERM_B[:, None]
+    want = np.minimum.reduceat(H, starts, axis=1)
+    for w in (1, 3, 7, 1 << 18):
+        got = dedup._windowed_perm_minima(cat, starts, w)
+        assert (got == want).all(), w
+
+    full = dedup._simhash_vec(texts)
+    save = dedup._SIMHASH_WINDOW
+    try:
+        for w in (1, 4, 9):
+            dedup._SIMHASH_WINDOW = w
+            assert (dedup._simhash_vec(texts) == full).all(), w
+    finally:
+        dedup._SIMHASH_WINDOW = save

@@ -322,6 +322,18 @@ def q_phrase_ranges(sf_dir: str):
 
 SQL_PHRASE_RANGES = _sql_phrase(PHRASE_OVERLAP_Q)
 
+PHRASE_LIMIT_N = 20
+
+
+def q_phrase_limited(sf_dir: str):
+    """The bounded phrase path: limit= is exactly the head of the print-all
+    (filename, start) ordering, so the oracle is the same SQL + LIMIT."""
+    index_dir = _ensure_index(sf_dir)
+    return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q, limit=PHRASE_LIMIT_N)
+
+
+SQL_PHRASE_LIMITED = _sql_phrase(PHRASE_Q).rstrip() + f"\nLIMIT {PHRASE_LIMIT_N}"
+
 
 def q_bm25_topk(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
@@ -1203,6 +1215,7 @@ QUERIES = {
     "postings_probe": q_postings_probe,
     "merge_postings": q_merge_postings,
     "phrase_search": q_phrase_search,
+    "phrase_limited": q_phrase_limited,
     "phrase_ranges": q_phrase_ranges,
     "bm25_topk": q_bm25_topk,
     "symbol_search": q_symbol_search,
@@ -1243,6 +1256,7 @@ ORACLE_SQL = {
     "postings_probe": SQL_POSTINGS_PROBE,
     "merge_postings": SQL_POSTINGS_PROBE,  # merged index ≡ full-corpus build
     "phrase_search": SQL_PHRASE_SEARCH,
+    "phrase_limited": SQL_PHRASE_LIMITED,
     "phrase_ranges": SQL_PHRASE_RANGES,
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,

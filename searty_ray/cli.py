@@ -89,6 +89,21 @@ def cmd_index_spec(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    _ray_session()
+    from .tools.verify_index import verify_index
+
+    res = verify_index(args.database)
+    print(
+        f"{res['rows']} posting rows checked, {res['errors']} errors, "
+        f"{res['dup_term_chunk']} duplicate (term, chunk) rows, "
+        f"docmeta {'ok' if res['docmeta_ok'] else 'MISMATCH'}"
+    )
+    for e in res["first_errors"]:
+        print(f"  error: {e}")
+    return 0 if res["ok"] else 1
+
+
 def cmd_search(args) -> int:
     _ray_session()
     from .query import (
@@ -175,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
     pd = sub.add_parser("describe")
     pd.add_argument("-d", "--database", required=True)
     pd.add_argument("--dump-terms", action="store_true")
+
+    pv = sub.add_parser("verify", help="distributed index integrity check (CheckCorruption parity)")
+    pv.add_argument("-d", "--database", required=True)
+    pv.set_defaults(fn=cmd_verify)
     pd.set_defaults(fn=cmd_describe)
 
     args = p.parse_args(argv)

@@ -73,3 +73,46 @@ def test_cli_merge_unions_corpora(fixture_corpus, tmp_path, capsys):
     assert "indexed 60 docs" in capsys.readouterr().out
     docs = pq.read_table(os.path.join(out_dir, "documents"), columns=["doc_id"])
     assert docs.num_rows == 60
+
+
+def test_verify_index_clean_and_corrupted(ray_session, tmp_path):
+    """verify_index passes a fresh build and pinpoints a corrupted blob
+    (CheckCorruption parity, postinglist.go:96-106, whole-index sweep)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from searty_ray.pipelines.build import build_index
+    from searty_ray.sources.corpus import generate_fixture_corpus
+    from searty_ray.tools.verify_index import verify_index
+
+    corpus, _ = generate_fixture_corpus(n_files=12, seed=23)
+    d = str(tmp_path / "ix")
+    build_index(ray.data.from_arrow(corpus), d, num_parts=2, chunk_span=16)
+    res = verify_index(d)
+    assert res["ok"], res
+    assert res["rows"] > 0 and res["errors"] == 0
+
+    # corrupt one segment row's meta blob: swap the first two doc gaps by
+    # rewriting the file with a doctored blob
+    f = sorted(glob.glob(os.path.join(d, "segments", "part=*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    metas = t["meta_blob"].to_pylist()
+    dfs = t["df"].to_pylist()
+    victim = next(i for i, x in enumerate(dfs) if x >= 2)
+    blob = bytearray(metas[victim])
+    from searty_ray.functions.codec import varint_decode, varint_encode
+    import numpy as np
+
+    vals = varint_decode(bytes(blob)).astype(np.int64)
+    vals[1], vals[2] = vals[2] + 1, 0  # non-ascending doc ids after undelta
+    metas[victim] = varint_encode(vals.astype(np.uint64)).tobytes()
+    t = t.set_column(
+        t.schema.get_field_index("meta_blob"), "meta_blob",
+        pa.array(metas, type=pa.large_binary()),
+    )
+    pq.write_table(t, f)
+    res2 = verify_index(d)
+    assert not res2["ok"] and res2["errors"] >= 1

@@ -62,6 +62,8 @@ def wand_topk(
     ``doc_len_fn(doc_ids: np.ndarray) -> np.ndarray`` resolves BM25 doc
     lengths (norms lookup).
     """
+    if k <= 0:  # match the exhaustive path (topk_dense returns empty)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     cursors = [c for c in cursors if len(c.doc_ids)]
     # heap of (-score, doc_id) equivalents: python heapq is a min-heap over
     # (score, -doc_id) so the weakest (lowest score, then highest doc) pops first
@@ -95,13 +97,14 @@ def wand_topk(
                 # cursor's doc: docs beyond it gain that cursor's contribution
                 # and the block bound `bm` no longer covers them (Ding–Suel
                 # GetNewCandidate).
-                boundary = min(
-                    (int(c.block_last_doc[np.searchsorted(c.block_last_doc, pivot_doc, side="left")])
-                     for c in live
-                     if c.cur_doc <= pivot_doc
-                     and np.searchsorted(c.block_last_doc, pivot_doc, side="left") < len(c.block_last_doc)),
-                    default=pivot_doc,
-                )
+                ends = []
+                for c in live:
+                    if c.cur_doc > pivot_doc:
+                        continue
+                    b = int(np.searchsorted(c.block_last_doc, pivot_doc, side="left"))
+                    if b < len(c.block_last_doc):
+                        ends.append(int(c.block_last_doc[b]))
+                boundary = min(ends, default=pivot_doc)
                 nxt = min((c.cur_doc for c in live if c.cur_doc > pivot_doc), default=_INF)
                 boundary = max(pivot_doc, min(boundary, nxt - 1))
                 for c in live:

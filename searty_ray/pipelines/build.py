@@ -83,22 +83,45 @@ def build_index(
     _prepare_dirs(index_dir, resume)
     corpus = assign_doc_ids(corpus, mode=id_mode)
 
+    # Completion markers gate each metadata stage on resume: a non-empty
+    # directory can be a crashed PARTIAL write — trusting it would commit a
+    # truncated index (wrong n_docs/avgdl, missing postings).  Segments have
+    # their own per-partition sidecars; these passes get one marker each.
+    def _marker(name: str) -> str:
+        return os.path.join(index_dir, f".{name}.done")
+
+    def _stage_done(name: str) -> bool:
+        return resume and os.path.exists(_marker(name))
+
+    def _mark_done(name: str) -> None:
+        with open(_marker(name), "w") as f:
+            f.write("ok\n")
+
+    def _clear_dir(d: str) -> None:
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.remove(os.path.join(d, f))
+
     # ---- documents + content sidecar (streaming writes) ----
     docs_dir = os.path.join(index_dir, "documents")
-    if not (resume and os.path.isdir(docs_dir) and os.listdir(docs_dir)):
+    if not _stage_done("documents"):
+        _clear_dir(docs_dir)
         corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
-        if extract_symbols:
-            # definitions pass (M13-lite): reads back only (doc_id, content)
-            # pages of the just-written documents table
-            from .symbols import build_symbols_from_corpus
+        _mark_done("documents")
+    if extract_symbols and not _stage_done("symbols"):
+        # definitions pass (M13-lite): reads back only (doc_id, content)
+        # pages of the just-written documents table
+        from .symbols import build_symbols_from_corpus
 
-            sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            build_symbols_from_corpus(
-                ray.data.read_parquet(
-                    docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
-                ),
-                index_dir,
-            )
+        _clear_dir(os.path.join(index_dir, "symbols"))
+        sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        build_symbols_from_corpus(
+            ray.data.read_parquet(
+                docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
+            ),
+            index_dir,
+        )
+        _mark_done("symbols")
     t_docs = time.monotonic()
 
     # ---- doc-metadata sidecar: (doc_id, filename, n_tokens, n_sym_tokens) ----
@@ -106,10 +129,12 @@ def build_index(
     # the full documents files decodes past the content column's pages.  A
     # dedicated narrow sidecar makes actor init a ~MB-scale read.
     meta_dir = os.path.join(index_dir, "docmeta")
-    if not (resume and os.path.isdir(meta_dir) and os.listdir(meta_dir)):
+    if not _stage_done("docmeta"):
+        _clear_dir(meta_dir)
         ray.data.read_parquet(
             docs_dir, columns=["doc_id", "filename", "n_tokens", "n_sym_tokens"]
         ).write_parquet(meta_dir)
+        _mark_done("docmeta")
 
     # ---- global stats over written metadata ----
     # Below ~50M rows a local columnar scan of the three int64 columns beats
@@ -250,7 +275,18 @@ def shuffle_encode_runs(
     def encode_and_write(group: pa.Table) -> pa.Table:
         pgrp = int(group["pgrp"][0].as_py())
         if pgrp in finished:
-            return _summary(pgrp, 0, 0, 0, 0.0, skipped=True)
+            # report the REAL lineage from the finished partition's sidecar,
+            # so a resumed build's manifest matches a clean build's
+            import json
+
+            try:
+                with open(partition_sidecar_path(index_dir, pgrp)) as f:
+                    sc = json.load(f)
+                return _summary(
+                    pgrp, sc["segments"], sc["rows"], sc["bytes"], sc["wall_s"], skipped=True
+                )
+            except (OSError, KeyError, ValueError):
+                return _summary(pgrp, 0, 0, 0, 0.0, skipped=True)
         part, cg = divmod(pgrp, sub_splits)
         g0 = time.monotonic()
         seg = encode_partition(group.drop_columns(["pgrp"]), avgdl, chunk_span, part)

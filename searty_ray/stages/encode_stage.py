@@ -117,7 +117,7 @@ def entries_to_runs(
         {
             "term_key": pa.array(st[run_starts], type=pa.uint64()),
             "chunk": pa.array(sc[run_starts], type=pa.int64()),
-            "n_docs": pa.array(run_counts.astype(np.int32), type=pa.int32()),
+            "n_docs": pa.array(run_counts.astype(np.int64), type=pa.int64()),  # int32 would wrap past 2^31 postings per (term, chunk) run at 10^12-doc spans
             "doc_blob": _stream(dgap.astype(np.uint64)),
             "tf_blob": _stream(stf.astype(np.uint64)),
             "len_blob": _stream(sbytes.astype(np.uint64)),

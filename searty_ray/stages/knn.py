@@ -124,12 +124,32 @@ def knn_brute_cosine(
 
 def _normalize_block(batch: pa.Table) -> pa.Table:
     """(vec_id, embedding) → (vec_id, unit-norm embedding as float64 list)."""
+    if len(batch) == 0:  # dim is unknowable from an empty block
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.large_list(pa.float64())),
+            }
+        )
     ids, mat = _emb_matrix(batch)
     unit = _unit_rows(mat)
     n, dim = unit.shape
     off = np.arange(0, (n + 1) * dim, dim, dtype=np.int64)
     emb = pa.LargeListArray.from_arrays(off, pa.array(unit.ravel(), type=pa.float64()))
     return pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb})
+
+
+def _assign_clusters(batch: pa.Table, cent_ref) -> pa.Table:
+    """Normalize a block and append its nearest-centroid ``cluster`` column —
+    the ONE cluster-assignment kernel (IVF build and ivf_near_dups share it;
+    empty blocks pass through with the cluster column attached)."""
+    cm = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    t = _normalize_block(batch)
+    if len(t) == 0:
+        return t.append_column("cluster", pa.array([], type=pa.int32()))
+    _, bmat = _emb_matrix(t)
+    cluster = np.argmax(bmat @ cm.T, axis=1).astype(np.int32)
+    return t.append_column("cluster", pa.array(cluster, type=pa.int32()))
 
 
 class _TilePairs:
@@ -196,6 +216,9 @@ def embedding_near_dups(
     The normalized blocks live in the object store (spillable); the pipeline
     streams over block-pair indices with backpressure, so peak worker memory
     is two blocks + one tile, and driver memory is refs + matches."""
+    # the dataset is consumed twice (count + block pass): materialize so the
+    # upstream read/transform runs once, not per consumption
+    embeddings = embeddings.materialize()
     n = embeddings.count()
     nblocks = max(1, -(-n // block_rows))
     blocks = (
@@ -283,11 +306,7 @@ class IVFIndex:
         cent_ref = ray.put(cent)
 
         def assign_batch(batch: pa.Table) -> pa.Table:
-            cm = ray.get(cent_ref)
-            t = _normalize_block(batch)
-            _, bmat = _emb_matrix(t)
-            cluster = np.argmax(bmat @ cm.T, axis=1).astype(np.int32)
-            return t.append_column("cluster", pa.array(cluster, type=pa.int32()))
+            return _assign_clusters(batch, cent_ref)
 
         # streaming partitioned write: lists land as cluster=NNN/ parquet
         # directories straight from the assign stage — the driver never sees
@@ -419,11 +438,7 @@ def ivf_near_dups(
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cent_ref)
-        t = _normalize_block(batch)
-        _, bmat = _emb_matrix(t)
-        cluster = np.argmax(bmat @ cm.T, axis=1).astype(np.int32)
-        return t.append_column("cluster", pa.array(cluster, type=pa.int32()))
+        return _assign_clusters(batch, cent_ref)
 
     def cluster_pairs(g: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(g.select(["vec_id", "embedding"]).combine_chunks())

@@ -146,29 +146,23 @@ class TokenizeCombine:
         dgap[1:] = sd_r[1:] - sd_r[:-1]
         dgap[run_starts] = sd_r[run_starts]
 
+        from .encode_stage import _binary_from
+
         def _stream(values: np.ndarray) -> pa.Array:
             sizes_ = varint_sizes(values)
             data_ = varint_encode(values)
             per_run = np.add.reduceat(sizes_, run_starts)
             offs = np.concatenate(([0], np.cumsum(per_run))).astype(np.int64)
-            return pa.Array.from_buffers(
-                pa.large_binary(),
-                len(run_starts),
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data_.tobytes())],
-            )
+            return _binary_from(offs, data_)
 
         run_byte_counts = np.add.reduceat(entry_bytes, run_starts)
         byte_offsets = np.concatenate(([0], np.cumsum(run_byte_counts))).astype(np.int64)
-        pos_blob = pa.Array.from_buffers(
-            pa.large_binary(),
-            len(run_starts),
-            [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(data.tobytes())],
-        )
+        pos_blob = _binary_from(byte_offsets, data)
         return pa.table(
             {
                 "term_key": pa.array(sk_r[run_starts], type=pa.uint64()),
                 "chunk": pa.array(sc_r[run_starts], type=pa.int64()),
-                "n_docs": pa.array(run_counts.astype(np.int32), type=pa.int32()),
+                "n_docs": pa.array(run_counts.astype(np.int64), type=pa.int64()),  # int32 would wrap past 2^31 postings per (term, chunk) run at 10^12-doc spans
                 "doc_blob": _stream(dgap.astype(np.uint64)),
                 "tf_blob": _stream(stf.astype(np.uint64)),
                 "len_blob": _stream(entry_bytes.astype(np.uint64)),
@@ -182,7 +176,7 @@ def _empty_runs() -> pa.Table:
         {
             "term_key": pa.array([], type=pa.uint64()),
             "chunk": pa.array([], type=pa.int64()),
-            "n_docs": pa.array([], type=pa.int32()),
+            "n_docs": pa.array([], type=pa.int64()),
             "doc_blob": pa.array([], type=pa.large_binary()),
             "tf_blob": pa.array([], type=pa.large_binary()),
             "len_blob": pa.array([], type=pa.large_binary()),

@@ -222,3 +222,34 @@ def test_hash_doc_ids_batch_composition_independent():
     t = _hash_ids_batch(tbl([short, ("r", "a.lisp", "c2"), ("r", "b.lisp", "c1")]))
     ids = t["doc_id"].to_pylist()
     assert len(set(ids)) == 3
+
+
+def test_build_resume_redoes_partial_documents(ray_session, tmp_path):
+    """A non-empty documents/ dir without its completion marker (crash mid
+    write) is rebuilt on resume — never trusted as complete."""
+    import glob
+
+    import ray.data
+
+    from searty_ray.pipelines.build import build_index
+    from searty_ray.sources.corpus import generate_fixture_corpus
+
+    corpus, _ = generate_fixture_corpus(n_files=12, seed=31)
+    d = str(tmp_path / "ix")
+    m0 = build_index(ray.data.from_arrow(corpus).repartition(4), d, num_parts=2, chunk_span=16)
+
+    files = sorted(glob.glob(os.path.join(d, "documents", "*.parquet")))
+    assert len(files) > 1
+    os.remove(files[0])  # simulate partial write
+    os.remove(os.path.join(d, ".documents.done"))
+    os.remove(os.path.join(d, ".docmeta.done"))
+    m1 = build_index(ray.data.from_arrow(corpus).repartition(4), d, num_parts=2,
+                     chunk_span=16, resume=True)
+    assert m1.n_docs == m0.n_docs
+    assert pq.read_table(os.path.join(d, "documents")).num_rows == m0.n_docs
+    # postings partitions were finished → resumed manifest reports their REAL
+    # lineage (not zeros)
+    assert all(v.get("skipped") for v in m1.partitions.values())
+    assert sum(v["segments"] for v in m1.partitions.values()) == sum(
+        v["segments"] for v in m0.partitions.values()
+    )

@@ -39,6 +39,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import hash_bytes_u64, hash_str_u64, mix64
+from ..functions.words import ascii_words
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -143,8 +144,10 @@ def hash_word(word: str) -> int:
 def shingle_strings(text: str, w: int = 3) -> list[str]:
     """Word w-shingles as strings; short docs (0 < n < w) contribute their
     whole text as ONE shingle (content-derived, so distinct short docs get
-    distinct sets — not the word-count-only fallback)."""
-    words = text.split()
+    distinct sets — not the word-count-only fallback).  Words use the
+    ASCII-whitespace split (functions/words.py) so the SQL mirrors'
+    string_split_regex agrees on exotic whitespace."""
+    words = ascii_words(text)
     if len(words) >= w:
         return [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
     return [" ".join(words)] if words else []
@@ -153,13 +156,13 @@ def shingle_strings(text: str, w: int = 3) -> list[str]:
 def _norm_word_bounds(texts: list[str]):
     """Whitespace-normalized UTF-8 buffer + flat word boundaries for a batch.
 
-    ``buf`` holds each text's ``" ".join(text.split())`` bytes concatenated;
-    since ``str.split()`` words contain no spaces and multi-byte UTF-8 never
-    contains 0x20, every space byte in ``buf`` is a word separator — so word
-    boundaries come from ONE vectorized byte scan, not per-word Python.
+    ``buf`` holds each text's ``" ".join(ascii_words(text))`` bytes
+    concatenated; words contain no 0x20 (the ASCII split removes it and
+    multi-byte UTF-8 never contains it), so every space byte in ``buf`` is a
+    word separator — word boundaries come from ONE vectorized byte scan.
     Returns (buf, doc_offsets[n+1], word_starts, word_ends, words_per_doc).
     """
-    norms = [" ".join(t.split()).encode("utf-8") for t in texts]
+    norms = [" ".join(ascii_words(t)).encode("utf-8") for t in texts]
     dlens = np.array([len(b) for b in norms], dtype=np.int64)
     buf = np.frombuffer(b"".join(norms), dtype=np.uint8)
     doffs = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)

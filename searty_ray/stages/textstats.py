@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.hashing import mix64
+from ..functions.words import WORD_RE, WS_CLASS, WS_RE, round6
 
 # fixed priority order breaks ties deterministically (first wins)
 LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
@@ -34,13 +35,12 @@ LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
 
 STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
 
-_WS_RE = re.compile(r"\s+")
-
-
 def _token_count_re(word: str) -> re.Pattern:
-    """Counts whitespace-delimited occurrences of ``word`` — exactly the
-    ``w in text.split()`` membership count, without materializing the split."""
-    return re.compile(rf"(?<!\S){re.escape(word)}(?!\S)")
+    """Counts ASCII-whitespace-delimited occurrences of ``word`` — exactly
+    the SQL mirrors' word membership (functions/words.py: RE2 semantics),
+    without materializing the split."""
+    nonws = WS_CLASS.replace("[", "[^", 1)
+    return re.compile(rf"(?<!{nonws}){re.escape(word)}(?!{nonws})")
 
 
 _LANG_RES: list[tuple[str, list[re.Pattern]]] = [
@@ -74,7 +74,7 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
       the summed split-word lengths exactly.
     """
     text = batch["text"]
-    words = text.str.split()
+    words = text.str.findall(WORD_RE)  # ASCII-ws words == the SQL split
     n_words = words.str.len().fillna(0).astype("int64")
     denom = n_words.clip(lower=1)
     stop_count = np.zeros(len(batch), dtype=np.int64)
@@ -84,14 +84,14 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     nunique = exploded.groupby(level=0).nunique()
     distinct = pd.Series(0, index=batch.index, dtype="int64")
     distinct.loc[nunique.index] = nunique
-    word_chars = text.str.len() - text.str.count(r"\s")
+    word_chars = text.str.len() - text.str.count(WS_CLASS)
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_words": n_words,
-            "stop_ratio": (stop_count / denom).round(6),
-            "distinct_ratio": (distinct / denom).round(6),
-            "mean_word_len": (word_chars / denom).round(6),
+            "stop_ratio": round6(stop_count / denom),
+            "distinct_ratio": round6(distinct / denom),
+            "mean_word_len": round6(word_chars / denom),
         }
     )
 
@@ -100,12 +100,12 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
 #: regex"): letter runs, digit runs, punctuation runs — the granularity a
 #: byte-pair tokenizer merges from.  Alternation-order-free, so Python re
 #: and DuckDB RE2 count identically (SQL mirror in pipelines/gate.py).
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\t\n\f\r A-Za-z0-9]+"  # \s spelled out = RE2's ASCII class
 
 
 def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_chars = batch["text"].str.len().astype("int64")
-    n_words = batch["text"].str.split().str.len().fillna(0).astype("int64")
+    n_words = batch["text"].str.count(WORD_RE).astype("int64")
     n_bpe = batch["text"].str.count(BPE_RE).astype("int64")
     return pd.DataFrame(
         {
@@ -148,11 +148,11 @@ class QualityModelStage:
         )
         z = X @ self.w
         score = 1.0 / (1.0 + np.exp(-z))
-        return pd.DataFrame({"doc_id": q["doc_id"], "quality_score": np.round(score, 6)})
+        return pd.DataFrame({"doc_id": q["doc_id"], "quality_score": round6(score)})
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    norm = batch["text"].map(lambda t: _WS_RE.sub(" ", t).lower())
+    norm = batch["text"].map(lambda t: WS_RE.sub(" ", t).lower())
     fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
 
@@ -171,5 +171,4 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
     if n <= window:
         return [int(h.min())]
     sw = np.lib.stride_tricks.sliding_window_view(h, window)
-    mins = sw.min(axis=1)
-    return sorted(set(int(x) for x in np.unique(mins)))
+    return [int(x) for x in np.unique(sw.min(axis=1))]  # unique is sorted

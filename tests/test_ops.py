@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
+from searty_ray.functions.words import ascii_words
 from searty_ray.stages import dedup, knn, multimodal, textstats
 
 
@@ -392,7 +393,7 @@ def test_simhash_matches_naive_word_hashes():
     texts = ["hello world hello", "", "one", "日本 語 テスト"]
     sigs = dedup._simhash_vec(texts)
     for t, s in zip(texts, sigs):
-        words = t.split()
+        words = ascii_words(t)
         if not words:
             assert int(s) == 0
             continue
@@ -520,7 +521,7 @@ def test_batch_shingle_hashes_property():
         for t, c in zip(texts, wn):
             got = wf[off : off + c]
             off += c
-            want = np.array([dedup.hash_word(w) for w in t.split()], dtype=np.uint64)
+            want = np.array([dedup.hash_word(w) for w in ascii_words(t)], dtype=np.uint64)
             assert (got == want).all()
 
     check()

@@ -221,7 +221,11 @@ def main() -> None:
     timings["dedup_exact"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    dedup.minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]), threshold=0.5)
+    dedup.minhash_lsh_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        threshold=0.5,
+        source_path=f"{SF_DIR}/documents.parquet",
+    )
     timings["dedup_minhash"] = time.monotonic() - t0
 
     t0 = time.monotonic()

@@ -629,7 +629,9 @@ ORDER BY doc_id_a, doc_id_b
 
 def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.5,
+        source_path=f"{sf_dir}/documents.parquet",
     )
 
 

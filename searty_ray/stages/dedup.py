@@ -401,9 +401,17 @@ class _JaccardVerify:
         )
 
 
-def _fetch_shingles(docs: ray.data.Dataset, ids: list[int]) -> dict[int, np.ndarray]:
+def _fetch_shingles(
+    docs: ray.data.Dataset, ids: list[int], source_path: str | None = None
+) -> dict[int, np.ndarray]:
     """Selective semi-join: shingle-hash sets for the candidate ids only.
-    Streams the corpus (filter + shingle in workers); the returned dict is
+
+    With ``source_path`` (a parquet-backed corpus) the read itself is
+    selective: a ``doc_id isin`` predicate is pushed into the parquet scan,
+    so row-group statistics prune everything that holds no candidate — at
+    100 TB this touches O(candidate row groups), not the corpus.  Without a
+    path it falls back to streaming the Dataset (filter in workers).  Either
+    way shingling runs distributed and the returned dict is
     O(candidate docs)."""
     id_set = set(int(i) for i in ids)
 
@@ -413,21 +421,38 @@ def _fetch_shingles(docs: ray.data.Dataset, ids: list[int]) -> dict[int, np.ndar
         parts = np.split(flat, np.cumsum(counts)[:-1]) if len(counts) else []
         return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sh": parts})
 
+    if source_path is not None:
+        import pyarrow.dataset as pads
+
+        docs = ray.data.read_parquet(
+            source_path,
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+    else:
+        docs = docs.select_columns(["doc_id", "text"])
+
     out: dict[int, np.ndarray] = {}
-    picked = docs.select_columns(["doc_id", "text"]).map_batches(pick, batch_format="pandas")
+    picked = docs.map_batches(pick, batch_format="pandas")
     for b in picked.iter_batches(batch_format="pandas"):
         for d, s in zip(b["doc_id"], b["sh"]):
             out[int(d)] = np.asarray(s, dtype=np.uint64)
     return out
 
 
-def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.DataFrame:
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.5, source_path: str | None = None
+) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     documents → band rows → bucket groupby → capped candidate pairs →
     distributed pair dedupe → Ray verify stage.  The driver only ever holds
     the candidate id list and the final verified pairs.
     → pandas (doc_id_a, doc_id_b, jaccard) sorted.
+
+    ``source_path``: optional parquet path of the same corpus — lets the
+    verify stage re-read candidate docs selectively (doc_id predicate →
+    row-group pruning) instead of re-streaming the whole Dataset.
     """
     # instance (not class) → stateless TASK mode: the stage holds no state
     # (permutation constants are module globals), so skipping the actor-pool
@@ -461,7 +486,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5) -> pd.Data
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
                              "doc_id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    sh_ref = ray.put(_fetch_shingles(docs, ids))
+    sh_ref = ray.put(_fetch_shingles(docs, ids, source_path=source_path))
     verified = cand.map_batches(
         _JaccardVerify(sh_ref, threshold), batch_format="pandas"
     ).to_pandas()  # verified near-dup pairs: the (small) final result

@@ -59,6 +59,19 @@ def test_minhash_lsh_finds_planted_dups(docs_with_dups):
     assert j == 1.0
 
 
+def test_minhash_selective_verify_matches_streaming(docs_with_dups, tmp_path):
+    """source_path= routes the verify re-read through a doc_id-predicate
+    parquet scan; output must equal the streaming-Dataset fallback."""
+    ds, rows = docs_with_dups
+    path = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows)[["doc_id", "text"]].to_parquet(path, index=False)
+    docs = ray.data.read_parquet(path)
+    streamed = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    selective = dedup.minhash_lsh_pairs(docs, threshold=0.6, source_path=path)
+    pd.testing.assert_frame_equal(streamed, selective)
+    assert len(selective) > 0
+
+
 def test_simhash_near_dups(docs_with_dups):
     ds, _ = docs_with_dups
     out = dedup.simhash_near_dups(ds.select_columns(["doc_id", "text"]), max_hamming=6)

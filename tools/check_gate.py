@@ -2,7 +2,7 @@
 and its oracle_sql() side-by-side via DuckDB, compare row count + schema +
 order-insensitive values (floats rounded like the driver hashes them).
 
-Usage: python tools/check_gate.py [sf_dir]
+Usage: python tools/check_gate.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -55,6 +55,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
@@ -95,5 +101,11 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    raise SystemExit(main(sf))
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    raise SystemExit(main(sf, only))

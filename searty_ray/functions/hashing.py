@@ -76,7 +76,9 @@ def gather_padded(
     return mat
 
 
-def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def hash_bytes_u64(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, salt: int = 0
+) -> np.ndarray:
     """uint64 hash of n byte slices of ``buf`` — a length-seeded splitmix64
     fold over big-endian 8-byte chunks (last chunk zero-padded; the length
     seed keeps prefixes distinct, so padding is unambiguous).
@@ -88,6 +90,17 @@ def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.
     candidate generation end to end.  Rows are bucketed by chunk count: each
     bucket runs with a fixed-width padded matrix, so one pathological huge
     slice can't widen everyone's.
+
+    ``salt`` xors into the length seed: two salts give two independent
+    64-bit hashes of the same slices (the exact-dedup 128-bit key) at one
+    extra xor; salt=0 is the historical hash, bit-for-bit.
+
+    Buckets are CEIL-POWER-OF-2 chunk counts, not exact counts: whole-doc
+    hashing (exact dedup) sees hundreds of distinct lengths, and one bucket
+    per exact length degenerated into ~200k tiny mix64 calls.  Within a
+    bucket the fold iterates to each row's own chunk count via a shrinking
+    active mask — identical output, ≤2× padding, and the per-iteration work
+    stays one vectorized mix64 over the bucket.
     """
     n = len(starts)
     out = np.empty(n, dtype=np.uint64)
@@ -96,20 +109,29 @@ def hash_bytes_u64(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.
     starts = np.asarray(starts, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
     wlens = (lens + 7) // 8
-    for wl in np.unique(wlens):
-        sel = np.where(wlens == wl)[0]
-        out[sel] = _hash_bucket(buf, starts[sel], lens[sel], int(wl))
+    cls = np.searchsorted(2 ** np.arange(42, dtype=np.int64), wlens, side="left")
+    for c in np.unique(cls):
+        sel = np.where(cls == c)[0]
+        out[sel] = _hash_bucket(buf, starts[sel], lens[sel], wlens[sel], salt)
     return out
 
 
-def _hash_bucket(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, wl: int) -> np.ndarray:
-    h = mix64(lens.astype(np.uint64))
-    if wl == 0:  # empty slices: hash = mix64(0)
+def _hash_bucket(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, wlens: np.ndarray, salt: int = 0
+) -> np.ndarray:
+    h = mix64(lens.astype(np.uint64) ^ np.uint64(salt))
+    W = int(wlens.max()) if len(wlens) else 0
+    if W == 0:  # empty slices: hash = mix64(len seed)
         return h
-    mat = gather_padded(buf, starts, lens, wl * 8)
+    mat = gather_padded(buf, starts, lens, W * 8)
     words = mat.view(">u8")  # big-endian chunks == the SQL mirror's hex substr
-    for j in range(wl):
-        h = mix64(h ^ words[:, j].astype(np.uint64))
+    for j in range(W):
+        active = wlens > j
+        if active.all():
+            h = mix64(h ^ words[:, j].astype(np.uint64))
+        else:
+            idx = np.nonzero(active)[0]
+            h[idx] = mix64(h[idx] ^ words[idx, j].astype(np.uint64))
     return h
 
 
@@ -151,16 +173,20 @@ def _sql_mix64(x: str) -> str:
     )
 
 
-def sql_hash_expr(s: str) -> str:
-    """DuckDB expression bit-identical to ``hash_str_u64(s)`` for a VARCHAR
-    expression ``s``: big-endian 8-byte chunks come from the hex dump of the
-    UTF-8 bytes (right-padded = zero-padded last chunk), the length seed is
+def sql_hash_expr(s: str, salt: int = 0) -> str:
+    """DuckDB expression bit-identical to ``hash_str_u64(s)`` (or
+    ``hash_bytes_u64(..., salt=salt)``) for a VARCHAR expression ``s``:
+    big-endian 8-byte chunks come from the hex dump of the UTF-8 bytes
+    (right-padded = zero-padded last chunk), the (salted) length seed is
     prepended, and ``list_reduce`` performs the same fold."""
     words = (
         f"list_transform(range(0, (octet_length(encode({s})) + 7) // 8), "
         f"j -> ('0x' || rpad(substr(hex(encode({s})), (j*16 + 1)::INT, 16), 16, '0'))::UBIGINT)"
     )
-    seed = _sql_mix64(f"octet_length(encode({s}))")
+    length = f"octet_length(encode({s}))"
+    seed = _sql_mix64(
+        f"xor(({length})::UBIGINT, {salt}::UBIGINT)" if salt else length
+    )
     return (
         f"list_reduce(list_prepend(({seed})::UBIGINT, {words}), "
         f"(h, w) -> ({_sql_mix64('xor(h, w)')})::UBIGINT)"

@@ -590,10 +590,14 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-SQL_DEDUP_EXACT = """
+# mirrors the engine's 128-bit content key exactly: two independently-salted
+# splitmix64 chunk-fold hashes of the raw text (stages/dedup.py
+# add_content_hash_batch), not an opaque md5 — the gate checks the ACTUAL
+# hash primitive the engine shuffles on
+SQL_DEDUP_EXACT = f"""
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents
-GROUP BY md5(text)
+GROUP BY {_hash_sql('text')}, {_hash_sql('text', salt=dedup.EXACT_DEDUP_SALT)}
 ORDER BY doc_id
 """
 

@@ -30,7 +30,6 @@ from one normalized byte buffer per batch and hashed by the vectorized
 
 from __future__ import annotations
 
-import hashlib
 from itertools import combinations
 
 import numpy as np
@@ -46,18 +45,52 @@ from ..functions.words import ascii_words
 # ---------------------------------------------------------------------------
 
 
-def add_md5_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    batch = batch[["doc_id", "text"]].copy()
-    batch["text_md5"] = batch["text"].map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-    return batch[["doc_id", "text_md5"]]
+# second-salt constant for the 128-bit exact-dedup key (any odd constant
+# works; fixed so the SQL mirror and resumed runs agree)
+EXACT_DEDUP_SALT = 0xA5A5A5A5A5A5A5A5
+
+
+def add_content_hash_batch(batch: "pa.Table") -> "pa.Table":
+    """(doc_id, h1, h2): two independently-salted splitmix64 chunk-fold
+    hashes of the raw UTF-8 text — a 128-bit content key, computed
+    zero-copy from the Arrow string buffers (no per-row Python, unlike the
+    md5/hashlib loop this replaced).  Collision odds at 10^12 docs:
+    ~n²/2^129 ≈ 1e-15."""
+    import pyarrow as pa
+
+    from ..stages.encode_stage import _binary_offsets, _binary_values
+
+    col = batch["text"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # single-chunk after combine
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
+    # large_string = int64 offsets (what the _binary_* helpers read); the
+    # values buffer is shared, only the offsets convert
+    col = col.cast(pa.large_string())
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    offs = _binary_offsets(col)
+    starts = offs[:-1].astype(np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    h1 = hash_bytes_u64(buf, starts, lens)
+    h2 = hash_bytes_u64(buf, starts, lens, salt=EXACT_DEDUP_SALT)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            # stored as int64 (bit-cast) — Ray's hash-shuffle groupby and
+            # parquet stats both prefer signed ints
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+        }
+    )
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """→ (doc_id = min id per distinct text, n_dups).  D3 exact dedup."""
+    """→ (doc_id = min id per distinct text, n_dups).  D3 exact dedup.
+
+    One shuffle of (h1, h2, doc_id) triples only — content never moves."""
     from ray.data.aggregate import Count, Min
 
-    hashed = docs.map_batches(add_md5_batch, batch_format="pandas")
-    return hashed.groupby("text_md5").aggregate(
+    hashed = docs.map_batches(add_content_hash_batch, batch_format="pyarrow")
+    return hashed.groupby(["h1", "h2"]).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
     ).select_columns(["doc_id", "n_dups"])
 

@@ -370,6 +370,18 @@ def test_hash_bytes_u64_matches_scalar_and_sql():
             f"SELECT {sql_hash_expr('s')} FROM (SELECT $1::VARCHAR AS s)", params=[s]
         ).fetchone()[0]
         assert int(got) == int(v), s
+    # salted variant (exact-dedup second key): independent of salt-0 AND
+    # still bit-exact against its SQL mirror
+    from searty_ray.stages.dedup import EXACT_DEDUP_SALT
+
+    vec2 = hash_bytes_u64(buf, starts, lens, salt=EXACT_DEDUP_SALT)
+    assert not np.any(vec == vec2)
+    for s, v in zip(strs, vec2):
+        got = con.sql(
+            f"SELECT {sql_hash_expr('s', salt=EXACT_DEDUP_SALT)} FROM (SELECT $1::VARCHAR AS s)",
+            params=[s],
+        ).fetchone()[0]
+        assert int(got) == int(v), s
 
 
 def test_batch_shingle_hashes_match_naive():

@@ -978,8 +978,12 @@ def q_fingerprint(sf_dir: str):
     )
 
 
-SQL_FINGERPRINT = """
-SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+# mirrors the engine's own splitmix64 fingerprint primitive bit-exactly
+# (stages/textstats.fingerprint_batch), not an opaque md5
+_FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       lower(lpad(hex({_hash_sql(_FP_NORM)}), 16, '0')) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 

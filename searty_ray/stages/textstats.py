@@ -9,13 +9,13 @@ mirror in the gate (pipelines/gate.py), so semantics are pinned:
   argmax; 'und' when no marker hits).
 * ``quality`` — n_words, stopword ratio, distinct-word ratio, mean word length.
 * ``token_counts`` — chars, whitespace words, trigram count (max(chars-2,0)).
-* ``fingerprint`` — md5 of whitespace-normalized lowercased text (exact-dup
-  key), plus a winnowing rolling-hash fingerprint (pytest-only; not SQL).
+* ``fingerprint`` — splitmix64 hash of whitespace-normalized lowercased text
+  (exact-dup key; vectorized, SQL-mirrored bit-exactly), plus a winnowing
+  rolling-hash fingerprint (pytest-only; not SQL).
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -152,8 +152,25 @@ class QualityModelStage:
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    norm = batch["text"].map(lambda t: WS_RE.sub(" ", t).lower())
-    fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+    """16-hex-char fingerprint of whitespace-normalized lowercased text.
+
+    The hash is the engine's own splitmix64 chunk-fold primitive
+    (functions/hashing.hash_bytes_u64) computed zero-copy over the batch —
+    no per-row hashlib loop — and its SQL mirror is bit-exact
+    (gate SQL_FINGERPRINT), so the oracle checks the real kernel."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_bytes_u64
+    from ..stages.encode_stage import _binary_offsets, _binary_values
+
+    norm = batch["text"].str.replace(WS_RE, " ", regex=True).str.lower()
+    arr = pa.array(norm, type=pa.large_string())
+    buf = np.frombuffer(_binary_values(arr), dtype=np.uint8)
+    offs = _binary_offsets(arr)
+    h = hash_bytes_u64(buf, offs[:-1], offs[1:] - offs[:-1])
+    # one hexdump of the big-endian hash bytes, resliced 16 chars per row
+    hx = h.astype(">u8").tobytes().hex()
+    fp = np.frombuffer(hx.encode("ascii"), dtype="S16").astype("U16")
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
 
 

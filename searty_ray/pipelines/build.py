@@ -108,6 +108,7 @@ def build_index(
         _clear_dir(docs_dir)
         corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
         _mark_done("documents")
+    t_docwrite = time.monotonic()
     if extract_symbols and not _stage_done("symbols"):
         # definitions pass (M13-lite): reads back only (doc_id, content)
         # pages of the just-written documents table
@@ -123,6 +124,7 @@ def build_index(
         )
         _mark_done("symbols")
     t_docs = time.monotonic()
+    t_symbols = t_docs
 
     # ---- doc-metadata sidecar: (doc_id, filename, n_tokens, n_sym_tokens) ----
     # Query actors load norms + doc_id→filename at init; reading them from
@@ -160,6 +162,7 @@ def build_index(
         total_tokens = int(stats["sum(n_tokens)"] or 0)
         total_sym_tokens = int(stats["sum(n_sym_tokens)"] or 0)
         max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
+    t_stats = time.monotonic()
     avgdl = total_tokens / n_docs if n_docs else 0.0
     avg_sym_dl = total_sym_tokens / n_docs if n_docs else 0.0
     if chunk_span is None:
@@ -238,6 +241,9 @@ def build_index(
         },
         metrics={
             "docs_stage_s": round(t_docs - t0, 3),
+            "doc_write_s": round(t_docwrite - t0, 3),
+            "symbols_s": round(t_symbols - t_docwrite, 3),
+            "stats_s": round(t_stats - t_docs, 3),
             "postings_stage_s": round(t_end - t_docs, 3),
             "total_s": round(t_end - t0, 3),
         },

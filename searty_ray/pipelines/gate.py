@@ -37,7 +37,7 @@ from .build import build_index
 
 # bump INDEX_LAYOUT_VERSION whenever segment layout / derivation changes so a
 # stale /tmp cache from an older build can never serve the gate
-INDEX_LAYOUT_VERSION = 4  # v3: pos_len_blob (subset position decode); v4: docmeta sidecar
+INDEX_LAYOUT_VERSION = 5  # v4: docmeta sidecar; v5: splitmix commit derivation
 CACHE_ROOT = f"/tmp/searty_ray_gate/v{INDEX_LAYOUT_VERSION}"
 
 # -- fixed gate parameters (mirrored in the SQL below) ----------------------
@@ -245,7 +245,11 @@ def _ensure_merged_index(sf_dir: str) -> str:
         )
         build_index(corpus, d, tokenizer="trigram+symbols")
         halves.append(d)
-    merge_indexes(halves, merged)
+    # the halves carry CALLER-ASSIGNED global ids (the corpus doc_id column,
+    # disjoint by parity) — exactly the explicit preserve_ids opt-in case;
+    # the default reassign-from-(repo,path,commit)-sort would renumber them
+    # away from the doc_ids the full-corpus SQL oracle checks against
+    merge_indexes(halves, merged, preserve_ids=True)
     return merged
 
 

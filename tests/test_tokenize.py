@@ -103,3 +103,30 @@ def test_tokenize_combine_batch_global_equals_per_doc():
         assert got == want
 
     check()
+
+
+def test_symbol_lengths_batch_equals_per_row():
+    """Property: the byte-level batch kernel in doc_stage equals the per-row
+    codepoint-level symbol_doc_length on random unicode (multibyte chars are
+    non-constituent in both; row boundaries can't leak runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    from searty_ray.functions.tokenize import symbol_doc_length
+    from searty_ray.stages.doc_stage import _symbol_lengths
+    from searty_ray.stages.encode_stage import _binary_offsets, _binary_values
+
+    alphabet = st.sampled_from(list("ab z\n()-*+?日本語語x09_."))
+    texts_s = st.lists(st.text(alphabet, min_size=0, max_size=30), min_size=1, max_size=10)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=texts_s)
+    def check(texts):
+        arr = pa.array(texts, type=pa.large_string())
+        offs = _binary_offsets(arr)
+        buf = np.frombuffer(_binary_values(arr), dtype=np.uint8)
+        got = _symbol_lengths(buf, offs).tolist()
+        assert got == [symbol_doc_length(t) for t in texts]
+
+    check()

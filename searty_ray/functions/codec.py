@@ -33,17 +33,21 @@ _U0X7F = np.uint64(0x7F)
 # ---------------------------------------------------------------------------
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
+def varint_encode(values: np.ndarray, sizes: np.ndarray | None = None) -> np.ndarray:
     """Encode an array of non-negative ints to one concatenated byte stream.
 
-    Vectorized: O(max_bytes) numpy passes, no per-value Python loop.
+    Vectorized: O(max_bytes) numpy passes, no per-value Python loop.  Pass
+    ``sizes`` (= ``varint_sizes(values)``) when the caller already computed
+    it — the tokenize hot path needs both and shouldn't pay twice.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
-    nb = varint_sizes(v)
+    nb = sizes if sizes is not None else varint_sizes(v)
     ends = np.cumsum(nb)
+    if int(ends[-1]) == n:  # every value < 128: the bytes ARE the values
+        return v.astype(np.uint8)
     out = np.empty(int(ends[-1]), dtype=np.uint8)
     maxb = int(nb.max())
     for k in range(maxb):

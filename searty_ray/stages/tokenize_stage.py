@@ -77,6 +77,13 @@ class TokenizeCombine:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts: list[str] = batch["content"].to_pylist()
+        if len(doc_ids) > 1 and np.any(np.diff(doc_ids) < 0):
+            # the grouping sort below relies on pre-sort occurrence order
+            # being (doc asc, position asc) — reorder rows by doc id first
+            # (hash-id corpora arrive in file order, not id order)
+            o = np.argsort(doc_ids, kind="stable")
+            doc_ids = doc_ids[o]
+            texts = [texts[i] for i in o]
 
         # ---- trigram occurrences, batch-global ----
         lens = np.array([len(t) for t in texts], dtype=np.int64)
@@ -104,9 +111,28 @@ class TokenizeCombine:
         if n_occ == 0:
             return _empty_runs()
 
-        # ONE stable sort: (term, doc); chunk = doc // span is monotone in
-        # doc, and stability keeps each doc's positions ascending
-        order = np.lexsort((wdoc, wkeys))
+        # Group by term WITHOUT a comparison sort on sparse uint64 keys
+        # (np.lexsort was 44% of stage CPU): hash-factorize the keys to
+        # dense codes (per-batch vocab is small — hundreds to thousands),
+        # then VALUE-sort the composite ``code·n + occurrence_index`` —
+        # unique keys make quicksort order-deterministic, and the recovered
+        # permutation is exactly the stable grouping whose within-term
+        # order is the original (doc asc, position asc) occurrence order.
+        # Trigram (bit63=0) and symbol (bit63=1) key spaces are disjoint,
+        # so concatenating the two streams can't interleave one term.
+        if n_occ < (1 << 31):
+            import pandas as pd
+
+            codes = pd.factorize(wkeys)[0]
+            comp = codes.astype(np.uint64) * np.uint64(n_occ) + np.arange(
+                n_occ, dtype=np.uint64
+            )
+            order = (np.sort(comp) % np.uint64(n_occ)).astype(np.int64)
+            # within-term original order is doc-ascending only because the
+            # batch was; term order across runs is first-appearance (the
+            # partition encode re-sorts, so run emission order is free)
+        else:  # pathological single-batch size: fall back to the O(n log n) lexsort
+            order = np.lexsort((wdoc, wkeys))
         k_occ, d_occ, out_pos = wkeys[order], wdoc[order], wpos[order]
 
         # row boundaries: change of (term, doc) → one row per (doc, term)
@@ -126,7 +152,7 @@ class TokenizeCombine:
         # pipeline (north rule: delta+varbyte posting lists).
         pg = position_gaps(out_pos, stf)
         sizes = varint_sizes(pg)
-        data = varint_encode(pg)
+        data = varint_encode(pg, sizes=sizes)
         entry_bytes = np.add.reduceat(sizes, row_starts).astype(np.int64)
 
         # run boundaries: change of (term, chunk) over the rows
@@ -150,7 +176,7 @@ class TokenizeCombine:
 
         def _stream(values: np.ndarray) -> pa.Array:
             sizes_ = varint_sizes(values)
-            data_ = varint_encode(values)
+            data_ = varint_encode(values, sizes=sizes_)
             per_run = np.add.reduceat(sizes_, run_starts)
             offs = np.concatenate(([0], np.cumsum(per_run))).astype(np.int64)
             return _binary_from(offs, data_)

@@ -109,22 +109,39 @@ def build_index(
         corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
         _mark_done("documents")
     t_docwrite = time.monotonic()
-    if extract_symbols and not _stage_done("symbols"):
-        # definitions pass (M13-lite): reads back only (doc_id, content)
-        # pages of the just-written documents table
-        from .symbols import build_symbols_from_corpus
 
-        _clear_dir(os.path.join(index_dir, "symbols"))
-        sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        build_symbols_from_corpus(
-            ray.data.read_parquet(
-                docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
-            ),
-            index_dir,
-        )
-        _mark_done("symbols")
-    t_docs = time.monotonic()
-    t_symbols = t_docs
+    # ---- symbols pass CONCURRENT with docmeta+stats ----
+    # Both only read the just-written documents table, so the definitions
+    # extraction runs in a sidecar thread while the main thread writes the
+    # docmeta sidecar and scans stats — the phases were strictly sequential
+    # before, a pure serial-fraction tax on multi-core scaling (two
+    # concurrent Dataset executions share the streaming executor's CPU
+    # budget; each is small).
+    sym_err: list[BaseException] = []
+
+    def _symbols_pass() -> None:
+        try:
+            from .symbols import build_symbols_from_corpus
+
+            _clear_dir(os.path.join(index_dir, "symbols"))
+            sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            build_symbols_from_corpus(
+                ray.data.read_parquet(
+                    docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
+                ),
+                index_dir,
+            )
+            _mark_done("symbols")
+        except BaseException as e:  # re-raised on join
+            sym_err.append(e)
+
+    sym_thread = None
+    if extract_symbols and not _stage_done("symbols"):
+        import threading
+
+        _pin_fsspec_http_probe()
+        sym_thread = threading.Thread(target=_symbols_pass, name="symbols-pass")
+        sym_thread.start()
 
     # ---- doc-metadata sidecar: (doc_id, filename, n_tokens, n_sym_tokens) ----
     # Query actors load norms + doc_id→filename at init; reading them from
@@ -138,31 +155,35 @@ def build_index(
         ).write_parquet(meta_dir)
         _mark_done("docmeta")
 
-    # ---- global stats over written metadata ----
+    # ---- global stats over the narrow docmeta sidecar ----
     # Below ~50M rows a local columnar scan of the three int64 columns beats
     # the Ray aggregate's fixed pipeline cost by seconds; above it (real
     # scale) the distributed aggregate amortizes and is required.
     meta_rows = sum(
-        pq.read_metadata(os.path.join(docs_dir, f)).num_rows
-        for f in os.listdir(docs_dir)
+        pq.read_metadata(os.path.join(meta_dir, f)).num_rows
+        for f in os.listdir(meta_dir)
         if f.endswith(".parquet")
     )
     if meta_rows < 50_000_000:
-        t = pq.read_table(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
+        t = pq.read_table(meta_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
         n_docs = t.num_rows
         total_tokens = int(pa.compute.sum(t["n_tokens"]).as_py() or 0)
         total_sym_tokens = int(pa.compute.sum(t["n_sym_tokens"]).as_py() or 0)
         max_doc_id = int(pa.compute.max(t["doc_id"]).as_py()) if n_docs else -1
     else:
         stats = (
-            ray.data.read_parquet(docs_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
+            ray.data.read_parquet(meta_dir, columns=["doc_id", "n_tokens", "n_sym_tokens"])
             .aggregate(Sum("n_tokens"), Sum("n_sym_tokens"), Count(), Max("doc_id"))
         )
         n_docs = int(stats["count()"])
         total_tokens = int(stats["sum(n_tokens)"] or 0)
         total_sym_tokens = int(stats["sum(n_sym_tokens)"] or 0)
         max_doc_id = int(stats["max(doc_id)"]) if n_docs else -1
-    t_stats = time.monotonic()
+    if sym_thread is not None:
+        sym_thread.join()
+        if sym_err:
+            raise sym_err[0]
+    t_docs = time.monotonic()
     avgdl = total_tokens / n_docs if n_docs else 0.0
     avg_sym_dl = total_sym_tokens / n_docs if n_docs else 0.0
     if chunk_span is None:
@@ -242,8 +263,7 @@ def build_index(
         metrics={
             "docs_stage_s": round(t_docs - t0, 3),
             "doc_write_s": round(t_docwrite - t0, 3),
-            "symbols_s": round(t_symbols - t_docwrite, 3),
-            "stats_s": round(t_stats - t_docs, 3),
+            "meta_stats_s": round(t_docs - t_docwrite, 3),  # symbols ∥ docmeta+stats
             "postings_stage_s": round(t_end - t_docs, 3),
             "total_s": round(t_end - t0, 3),
         },
@@ -367,6 +387,33 @@ def _first_varints(col: pa.Array) -> np.ndarray:
         idx = np.nonzero(act)[0]
         done[idx[fin]] = True
     return vals
+
+
+def _pin_fsspec_http_probe() -> None:
+    """Make Ray's lazy ``fsspec.implementations.http`` probe race-safe.
+
+    ``read_parquet``/``write_parquet`` probe that import per call; with
+    aiohttp absent it FAILS each time, and a failed import retries on every
+    attempt — so two driver threads executing datasets concurrently can race
+    the half-initialized module and surface a spurious plain ``ImportError``
+    that Ray's ``except ModuleNotFoundError`` does not catch.  Installing a
+    sentinel module makes the import succeed permanently; Ray only uses the
+    class in ``isinstance`` checks, and nothing is an instance of the
+    sentinel, so ``_is_http_filesystem`` still returns False — identical
+    behavior, no race."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
 
 
 def _prepare_dirs(index_dir: str, resume: bool) -> None:

@@ -4,6 +4,7 @@ cmd/searty-merge/merge.go:12-27):
 
   python -m searty_ray index  -o INDEX_DIR CORPUS.parquet…   # build one index
   python -m searty_ray merge  -o INDEX_DIR CORPUS.parquet…   # union corpora → one index
+  python -m searty_ray add    -d INDEX_DIR -o OUT_DIR CORPUS.parquet…  # incremental grow
   python -m searty_ray search -d INDEX_DIR [--symbol Q] [--file Q]
                               [--ranked Q] [--words Q] [PHRASE…]
   python -m searty_ray describe -d INDEX_DIR [--dump-terms]
@@ -72,6 +73,22 @@ def cmd_merge_index(args) -> int:
                              preserve_ids=args.preserve_ids)
     print(
         f"merged {len(args.index)} indexes: {manifest.n_docs} docs, "
+        f"{manifest.total_tokens} tokens -> {args.output}"
+    )
+    return 0
+
+
+def cmd_add(args) -> int:
+    _ray_session()
+    from .pipelines.merge import add_documents
+
+    corpus = _load_corpus(args.corpus, args.from_documents)
+    manifest = add_documents(
+        args.index, corpus, args.output,
+        preserve_ids=args.preserve_ids, resume=args.resume,
+    )
+    print(
+        f"grew {args.index}: now {manifest.n_docs} docs, "
         f"{manifest.total_tokens} tokens -> {args.output}"
     )
     return 0
@@ -167,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
                          "rejects colliding per-shard ids")
     pm.add_argument("index", nargs="+")
     pm.set_defaults(fn=cmd_merge_index)
+
+    pa_ = sub.add_parser(
+        "add", help="incrementally index NEW documents into an existing index "
+                    "(delta build + merge; no re-tokenization of existing docs)"
+    )
+    pa_.add_argument("-d", "--index", required=True, help="existing index dir")
+    pa_.add_argument("-o", "--output", required=True, help="grown index dir")
+    pa_.add_argument("corpus", nargs="+")
+    pa_.add_argument("--from-documents", action="store_true")
+    pa_.add_argument("--preserve-ids", action="store_true")
+    pa_.add_argument("--resume", action="store_true")
+    pa_.set_defaults(fn=cmd_add)
 
     pspec = sub.add_parser("index-spec", help="index searty spec JSON(s) + file tree")
     pspec.add_argument("-o", "--output", required=True)

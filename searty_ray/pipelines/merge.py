@@ -258,3 +258,53 @@ def merge_indexes(
     )
     manifest.save(out_dir)
     return manifest
+
+
+def add_documents(
+    index_dir: str,
+    corpus: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    delta_dir: str | None = None,
+    id_mode: str = "sort",
+    preserve_ids: bool = False,
+    resume: bool = False,
+) -> Manifest:
+    """Incremental indexing: extend an EXISTING index with new documents
+    without re-tokenizing what is already built.
+
+    The reference's index is write-once (conflict-ignore upsert,
+    database.go:193-194; SURVEY.md §2.9) — its only growth path is a full
+    re-merge of SQLite shards.  Here the same workflow is two existing
+    primitives: build a small *delta* index over just the new corpus, then
+    index-level-merge ``[existing, delta]`` (decode-remap-gather of
+    compressed runs; tokenization runs ONLY over the new documents).
+
+    Duplicate filenames keep the EXISTING document (first index wins —
+    ``merge.go:164-171`` parity), making re-submission of already-indexed
+    files idempotent.  With the default reassign mode the result is
+    byte-identical to a direct build over the union corpus (pinned by
+    pytest); ``preserve_ids=True`` keeps caller-assigned global ids stable
+    across increments (hash-id corpora).
+    """
+    from .build import build_index
+
+    existing = Manifest.load(index_dir)
+    delta_dir = delta_dir or out_dir.rstrip("/") + ".delta"
+    build_index(
+        corpus,
+        delta_dir,
+        num_parts=existing.num_parts,
+        sub_splits=existing.sub_splits,
+        id_mode=id_mode,
+        tokenizer=existing.tokenizer,
+        resume=resume,
+    )
+    return merge_indexes(
+        [index_dir, delta_dir],
+        out_dir,
+        num_parts=existing.num_parts,
+        sub_splits=existing.sub_splits,
+        preserve_ids=preserve_ids,
+        resume=resume,
+    )

@@ -368,10 +368,16 @@ def encode_partition(runs: pa.Table, avgdl: float, chunk_span: int, part: int) -
 
 
 def _raw_binary_offsets(arr: pa.Array) -> np.ndarray:
-    """Slice-aware int64 offsets of a LargeBinaryArray (no .offsets attr in pyarrow)."""
+    """Slice-aware int64 offsets of a binary/string array (no .offsets attr
+    in pyarrow).  Handles both offset widths: large_* types carry int64
+    offsets, plain binary/string int32 (e.g. content read back from parquet
+    written by another writer)."""
     if len(arr) == 0:
         return np.zeros(1, dtype=np.int64)
-    return np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64 if wide else np.int32)
+    off = off[arr.offset : arr.offset + len(arr) + 1]
+    return off if wide else off.astype(np.int64)
 
 
 def _binary_values(arr: pa.Array) -> memoryview:

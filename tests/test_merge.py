@@ -247,3 +247,35 @@ def test_merge_resume_redoes_partial_metadata(ray_session, tmp_path):
     m = merge_indexes([d1, d2], out, num_parts=2, chunk_span=16, resume=True)
     assert pq.read_table(os.path.join(out, "documents")).num_rows == full_docs
     assert m.n_docs == full_docs
+
+
+def test_add_documents_incremental_equals_direct_build(ray_session, tmp_path):
+    """add_documents (delta build + index-level merge) over new docs equals
+    a direct build over the union corpus byte-for-byte, and re-adding
+    already-indexed filenames is idempotent (existing doc wins)."""
+    import pyarrow.compute as pc
+
+    from searty_ray.pipelines.merge import add_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=24, seed=29)
+    a = corpus.filter(pc.equal(corpus["repo"], "cl-ppcre"))
+    b = corpus.filter(pc.not_equal(corpus["repo"], "cl-ppcre"))
+    base = str(tmp_path / "ix_base")
+    union = str(tmp_path / "ix_union")
+    out = str(tmp_path / "ix_grown")
+    build_index(ray.data.from_arrow(a), base, num_parts=4, tokenizer="trigram+symbols")
+    build_index(ray.data.from_arrow(corpus), union, num_parts=4, tokenizer="trigram+symbols")
+    m = add_documents(base, ray.data.from_arrow(b), out)
+    mu = IndexReader(union).manifest
+    assert (m.n_docs, m.total_tokens, m.max_doc_id) == (mu.n_docs, mu.total_tokens, mu.max_doc_id)
+    su = pq.read_table(os.path.join(union, "segments"))
+    sg = pq.read_table(os.path.join(out, "segments"))
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert su.sort_by(order).equals(sg.sort_by(order))
+
+    # idempotent re-add: same filenames again -> nothing changes
+    out2 = str(tmp_path / "ix_regrown")
+    m2 = add_documents(out, ray.data.from_arrow(b), out2)
+    assert m2.n_docs == m.n_docs
+    s2 = pq.read_table(os.path.join(out2, "segments"))
+    assert su.sort_by(order).equals(s2.sort_by(order))

@@ -992,6 +992,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+SAMPLE_RATE = 0.37
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_sample_bernoulli(sf_dir: str):
+    """Deterministic hash sample (stages/sample.py): keep decision is a pure
+    function of doc_id — identical at any parallelism/layout — and the SQL
+    mirror recomputes the same mix64 threshold test bit-exactly."""
+    from ..stages import sample
+
+    return (
+        sample.bernoulli_sample(_docs(sf_dir, ["doc_id"]), SAMPLE_RATE)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_split_assign(sf_dir: str):
+    """Train/val/test hash split: disjoint, exhaustive, reshuffle-stable."""
+    from ..stages import sample
+
+    return (
+        sample.hash_split(_docs(sf_dir, ["doc_id"]), SPLIT_FRACTIONS)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_sample_exprs():
+    from ..stages.sample import _threshold, sql_key_hash
+
+    h = f"({sql_key_hash('doc_id')})::HUGEINT"
+    t_keep = _threshold(SAMPLE_RATE)
+    names = list(SPLIT_FRACTIONS)
+    cum, cases = 0.0, []
+    for n in names[:-1]:
+        cum += SPLIT_FRACTIONS[n]
+        cases.append(f"WHEN {h} < {_threshold(cum)} THEN '{n}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return h, t_keep, case
+
+
+def _sample_sql() -> tuple[str, str]:
+    h, t_keep, case = _sql_sample_exprs()
+    return (
+        f"SELECT doc_id FROM documents WHERE {h} < {t_keep} ORDER BY doc_id",
+        f"SELECT doc_id, {case} AS split FROM documents ORDER BY doc_id",
+    )
+
+
+SQL_SAMPLE_BERNOULLI, SQL_SPLIT_ASSIGN = _sample_sql()
+
+
 def q_multimodal_meta(sf_dir: str):
     """Synthesize REAL P6 payloads, then parse them back byte-for-byte with
     the real decoder (stages/multimodal.py).  The SQL mirror reproduces the
@@ -1253,6 +1308,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "sample_bernoulli": q_sample_bernoulli,
+    "split_assign": q_split_assign,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
@@ -1294,6 +1351,8 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
+    "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
+    "split_assign": SQL_SPLIT_ASSIGN,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,

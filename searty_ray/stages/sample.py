@@ -1,0 +1,83 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+At corpus scale, sampling must be a stateless per-batch filter — no global
+pass, no RNG state, no coordination: the keep/assign decision is a pure
+function of a row key through the engine's splitmix64 primitive
+(functions/hashing.mix64), so the result is identical at any parallelism,
+block layout, or resume point, and the DuckDB gate mirrors it bit-exactly
+(hashing.sql_hash_expr's mix64 steps).
+
+* :func:`bernoulli_sample` — keep a row iff ``mix64(key ^ salt) < rate·2⁶⁴``.
+* :func:`hash_split` — assign every row a split label (train/val/test…)
+  by cumulative thresholds over the same hash: a disjoint, exhaustive,
+  reshuffle-stable partition of the corpus.
+
+Changing ``salt`` draws an independent sample; the same salt always
+reproduces the same subset (the property training pipelines need for
+resumable preprocessing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import _sql_mix64, mix64
+
+_U64 = 1 << 64
+DEFAULT_SALT = 0x5EED5A17
+
+
+def _key_hash(batch: pa.Table, key: str, salt: int) -> np.ndarray:
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return mix64(ids ^ np.uint64(salt))
+
+
+def _threshold(rate: float) -> int:
+    # embedded literally in the SQL mirror too — one shared constant, no
+    # float re-derivation on the DuckDB side
+    return min(_U64, max(0, int(rate * _U64)))
+
+
+def bernoulli_sample(
+    ds: ray.data.Dataset, rate: float, *, key: str = "doc_id", salt: int = DEFAULT_SALT
+) -> ray.data.Dataset:
+    """Deterministic rate-``rate`` sample: parallelism- and layout-stable."""
+    thresh = np.uint64(_threshold(rate))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_key_hash(batch, key, salt) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    *,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+    column: str = "split",
+) -> ray.data.Dataset:
+    """Label every row with a split name; fractions must sum to ≤ 1 (any
+    remainder falls into the LAST split, keeping the partition exhaustive)."""
+    names = list(fractions)
+    cum, edges = 0.0, []
+    for n in names[:-1]:
+        cum += fractions[n]
+        edges.append(_threshold(cum))
+    edge_arr = np.array(edges, dtype=np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt)
+        idx = np.searchsorted(edge_arr, h, side="right")
+        labels = np.array(names, dtype=object)[idx]
+        return batch.append_column(column, pa.array(labels, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_key_hash(key_expr: str, salt: int = DEFAULT_SALT) -> str:
+    """DuckDB expression bit-identical to :func:`_key_hash` for an int key."""
+    return _sql_mix64(f"xor(({key_expr})::UBIGINT, {salt}::UBIGINT)")

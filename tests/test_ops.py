@@ -576,3 +576,34 @@ def test_windowed_signature_kernels_match_one_shot():
             assert (dedup._simhash_vec(texts) == full).all(), w
     finally:
         dedup._SIMHASH_WINDOW = save
+
+
+def test_hash_sample_layout_invariant(ray_session):
+    """The same salt reproduces the same subset at any block layout, and
+    hash_split is a disjoint exhaustive partition consistent with the
+    bernoulli sampler's hash."""
+    import pyarrow as pa
+    import ray.data
+
+    from searty_ray.stages import sample
+
+    t = pa.table({"doc_id": pa.array(list(range(1000)), type=pa.int64())})
+    picked = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        picked.append(sorted(sample.bernoulli_sample(ds, 0.25)
+                             .to_pandas()["doc_id"].tolist()))
+    assert picked[0] == picked[1]
+    assert 150 < len(picked[0]) < 350  # rate ~0.25 of 1000
+
+    df = sample.hash_split(
+        ray.data.from_arrow(t), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    assert len(df) == 1000 and set(df["split"]) == {"train", "val", "test"}
+    counts = df["split"].value_counts()
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # independence from the sampler is NOT claimed — same hash, same salt:
+    # rate-r sample ⊂ first cumulative splits by construction
+    s = set(sample.bernoulli_sample(ray.data.from_arrow(t), 0.8)
+            .to_pandas()["doc_id"])
+    assert s == set(df[df["split"] == "train"]["doc_id"])

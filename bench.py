@@ -300,10 +300,17 @@ def scaling() -> None:
     use_taskset = _shutil.which("taskset") is not None and os.environ.get(
         "BENCH_SCALE_NO_AFFINITY"
     ) is None
+    # the host throttles SUSTAINED cpu after a ~15s burst budget (measured,
+    # BASELINE.md): an optional idle gap between trials lets the budget
+    # recover so each level starts from comparable credit, rather than the
+    # last level inheriting a depleted budget from the runs before it
+    gap = int(os.environ.get("BENCH_SCALE_GAP", "0"))
     results = {}
     # co-tenant noise swings host-delivered cores ±2x run to run; best-of-N
     # throughput per level is the standard de-noising for a shared host
-    for ncpu in [c for c in (lo_cpus, hi_cpus) for _ in range(trials)]:
+    for i, ncpu in enumerate([c for c in (lo_cpus, hi_cpus) for _ in range(trials)]):
+        if gap and i:
+            time.sleep(gap)
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),

@@ -253,3 +253,76 @@ def test_build_resume_redoes_partial_documents(ray_session, tmp_path):
     assert sum(v["segments"] for v in m1.partitions.values()) == sum(
         v["segments"] for v in m0.partitions.values()
     )
+
+
+def test_adversarial_skew_corpus(ray_session, tmp_path):
+    """Skew drill: a trigram that appears in EVERY doc, one megadoc ~100×
+    larger than the rest, and a duplicated path — through the salted build,
+    the integrity sweep, and phrase/BM25 queries checked against an
+    independent Python scan of the corpus."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from searty_ray.pipelines.build import build_index
+    from searty_ray.query import BM25Searcher, IndexReader, PhraseSearcher
+    from searty_ray.tools.verify_index import verify_index
+
+    unit = "common phrase alpha beta "      # hot phrase in every doc
+    rows = []
+    for i in range(120):
+        body = unit + f"unique-{i} " + unit
+        rows.append(("repo%d" % (i % 3), f"src/f{i:03d}.lisp", body))
+    rows.append(("repo0", "src/mega.lisp", unit * 4000))  # ~100 KB megadoc
+    corpus = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array(
+                [hashlib.sha1(f"{r[0]}/{r[1]}".encode()).hexdigest() for r in rows]
+            ),
+            "lang": pa.array(["commonlisp"] * len(rows)),
+            "content": pa.array([r[2] for r in rows], type=pa.large_string()),
+        }
+    )
+    out = str(tmp_path / "ix_skew")
+    build_index(
+        ray.data.from_arrow(corpus), out,
+        num_parts=4, chunk_span=16, salt=4, extract_symbols=False,
+    )
+    res = verify_index(out)
+    assert res["ok"], res["first_errors"]
+
+    r = IndexReader(out)
+    hits = PhraseSearcher(r).search("common phrase")
+    # independent oracle: non-overlapping occurrences never merge ranges,
+    # so result rows == raw substring occurrences
+    expect = sum(_count_occ(r_[2], "common phrase") for r_ in rows)
+    assert hits.num_rows == expect
+    top = BM25Searcher(r).topk("common phrase", 3)
+    assert top.num_rows == 3  # hot term everywhere: scoring still ranks
+
+    # salted output byte-identical to unsalted under this skew
+    import pyarrow.parquet as pq
+
+    out0 = str(tmp_path / "ix_skew0")
+    build_index(
+        ray.data.from_arrow(corpus), out0,
+        num_parts=4, chunk_span=16, salt=0, extract_symbols=False,
+    )
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    assert (
+        pq.read_table(out + "/segments").sort_by(order)
+        .equals(pq.read_table(out0 + "/segments").sort_by(order))
+    )
+
+
+def _count_occ(text: str, needle: str) -> int:
+    n, start = 0, 0
+    while True:
+        i = text.find(needle, start)
+        if i < 0:
+            return n
+        n += 1
+        start = i + 1

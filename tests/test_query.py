@@ -154,3 +154,33 @@ def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
     assert WordSearcher(full).topk("defun doc", 10).equals(
         WordSearcher(shard).topk("defun doc", 10)
     )
+
+
+def test_random_phrases_match_oracle(reader, fixture_oracle, fixture_index):
+    """Drill: 40 substrings sampled from real corpus bodies (random offset
+    and length, crossing token/whitespace/paren boundaries) — engine phrase
+    results must equal the pure-Python oracle exactly, ranges included."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(
+        fixture_index[0] + "/documents", columns=["content"]
+    )["content"].to_pylist()
+    rng = np.random.default_rng(77)
+    checked = 0
+    ps = PhraseSearcher(reader)
+    while checked < 40:
+        t = texts[int(rng.integers(len(texts)))]
+        if len(t) < 6:
+            continue
+        ln = int(rng.integers(3, 12))
+        st = int(rng.integers(0, max(1, len(t) - ln)))
+        q = t[st : st + ln]
+        if len(q) < 3:
+            continue
+        eng = ps.search(q).to_pylist()
+        ora = [
+            {"doc_id": d, "filename": f, "start": s, "end": e}
+            for d, f, s, e in fixture_oracle.phrase_search(q)
+        ]
+        assert eng == ora, repr(q)
+        checked += 1

@@ -322,17 +322,24 @@ def scaling() -> None:
         argv = [sys.executable, os.path.abspath(__file__)]
         if use_taskset:
             argv = ["taskset", "-c", f"0-{ncpu - 1}", *argv]
-        out = subprocess.run(
+        proc = subprocess.run(
             argv,
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        r = json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # best-of-N tolerates a lost trial (transient Ray/host failures);
+            # surface the tail so the cause isn't swallowed
+            tail = "\n".join(proc.stderr.strip().splitlines()[-6:])
+            print(f"# trial {i} (cpus={ncpu}) failed rc={proc.returncode}:\n{tail}", file=sys.stderr)
+            continue
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
         if ncpu not in results or r["files_per_sec"] > results[ncpu]["files_per_sec"]:
             results[ncpu] = r
+    if lo_cpus not in results or hi_cpus not in results:
+        raise SystemExit("scaling: every trial of one level failed — see stderr above")
     thr_lo = results[lo_cpus]["files_per_sec"]
     thr_hi = results[hi_cpus]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)

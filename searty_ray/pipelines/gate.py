@@ -158,7 +158,7 @@ def q_term_stats(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     r = IndexReader(index_dir)
     keys = np.array([int(pack_trigrams(codepoints(t))[0]) for t in _PROBE_TERMS], dtype=np.uint64)
-    plists = r.lookup(keys)
+    plists = r.lookup(keys, need_positions=False)  # df/cf only
     rows = [
         (t, plists[int(k)].df, plists[int(k)].cf)
         for t, k in zip(_PROBE_TERMS, keys)

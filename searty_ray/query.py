@@ -61,7 +61,16 @@ class TermPostings:
         Chunk streams concatenate cleanly: position gaps reset per doc and
         ``tfs`` carries every doc boundary."""
         if self._positions is None:
-            if self.pos_blob is None or len(self.pos_blob) == 0:
+            if self.pos_blob is None:
+                if self.cf > 0:
+                    # position-free entry (need_positions=False read) — a
+                    # silent empty here would corrupt phrase results; the
+                    # caller must re-lookup with need_positions=True
+                    raise RuntimeError(
+                        "TermPostings was read position-free; re-lookup with need_positions=True"
+                    )
+                self._positions = np.empty(0, dtype=np.int32)
+            elif len(self.pos_blob) == 0:
                 self._positions = np.empty(0, dtype=np.int32)
             else:
                 self._positions = decode_pos_blob(self.pos_blob, self.tfs)
@@ -391,16 +400,29 @@ class IndexReader:
         self.lookup(top)
         return len(top)
 
-    def lookup(self, term_keys: np.ndarray) -> dict[int, TermPostings | None]:
+    def lookup(
+        self, term_keys: np.ndarray, need_positions: bool = True
+    ) -> dict[int, TermPostings | None]:
         """Posting lists for the given packed term keys (None = absent).
 
         Batches the parquet reads per partition file, merges chunks in chunk
         order (doc-disjoint by construction), caches per-term results (LRU).
+
+        ``need_positions=False`` (ranked queries) skips the ``pos_blob`` /
+        ``pos_len_blob`` columns entirely — for hot terms the position bytes
+        are the dominant read volume (≈ 1.2 B × cf, tens of MB per df≈N term
+        at corpus scale) and BM25 never touches them.  A cached position-free
+        entry is upgraded (re-read in full) the first time a phrase query
+        needs it.
         """
         out: dict[int, TermPostings | None] = {}
         missing: list[int] = []
         for key in (int(k) for k in term_keys):
-            if key in self._cache:
+            if key in self._cache and not (
+                need_positions
+                and self._cache[key] is not None
+                and self._cache[key].pos_blob is None
+            ):
                 self._cache.move_to_end(key)
                 out[key] = self._cache[key]
             else:
@@ -414,24 +436,28 @@ class IndexReader:
             p = term_part(np.uint64(key), m.num_parts)
             by_part.setdefault(int(p), set()).add(key)
 
+        cols = ["term_key", "chunk", "df", "cf", "meta_blob", "block_last_doc", "block_max_score"]
+        if need_positions:
+            cols[5:5] = ["pos_len_blob", "pos_blob"]
+
         def read_part(item: tuple[int, set[int]]) -> pa.Table | None:
             part, keys = item
             part_dir = os.path.join(self.seg_root, f"part={part:05d}")
             if not os.path.isdir(part_dir):
                 return None
             # one batched read across the partition's chunk-group files —
-            # row-group statistics on the sorted term_key column prune I/O
+            # row-group statistics on the sorted term_key column prune I/O.
+            # block_max_tf stays on disk: the query path scores with
+            # block_max_score; don't decode pages nobody reads
             t = pads.dataset(part_dir).to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
-                # block_max_tf stays on disk: the query path scores with
-                # block_max_score; don't decode pages nobody reads
-                columns=["term_key", "chunk", "df", "cf", "meta_blob", "pos_len_blob", "pos_blob", "block_last_doc", "block_max_score"],
+                columns=cols,
             ).combine_chunks()
             return t if len(t) else None
 
         def read_and_decode(item: tuple[int, set[int]]) -> dict[int, TermPostings]:
             t = read_part(item)
-            return self._decode_partition(t) if t is not None else {}
+            return self._decode_partition(t, with_positions=need_positions) if t is not None else {}
 
         found: dict[int, TermPostings] = {}
         items = sorted(by_part.items())
@@ -452,7 +478,7 @@ class IndexReader:
                 self._cache.popitem(last=False)
         return out
 
-    def _decode_partition(self, t: pa.Table) -> dict[int, TermPostings]:
+    def _decode_partition(self, t: pa.Table, with_positions: bool = True) -> dict[int, TermPostings]:
         """Columnar decode of one filtered partition read → TermPostings.
 
         All O(df)/O(bytes) work is vectorized over the whole read: one varint
@@ -476,15 +502,16 @@ class IndexReader:
         tfs_all = tfs_raw.astype(np.int32)
         docs_all = segmented_undelta(gaps, df_s) + np.repeat(chunk_s * span, df_s)
 
-        pos_col = t.column("pos_blob").chunk(0)
-        pos_off = _binary_offsets(pos_col)
-        pos_buf = np.frombuffer(_binary_values(pos_col), dtype=np.uint8)
-        # per-doc position byte lengths: ONE varint pass for the whole read,
-        # entries land in the same sorted-entry coordinates as docs/tfs
-        pl_col = t.column("pos_len_blob").chunk(0)
-        pl_all = varint_decode(_binary_values(pl_col)).astype(np.int64)
-        pl_row_off = np.concatenate(([0], np.cumsum(df_col)))[:-1]
-        pos_lens_all = pl_all[np.repeat(pl_row_off[order], df_s) + rank]
+        if with_positions:
+            pos_col = t.column("pos_blob").chunk(0)
+            pos_off = _binary_offsets(pos_col)
+            pos_buf = np.frombuffer(_binary_values(pos_col), dtype=np.uint8)
+            # per-doc position byte lengths: ONE varint pass for the whole
+            # read, entries in the same sorted-entry coordinates as docs/tfs
+            pl_col = t.column("pos_len_blob").chunk(0)
+            pl_all = varint_decode(_binary_values(pl_col)).astype(np.int64)
+            pl_row_off = np.concatenate(([0], np.cumsum(df_col)))[:-1]
+            pos_lens_all = pl_all[np.repeat(pl_row_off[order], df_s) + rank]
         bl_chunk = t.column("block_last_doc").chunk(0)
         bl_off = np.asarray(bl_chunk.offsets)
         bl_vals = bl_chunk.values.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -503,13 +530,15 @@ class IndexReader:
         for gs, ge in zip(g_start, g_end):
             rows = order[gs:ge]  # original row indices, chunk-ascending
             a, b = int(e_start[gs]), int(e_start[ge])
-            pos_blob = (
-                pos_buf[int(pos_off[rows[0]]) : int(pos_off[rows[0] + 1])]
-                if len(rows) == 1
-                else np.concatenate(
-                    [pos_buf[int(pos_off[r]) : int(pos_off[r + 1])] for r in rows]
+            pos_blob = None
+            if with_positions:
+                pos_blob = (
+                    pos_buf[int(pos_off[rows[0]]) : int(pos_off[rows[0] + 1])]
+                    if len(rows) == 1
+                    else np.concatenate(
+                        [pos_buf[int(pos_off[r]) : int(pos_off[r + 1])] for r in rows]
+                    )
                 )
-            )
             blk_l = (
                 bl_vals[int(bl_off[rows[0]]) : int(bl_off[rows[0] + 1])]
                 if len(rows) == 1
@@ -528,7 +557,7 @@ class IndexReader:
                 block_last_doc=blk_l,
                 block_core=blk_c,
                 pos_blob=pos_blob,
-                pos_lens=pos_lens_all[a:b],
+                pos_lens=pos_lens_all[a:b] if with_positions else None,
             )
         return out
 
@@ -710,7 +739,9 @@ class BM25Searcher:
             return []
         # norms sidecar loads on the pool WHILE the postings partitions read
         self.reader.prefetch_sidecars(norms=True)
-        plists = self.reader.lookup(keys)
+        # ranked scoring never touches positions — skip the dominant read
+        # volume (pos_blob ≈ 1.2 B × cf vs meta ≈ 3 B × df)
+        plists = self.reader.lookup(keys, need_positions=False)
         m = self.reader.manifest
         cursors = []
         for k in keys:  # ascending term order (np.unique) — defines sum order
@@ -797,7 +828,7 @@ class WordSearcher:
         if not words:
             return _topk_empty()
         keys = np.array([symbol_key(w) for w in words], dtype=np.uint64)
-        plists = self.reader.lookup(keys)
+        plists = self.reader.lookup(keys, need_positions=False)
         m = self.reader.manifest
         present = [(w, plists[int(symbol_key(w))]) for w in words]
         present = [(w, tp) for w, tp in present if tp is not None]

@@ -156,6 +156,36 @@ def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
     )
 
 
+def test_position_free_lookup_and_upgrade(fixture_index, fixture_oracle):
+    """Ranked lookups skip pos_blob entirely; a later phrase query on the
+    SAME reader upgrades the cached position-free entries transparently and
+    still matches the oracle. Touching positions on a position-free entry
+    without re-lookup fails loudly (never a silent empty)."""
+    from searty_ray.functions.tokenize import tokenize_query
+
+    r = IndexReader(fixture_index[0])
+    # BM25 first → cache holds position-free entries for the query terms
+    bm = BM25Searcher(r)
+    eng = [(x["doc_id"], x["score"]) for x in bm.topk("defun cons", 5).to_pylist()]
+    assert eng == fixture_oracle.bm25_topk("defun cons", 5)
+    keys, _ = tokenize_query("defun cons")
+    present = [r._cache[int(k)] for k in keys if r._cache.get(int(k)) is not None]
+    assert present, "at least one query term must exist in the fixture corpus"
+    tp = present[0]
+    assert tp.pos_blob is None, "ranked lookup must be position-free"
+    with pytest.raises(RuntimeError, match="position-free"):
+        _ = tp.positions
+    # phrase on the same reader upgrades the cache in place
+    res = PhraseSearcher(r).search("defun").to_pylist()
+    ora = [
+        {"doc_id": d, "filename": f, "start": s, "end": e}
+        for d, f, s, e in fixture_oracle.phrase_search("defun")
+    ]
+    assert res == ora
+    # and a ranked lookup after the upgrade serves the full cached entry
+    assert [(x["doc_id"], x["score"]) for x in bm.topk("defun cons", 5).to_pylist()] == eng
+
+
 def test_random_phrases_match_oracle(reader, fixture_oracle, fixture_index):
     """Drill: 40 substrings sampled from real corpus bodies (random offset
     and length, crossing token/whitespace/paren boundaries) — engine phrase

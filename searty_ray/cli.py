@@ -21,6 +21,7 @@ of query kinds).  The CLI owns the Ray session (guarded init).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -144,6 +145,37 @@ def cmd_search(args) -> int:
     if args.ranked:
         for r in BM25Searcher(reader).topk(args.ranked, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    if args.regex:
+        from .functions.regexplan import literal_alternatives
+        from .query import RegexSearcher
+
+        if literal_alternatives(args.regex) is not None:
+            res = RegexSearcher(reader).search(args.regex)
+        else:
+            # unprunable → explicit distributed scan over the index's own
+            # content sidecar (never a hidden whole-corpus scan in-process)
+            import ray.data
+
+            from .stages.regexscan import regex_scan
+
+            res = (
+                regex_scan(
+                    ray.data.read_parquet(
+                        os.path.join(args.database, "documents"),
+                        columns=["doc_id", "content", "filename"],
+                    ),
+                    args.regex,
+                    text_col="content",
+                    filename_col="filename",
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            import pyarrow as _pa
+
+            res = _pa.Table.from_pandas(res, preserve_index=False)
+        for r in res.to_pylist():
+            print(f"{r['filename']}:{r['n_matches']}:{r['first_match']}")
     if args.words:
         for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
@@ -209,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--symbol")
     ps.add_argument("--file")
     ps.add_argument("--ranked")
+    ps.add_argument("--regex", help="RE2 regex; trigram-pruned when the pattern allows, "
+                    "distributed scan otherwise")
     ps.add_argument("--words")
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--limit", type=int, default=None,

@@ -1273,6 +1273,123 @@ ORDER BY user_id, session_start_us
 """
 
 
+# ---------------------------------------------------------------------------
+# regex search: index-accelerated + distributed-scan fallback
+# ---------------------------------------------------------------------------
+
+# required literals "sort " / " scan" → trigram AND prunes to a small
+# candidate set before RE2 verification
+REGEX_Q = r"sort [a-z]+ scan"
+# no literal ≥ 3 runes → unprunable → the distributed corpus scan
+REGEX_SCAN_Q = r"b[ai]g"
+
+
+def _sql_regex(pattern: str, over_corpus: bool) -> str:
+    esc = pattern.replace("'", "''")
+    if over_corpus:
+        return f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, repo || '/' || path AS filename,
+       len(regexp_extract_all(content, '{esc}'))::BIGINT AS n_matches,
+       regexp_extract(content, '{esc}') AS first_match
+FROM corpus
+WHERE regexp_matches(content, '{esc}')
+ORDER BY doc_id
+"""
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{esc}'))::BIGINT AS n_matches,
+       regexp_extract(text, '{esc}') AS first_match
+FROM documents
+WHERE regexp_matches(text, '{esc}')
+ORDER BY doc_id
+"""
+
+
+def q_regex_search(sf_dir: str):
+    """Trigram-index-accelerated regex (Cox 2012 / pg_trgm): required-literal
+    trigram AND → candidate docs → RE2 verify on candidate bodies only."""
+    from ..query import RegexSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    t = RegexSearcher(IndexReader(index_dir)).search(REGEX_Q)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REGEX_SEARCH = _sql_regex(REGEX_Q, over_corpus=True)
+
+
+def q_regex_scan(sf_dir: str):
+    """The unprunable-pattern path: a distributed vectorized RE2 scan
+    (stages/regexscan.py) — one map_batches, matches-only rows survive."""
+    from ..stages.regexscan import regex_scan
+
+    out = regex_scan(_docs(sf_dir, ["doc_id", "text"]), REGEX_SCAN_Q, text_col="text")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REGEX_SCAN = _sql_regex(REGEX_SCAN_Q, over_corpus=False)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (temporal): purchases ← most recent signup per user
+# ---------------------------------------------------------------------------
+
+
+def q_events_asof(sf_dir: str):
+    """Backward-inclusive as-of join, one hash shuffle + per-partition
+    sorted merge_asof (stages/joins.py)."""
+    import pandas as pd
+
+    from ..stages.joins import asof_join
+
+    def prep(kind: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == kind]
+            return pd.DataFrame(
+                {
+                    "event_id": b["event_id"],
+                    "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                    "user_id": b["user_id"],
+                    "value": b["value"],
+                }
+            )
+
+        return f
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    left = ev.map_batches(prep("purchase"), batch_format="pandas")
+    right = ev.map_batches(prep("signup"), batch_format="pandas")
+    out = asof_join(
+        left, right, on="ts_us", by="user_id", right_prefix="signup_", dedup_id="event_id"
+    ).to_pandas()
+    # gate compares the MATCHED rows (null-free output hashes identically on
+    # both sides); the operator itself is a left join — unmatched-row
+    # semantics are pinned by tests/test_ops.py instead
+    out = out.dropna(subset=["signup_ts_us"])
+    out["signup_ts_us"] = out["signup_ts_us"].astype("int64")
+    out["value"] = out["value"].round(6)
+    out["signup_value"] = out["signup_value"].astype("float64").round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, arg_min(value, event_id) AS value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.ts_us, p.user_id, round(p.value, 6) AS value,
+       s.ts_us AS signup_ts_us, round(s.value, 6) AS signup_value
+FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+ORDER BY p.event_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1318,6 +1435,9 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
+    "regex_search": q_regex_search,
+    "regex_scan": q_regex_scan,
 }
 
 ORACLE_SQL = {
@@ -1361,4 +1481,7 @@ ORACLE_SQL = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof": SQL_EVENTS_ASOF,
+    "regex_search": SQL_REGEX_SEARCH,
+    "regex_scan": SQL_REGEX_SCAN,
 }

@@ -30,7 +30,8 @@ from .functions import bm25
 from .functions.codec import decode_pos_blob, varint_decode
 from .stages.encode_stage import _binary_offsets, _binary_values
 from .functions.hashing import term_part
-from .functions.tokenize import tokenize_query
+from .functions.regexplan import group_neutral, literal_alternatives
+from .functions.tokenize import codepoints, pack_trigrams, tokenize_query
 from .functions.wand import TermCursor, wand_topk
 from .oracle.oracle import parse_symbol
 from .state.manifest import Manifest
@@ -981,6 +982,106 @@ class FileSearcher:
             }
         )
         return t.filter(pc.match_substring(t["filename"], query)).sort_by("filename")
+
+
+class RegexSearcher:
+    """Trigram-index-accelerated regex search — the flagship derived query
+    of a trigram-shaped index (Cox, "Regular Expression Matching with a
+    Trigram Index", 2012; PostgreSQL pg_trgm does the same).  Not in the
+    reference's surface, but its index (tokenizer.go:9-33) is exactly the
+    structure this query exists for.
+
+    Plan: required-literal OR-of-AND analysis (functions/regexplan.py) →
+    per-alternative doc-id AND over the literals' trigram posting lists
+    (meta-only lookups — ``need_positions=False``; regex verification never
+    touches positions) → union across alternatives → RE2 verification over
+    ONLY the candidate bodies via pyarrow ``count_substring_regex`` /
+    ``extract_regex``.  The same RE2 library backs DuckDB's regexp
+    functions, so engine and oracle cannot diverge on regex semantics.
+
+    An unprunable pattern raises ValueError: a whole-corpus scan must never
+    hide inside a query actor — callers fall back to the DISTRIBUTED scan
+    (stages/regexscan.py) explicitly.
+    """
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def candidates(self, pattern: str) -> np.ndarray | None:
+        """Sorted candidate doc ids from the index, or None if unprunable."""
+        alts = literal_alternatives(pattern)
+        if alts is None:
+            return None
+        per_alt: list[np.ndarray] = []
+        union: set[int] = set()
+        for alt in alts:
+            keys = np.unique(np.concatenate([pack_trigrams(codepoints(lit)) for lit in alt]))
+            per_alt.append(keys)
+            union.update(int(k) for k in keys)
+        plists = self.reader.lookup(
+            np.array(sorted(union), dtype=np.uint64), need_positions=False
+        )
+        cands: list[np.ndarray] = []
+        for keys in per_alt:
+            tps = [plists[int(k)] for k in keys]
+            if any(tp is None for tp in tps):
+                continue  # an absent trigram kills this alternative only
+            tps.sort(key=lambda tp: len(tp.doc_ids))
+            cand = tps[0].doc_ids
+            for tp in tps[1:]:
+                if len(cand) == 0:
+                    break
+                i = np.searchsorted(tp.doc_ids, cand)
+                i[i == len(tp.doc_ids)] = 0
+                cand = cand[tp.doc_ids[i] == cand]
+            if len(cand):
+                cands.append(cand)
+        if not cands:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(cands))
+
+    def search(self, pattern: str) -> pa.Table:
+        """→ (doc_id, filename, n_matches, first_match) for matching docs,
+        doc_id-sorted.  Counts are non-overlapping leftmost (``finditer`` /
+        ``regexp_extract_all`` semantics)."""
+        cand = self.candidates(pattern)
+        if cand is None:
+            raise ValueError(
+                "pattern has no required trigram literal — use the distributed "
+                "scan (stages.regexscan.regex_scan), not an in-actor corpus scan"
+            )
+        if len(cand) == 0:
+            return _regex_empty()
+        bodies = self.reader.content_for(cand)
+        text = pa.array([bodies[int(d)] for d in cand], type=pa.string())
+        n = pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False)
+        hit = n > 0
+        if not hit.any():
+            return _regex_empty()
+        first = pc.struct_field(
+            pc.extract_regex(text, f"(?P<m>{group_neutral(pattern)})"), "m"
+        )
+        docs = cand[hit]
+        meta = self.reader.resolve_docs(docs, ["filename"])  # unique, doc_id-sorted
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "filename": meta["filename"],
+                "n_matches": pa.array(n[hit].astype(np.int64), type=pa.int64()),
+                "first_match": first.filter(pa.array(hit)),
+            }
+        )
+
+
+def _regex_empty() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "filename": pa.array([], type=pa.string()),
+            "n_matches": pa.array([], type=pa.int64()),
+            "first_match": pa.array([], type=pa.string()),
+        }
+    )
 
 
 class PrettyPrinter:

@@ -36,6 +36,21 @@ def test_cli_search_symbol_and_ranked(fixture_index, fixture_corpus, capsys):
     assert sum(1 for line in out if "\t" in line) == 3
 
 
+def test_cli_search_regex_both_paths(fixture_index, capsys):
+    index_dir, _ = fixture_index
+    # prunable → indexed path
+    rc = cli_main(["search", "-d", index_dir, "--regex", r"\(defun [a-z-]+"])
+    assert rc == 0
+    indexed_out = capsys.readouterr().out.strip().splitlines()
+    assert indexed_out and all(line.count(":") >= 2 for line in indexed_out)
+    # unprunable → distributed scan; defun appears in every generated file,
+    # so the scan must print at least as many lines as some indexed subset
+    rc = cli_main(["search", "-d", index_dir, "--regex", r"d[ae]fun"])
+    assert rc == 0
+    scan_out = capsys.readouterr().out.strip().splitlines()
+    assert len(scan_out) >= len(indexed_out)
+
+
 def test_cli_index_and_describe(fixture_corpus, tmp_path, capsys):
     corpus_t, _ = fixture_corpus
     src = str(tmp_path / "corpus.parquet")

@@ -1390,6 +1390,316 @@ ORDER BY p.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# equi-joins: broadcast (fact × dimension) and native shuffle hash join
+# ---------------------------------------------------------------------------
+
+
+def q_orders_enriched(sf_dir: str):
+    """Zero-shuffle dimension enrichment: orders × customer × nation, both
+    small sides broadcast once via ray.put (stages/joins.broadcast_join)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    out = broadcast_join(out, nat, on="c_nationkey", right_on="n_nationkey")
+    df = out.to_pandas()[
+        ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name"]
+    ]
+    df["o_totalprice"] = df["o_totalprice"].round(6)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_ENRICHED = """
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+       c_name, c_mktsegment, n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY o_orderkey
+"""
+
+
+def q_lineitem_revenue(sf_dir: str):
+    """Large × large: Ray Data's native hash shuffle join (stages/joins.
+    hash_join), then a combiner-first aggregate (per-batch partial sums;
+    only 5-row partials shuffle to the final groupby)."""
+    import pandas as pd
+
+    from ..stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"], "rev": rev}).groupby(
+            "o_orderpriority", sort=False
+        )["rev"]
+        out = g.agg(n_lines="size", revenue="sum").reset_index()
+        return out.astype({"n_lines": "int64"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n_lines": np.array([g["n_lines"].sum()], dtype=np.int64),
+                "revenue": [g["revenue"].sum()],
+            }
+        )
+
+    df = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_LINEITEM_REVENUE = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join: purchases inside a 72h window after signup
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 72 * 3600 * 1_000_000
+
+
+def q_events_range(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.joins import range_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "user_id": b["user_id"],
+                "value": b["value"],
+            }
+        )
+
+    def signups(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "signup"]
+        start = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "signup_id": b["event_id"],
+                "user_id": b["user_id"],
+                "start_us": start,
+                "end_us": start + RANGE_WINDOW_US,
+            }
+        )
+
+    out = range_join(
+        ev.map_batches(purchases, batch_format="pandas"),
+        ev.map_batches(signups, batch_format="pandas"),
+        on="ts_us",
+        by="user_id",
+        start="start_us",
+        end="end_us",
+        right_prefix="s_",
+        bucket_us=24 * 3600 * 1_000_000,
+    ).to_pandas()
+    out = out[["event_id", "ts_us", "user_id", "value", "s_signup_id", "s_start_us"]]
+    out["value"] = out["value"].round(6)
+    out = out.astype({"s_signup_id": "int64", "s_start_us": "int64"})
+    return out.sort_values(["event_id", "s_signup_id"]).reset_index(drop=True)
+
+
+SQL_EVENTS_RANGE = f"""
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT event_id AS signup_id, user_id, epoch_us(ts) AS start_us
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.ts_us, p.user_id, round(p.value, 6) AS value,
+       s.signup_id AS s_signup_id, s.start_us AS s_start_us
+FROM p JOIN s ON p.user_id = s.user_id
+              AND p.ts_us >= s.start_us AND p.ts_us < s.start_us + {RANGE_WINDOW_US}
+ORDER BY event_id, s_signup_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped analytics: top-k per group, distinct counts, exact quantiles
+# ---------------------------------------------------------------------------
+
+TOPK_PER_CUST = 3
+
+
+def q_orders_topk(sf_dir: str):
+    """Combiner-first distributed top-k per key (stages/analytics.py):
+    each batch keeps ≤ k rows per key before the shuffle."""
+    from ..stages.analytics import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    df = topk_per_group(
+        orders, group="o_custkey", order="o_totalprice", k=TOPK_PER_CUST,
+        tie_col="o_orderkey",
+    ).to_pandas()[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+    df["o_totalprice"] = df["o_totalprice"].round(6)
+    df = df.astype({"rank": "int64"})
+    return df.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+SQL_ORDERS_TOPK = f"""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, "rank"
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
+  FROM orders
+) WHERE "rank" <= {TOPK_PER_CUST}
+ORDER BY o_custkey, "rank"
+"""
+
+
+def q_events_distinct(sf_dir: str):
+    from ..stages.analytics import distinct_per_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    df = distinct_per_group(ev, "user_id", "event_type").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_DISTINCT = """
+SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-group quantiles — numpy 'linear' == DuckDB quantile_cont."""
+    from ..stages.analytics import group_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = group_quantiles(ev, "event_type", "value", (0.5, 0.9)).to_pandas()
+    df["q50"] = df["q50"].round(6)
+    df["q90"] = df["q90"].round(6)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.9), 6) AS q90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep: the composed training-data pipeline (lang filter → quality
+# model filter → exact dedup → train/val/test split) in one streaming pass
+# ---------------------------------------------------------------------------
+
+PREP_LANG, PREP_MIN_SCORE = "en", 0.5
+
+
+def q_corpus_prep(sf_dir: str):
+    from .prep import prep_corpus
+
+    df = prep_corpus(
+        _docs(sf_dir, ["doc_id", "text"]), lang=PREP_LANG, min_score=PREP_MIN_SCORE,
+        fractions=SPLIT_FRACTIONS,
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_corpus_prep() -> str:
+    # language vote (mirrors _sql_lang_id)
+    counts = ",\n         ".join(
+        f"len(list_filter(words, w -> list_contains({_sql_str_list(list(mk))}, w))) AS c_{lang}"
+        for lang, mk in textstats.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in textstats.LANG_MARKERS]
+    g = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN c_{la} = {g} THEN '{la}'" for la in langs)
+    # quality model (mirrors _sql_quality_score)
+    w0, w1, w2, w3, w4 = textstats.QUALITY_MODEL_W
+    # exact-dedup 128-bit content key + hash split (mirror the primitives)
+    h1 = _hash_sql("text")
+    h2 = _hash_sql("text", salt=dedup.EXACT_DEDUP_SALT)
+    _, _, split_case = _sql_sample_exprs()
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang
+  FROM (SELECT doc_id, {counts} FROM w)
+),
+feat AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(len(list_filter(words, x -> list_contains({_sql_str_list(list(textstats.STOPWORDS))}, x)))::DOUBLE
+               / greatest(len(words), 1), 6) AS stop_ratio,
+         round(len(list_distinct(words))::DOUBLE / greatest(len(words), 1), 6) AS distinct_ratio,
+         round(list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE
+               / greatest(len(words), 1), 6) AS mean_word_len
+  FROM w
+),
+score AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({w0} + {w1} * (n_words / 100.0) + {w2} * stop_ratio
+                                 + {w3} * distinct_ratio + {w4} * (mean_word_len / 10.0)))), 6)
+           AS quality_score
+  FROM feat
+),
+f AS (
+  SELECT w.doc_id, lang.pred_lang, score.quality_score, w.text
+  FROM w JOIN lang USING (doc_id) JOIN score USING (doc_id)
+  WHERE lang.pred_lang = '{PREP_LANG}' AND score.quality_score >= {PREP_MIN_SCORE}
+),
+ded AS (
+  SELECT doc_id, pred_lang, quality_score,
+         row_number() OVER (PARTITION BY {h1}, {h2} ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, pred_lang, quality_score, {split_case} AS split
+FROM ded WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1438,6 +1748,13 @@ QUERIES = {
     "events_asof": q_events_asof,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
+    "orders_enriched": q_orders_enriched,
+    "lineitem_revenue": q_lineitem_revenue,
+    "events_range": q_events_range,
+    "orders_topk": q_orders_topk,
+    "events_distinct": q_events_distinct,
+    "events_quantiles": q_events_quantiles,
+    "corpus_prep": q_corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -1484,4 +1801,11 @@ ORACLE_SQL = {
     "events_asof": SQL_EVENTS_ASOF,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,
+    "orders_enriched": SQL_ORDERS_ENRICHED,
+    "lineitem_revenue": SQL_LINEITEM_REVENUE,
+    "events_range": SQL_EVENTS_RANGE,
+    "orders_topk": SQL_ORDERS_TOPK,
+    "events_distinct": SQL_EVENTS_DISTINCT,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
+    "corpus_prep": SQL_CORPUS_PREP,
 }

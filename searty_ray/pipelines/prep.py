@@ -1,0 +1,97 @@
+"""End-to-end training-data preparation — the composed flagship pipeline a
+100-TB corpus actually runs: language filter → model quality filter →
+exact dedup → train/val/test split, in ONE streaming pass plus ONE
+narrow shuffle.
+
+Shape (every piece is an existing, individually-gated operator):
+
+1. ``PrepStage`` (actor pool) — per batch, entirely local: language-ID
+   (textstats.lang_id_batch), quality scoring (the QualityModelStage
+   model, loaded once per actor), 128-bit content hash
+   (dedup.add_content_hash_batch).  Rows failing the lang/quality
+   predicate are dropped HERE, before anything shuffles; the batch leaves
+   as (doc_id, pred_lang, quality_score, h1, h2) — content never moves.
+2. ONE hash shuffle over 64 coarse partitions of the content key; a
+   vectorized per-partition sort + drop_duplicates keeps the smallest
+   doc_id per distinct content (the same winner exact_dedup elects).
+3. ``sample.hash_split`` labels survivors train/val/test — a stateless
+   per-batch map, parallelism- and resume-stable.
+
+The DuckDB gate mirror (pipelines/gate.py ``corpus_prep``) recomposes the
+SAME primitives in SQL — marker-vote language, logistic score with
+embedded weights, splitmix64 content key, min-doc-id winner, hash-split
+thresholds — so a regression anywhere in the composition breaks the
+value-hash match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages import textstats
+from ..stages.dedup import add_content_hash_batch
+from ..stages.joins import NUM_PARTITIONS, _MIX
+from ..stages.sample import hash_split
+
+
+class PrepStage:
+    """Filter + annotate one batch locally (see module docstring)."""
+
+    def __init__(self, lang: str, min_score: float):
+        self.w = np.array(textstats.QUALITY_MODEL_W, dtype=np.float64)
+        self.lang, self.min_score = lang, min_score
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pred = textstats.lang_id_batch(batch)["pred_lang"].to_numpy(dtype=object)
+        score = textstats.score_quality(textstats.quality_batch(batch), self.w)
+        keep = (pred == self.lang) & (score >= self.min_score)
+        kept = batch[keep]
+        h = add_content_hash_batch(
+            pa.Table.from_pandas(kept[["doc_id", "text"]], preserve_index=False)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].to_numpy(),
+                "pred_lang": pred[keep],
+                "quality_score": score[keep],
+                "h1": h["h1"].to_numpy(),
+                "h2": h["h2"].to_numpy(),
+            }
+        )
+        out["__pk"] = (
+            (out["h1"].to_numpy().view(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % NUM_PARTITIONS
+        return out
+
+
+def _dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+    s = g.sort_values(["h1", "h2", "doc_id"], kind="mergesort")
+    return s.drop_duplicates(["h1", "h2"], keep="first").drop(
+        columns=["h1", "h2", "__pk"]
+    )
+
+
+def prep_corpus(
+    docs: ray.data.Dataset,
+    lang: str = "en",
+    min_score: float = 0.5,
+    fractions: dict[str, float] | None = None,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """→ (doc_id, pred_lang, quality_score, split) for the cleaned,
+    deduplicated corpus.  ``docs`` needs (doc_id, text)."""
+    if concurrency is None:
+        from ..functions.resources import actor_pool
+
+        concurrency = actor_pool()
+    annotated = docs.map_batches(
+        PrepStage,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"lang": lang, "min_score": min_score},
+    )
+    deduped = annotated.groupby("__pk").map_groups(_dedup_group, batch_format="pandas")
+    return hash_split(deduped, fractions or {"train": 0.8, "val": 0.1, "test": 0.1})

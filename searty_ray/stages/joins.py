@@ -1,4 +1,23 @@
-"""As-of join — a custom temporal operator Ray Data lacks (driver
+"""Relational join suite for the engine's table side.
+
+Three join shapes, picked by the data, not the API:
+
+* :func:`broadcast_join` — dimension-scale right side.  The right table is
+  put in the object store ONCE (``ray.put``); every actor materializes it
+  once in ``__init__`` and each batch is a vectorized local pandas merge.
+  ZERO shuffle — the 100-TB pattern for fact × dimension (customer,
+  nation, vocab, centroids…).  Right side must fit a worker heap.
+* :func:`hash_join` — large × large.  Thin policy wrapper over Ray Data's
+  native ``Dataset.join`` (hash-partitioned shuffle join): both sides
+  exchange once on the key; ``num_partitions`` sizes the exchange.
+* :func:`range_join` — rows × intervals (event in [start, end) for the
+  same key), which no equi-join expresses.  Implemented by coarse
+  time-bucket co-partitioning: each interval is replicated to every
+  bucket it overlaps (vectorized ``np.repeat``), each left row lands in
+  exactly ONE bucket, so a matched pair materializes exactly once — no
+  post-dedup pass.  ONE hash shuffle on (key, bucket).
+
+As-of join — a custom temporal operator Ray Data lacks (driver
 instructions: "when the reference has an operator Ray Data lacks (as-of
 join, range join, …) implement it as a composition … and document the
 partitioning assumption it relies on").
@@ -35,6 +54,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
 import ray.data
 
 NUM_PARTITIONS = 64
@@ -109,3 +130,203 @@ def asof_join(
         return out
 
     return tagged.groupby("__pk").map_groups(merge_group, batch_format="pandas")
+
+
+class _BroadcastJoin:
+    """Actor-pool stage: fetch + index the broadcast side once per ACTOR
+    (``__init__``), merge per batch (``__call__``) — the prescribed
+    stateful-stage shape.  The ObjectRef travels in constructor kwargs, so
+    the table itself ships through the object store once per node, never
+    per batch."""
+
+    def __init__(self, right_ref, on: str, right_on: str, how: str, right_prefix: str):
+        right: pa.Table = ray.get(right_ref)
+        rdf = right.to_pandas()
+        self.right_on = right_prefix + right_on if right_prefix else right_on
+        self.right = rdf.rename(
+            columns={c: right_prefix + c for c in rdf.columns if right_prefix}
+        )
+        self.on, self.how = on, how
+        # left joins put NaN in right columns of miss rows; pin nullable
+        # dtypes so block schemas stay consistent across hit/miss batches
+        self.pin = {
+            c: ("Int64" if pd.api.types.is_integer_dtype(t) else "Float64")
+            for c, t in self.right.dtypes.items()
+            if pd.api.types.is_integer_dtype(t) or pd.api.types.is_float_dtype(t)
+        }
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(
+            self.right, left_on=self.on, right_on=self.right_on, how=self.how
+        )
+        if self.how == "left":
+            for c, dt in self.pin.items():
+                out[c] = out[c].astype(dt)
+        return out
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: pa.Table,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    right_prefix: str = "",
+    concurrency: tuple[int, int] | int | None = None,
+) -> ray.data.Dataset:
+    """Zero-shuffle fact × dimension join: the small right table is
+    broadcast via ``ray.put`` and each batch merges locally.
+
+    SCALE CONTRACT: ``right`` must fit in a worker heap (dimension scale —
+    MBs to low GBs).  For large × large use :func:`hash_join`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join: how={how!r} (inner/left only)")
+    right_on = right_on if right_on is not None else on
+    if concurrency is None:
+        from ..functions.resources import actor_pool
+
+        concurrency = actor_pool()
+    return left.map_batches(
+        _BroadcastJoin,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "right_ref": ray.put(right),
+            "on": on,
+            "right_on": right_on,
+            "how": how,
+            "right_prefix": right_prefix,
+        },
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Large × large equi-join: Ray Data's native hash-partitioned shuffle
+    join (``Dataset.join``) — both sides exchange ONCE on the key.  This
+    wrapper exists so pipelines pick a join by data shape (broadcast vs
+    shuffle), with one policy point for ``num_partitions`` (which bounds
+    per-aggregator memory: size it so one partition of the larger side
+    fits a worker heap)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on if right_on is not None else on,),
+    )
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str = "ts_us",
+    by: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+    right_prefix: str = "r_",
+    bucket_us: int = 3_600_000_000,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Interval join: every (left row, right interval) pair with
+    ``left.by == right.by`` and ``start <= left.on < end`` (inner).
+
+    Shape: intervals are replicated to each coarse time bucket they
+    overlap (vectorized ``np.repeat``); left rows map to exactly one
+    bucket, so each qualifying pair is produced exactly once.  ONE hash
+    shuffle on (by, bucket), then a per-partition vectorized pandas merge
+    + range filter.
+
+    PARTITIONING ASSUMPTION: all rows of one (by, bucket) cell co-locate.
+    Skew is bounded by one key's rows per bucket; ``bucket_us`` is the
+    knob — it should be ≈ the typical interval length (shorter buckets
+    cut the equi-merge fan-out, longer buckets cut interval replication;
+    an interval spanning B buckets costs B copies of one row).
+    """
+    bw = np.int64(bucket_us)
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        bucket = np.floor_divide(batch[on].to_numpy().astype(np.int64), bw)
+        out["__bucket"] = bucket
+        out["__pk"] = _pk2(batch[by].to_numpy(), bucket, num_partitions)
+        out["__side"] = np.int8(0)
+        return out
+
+    def explode_right(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[start].to_numpy().astype(np.int64)
+        e = batch[end].to_numpy().astype(np.int64)
+        b0 = np.floor_divide(s, bw)
+        # end is exclusive: an interval ending exactly on a bucket edge
+        # does not reach into the next bucket
+        b1 = np.floor_divide(np.maximum(e - 1, s), bw)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        out = batch.iloc[idx].reset_index(drop=True)
+        # bucket sequence: b0[i] + (position within each row's run)
+        offsets = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = np.arange(reps.sum(), dtype=np.int64) - np.repeat(offsets, reps)
+        bucket = np.repeat(b0, reps) + pos
+        out["__bucket"] = bucket
+        out["__pk"] = _pk2(out[by].to_numpy(), bucket, num_partitions)
+        out["__side"] = np.int8(1)
+        return out
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    overlap = set(left_cols) & set(right_cols) - {by}
+    if overlap and not right_prefix:
+        raise ValueError(f"range_join: overlapping columns {sorted(overlap)} need right_prefix")
+
+    lt = left.map_batches(_pad_cols(tag_left, right_cols, left_cols), batch_format="pandas")
+    rt = right.map_batches(
+        _pad_cols(explode_right, left_cols, right_cols), batch_format="pandas"
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        # the union pads each side with the other's columns as NA (object
+        # dtype), and block concat degrades the real columns to object too;
+        # restore native dtypes before the merge so output blocks are typed
+        lf = g[g["__side"] == 0][[*left_cols, "__bucket"]].infer_objects()
+        rr = g[g["__side"] == 1][[*right_cols, "__bucket"]].infer_objects()
+        rr = rr.rename(
+            columns={c: right_prefix + c for c in right_cols if c != by}
+        )
+        out = lf.merge(rr, on=[by, "__bucket"], how="inner")
+        ts = out[on].to_numpy()
+        keep = (out[right_prefix + start].to_numpy() <= ts) & (
+            ts < out[right_prefix + end].to_numpy()
+        )
+        return out[keep].drop(columns="__bucket")
+
+    return lt.union(rt).groupby("__pk").map_groups(merge_group, batch_format="pandas")
+
+
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)  # second splitmix64 round constant
+
+
+def _pk2(keys: np.ndarray, buckets: np.ndarray, num_partitions: int) -> np.ndarray:
+    k = keys.astype(np.int64).view(np.uint64) * _MIX
+    b = buckets.astype(np.int64).view(np.uint64) * _MIX2
+    return (((k ^ b) * _MIX) >> np.uint64(40)).astype(np.int64) % num_partitions
+
+
+def _pad_cols(fn, other_cols: list[str], own_cols: list[str]):
+    """Union'd blocks must share a schema: add the other side's columns as
+    nulls (cheap — one NA column assignment per batch, dropped post-merge)."""
+    add = [c for c in other_cols if c not in own_cols]
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        out = fn(batch)
+        for c in add:
+            out[c] = pd.NA
+        return out
+
+    return _f

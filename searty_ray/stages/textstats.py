@@ -137,18 +137,24 @@ class QualityModelStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         q = quality_batch(batch)
-        X = np.column_stack(
-            [
-                np.ones(len(q)),
-                q["n_words"].to_numpy(dtype=np.float64) / 100.0,
-                q["stop_ratio"].to_numpy(dtype=np.float64),
-                q["distinct_ratio"].to_numpy(dtype=np.float64),
-                q["mean_word_len"].to_numpy(dtype=np.float64) / 10.0,
-            ]
+        return pd.DataFrame(
+            {"doc_id": q["doc_id"], "quality_score": score_quality(q, self.w)}
         )
-        z = X @ self.w
-        score = 1.0 / (1.0 + np.exp(-z))
-        return pd.DataFrame({"doc_id": q["doc_id"], "quality_score": round6(score)})
+
+
+def score_quality(q: pd.DataFrame, w: np.ndarray) -> np.ndarray:
+    """Logistic score over a quality_batch frame — one matmul + sigmoid,
+    shared by QualityModelStage and the composed prep pipeline."""
+    X = np.column_stack(
+        [
+            np.ones(len(q)),
+            q["n_words"].to_numpy(dtype=np.float64) / 100.0,
+            q["stop_ratio"].to_numpy(dtype=np.float64),
+            q["distinct_ratio"].to_numpy(dtype=np.float64),
+            q["mean_word_len"].to_numpy(dtype=np.float64) / 10.0,
+        ]
+    )
+    return round6(1.0 / (1.0 + np.exp(-(X @ w))))
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:

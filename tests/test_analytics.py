@@ -1,0 +1,170 @@
+"""Grouped-analytics operators vs brute-force pandas/numpy oracles, plus
+the composed corpus_prep pipeline's structural contracts (the value-level
+check is the gate's full SQL mirror)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from searty_ray.stages.analytics import distinct_per_group, group_quantiles, topk_per_group
+
+
+def _orders(seed: int = 5, n: int = 700) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "oid": np.arange(n, dtype=np.int64),
+            # few-order keys exist (k > group size) and one hot key
+            "cust": np.where(rng.random(n) < 0.3, 1, rng.integers(0, 80, n)).astype(np.int64),
+            # duplicate prices force tie-breaks
+            "price": rng.integers(0, 50, n).astype(np.float64),
+        }
+    )
+
+
+def _topk_oracle(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    s = df.sort_values(["cust", "price", "oid"], ascending=[True, False, True], kind="mergesort")
+    out = s.groupby("cust", sort=False).head(k).copy()
+    out["rank"] = out.groupby("cust", sort=False).cumcount() + 1
+    return out.sort_values(["cust", "rank"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 8, 64])
+def test_topk_per_group_matches_oracle(ray_session, num_partitions):
+    df = _orders()
+    got = (
+        topk_per_group(
+            ray.data.from_pandas(df).repartition(9),
+            group="cust",
+            order="price",
+            k=3,
+            tie_col="oid",
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .sort_values(["cust", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _topk_oracle(df, 3)
+    assert (want.groupby("cust").size() < 3).any(), "fixture must have groups smaller than k"
+    got = got[list(want.columns)].astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_distinct_per_group_matches_nunique(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 25, 2000).astype(np.int64),
+            "kind": rng.choice(list("abcdefg"), 2000),
+        }
+    )
+    got = (
+        distinct_per_group(ray.data.from_pandas(df).repartition(8), "user", "kind")
+        .to_pandas()
+        .sort_values("user")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("user")["kind"].nunique().rename("n_distinct").reset_index()
+        .astype({"n_distinct": "int64"})
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"user": "int64"}), want.rename(columns={"user": "user"}), check_dtype=False
+    )
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 1500),
+            "v": rng.random(1500) * 100,
+        }
+    )
+    got = (
+        group_quantiles(ray.data.from_pandas(df).repartition(7), "g", "v", (0.5, 0.9))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    rows = [
+        (g, *np.quantile(np.sort(sub["v"].to_numpy()), (0.5, 0.9), method="linear"))
+        for g, sub in df.groupby("g")
+    ]
+    want = pd.DataFrame(rows, columns=["g", "q50", "q90"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_string_group_keys_colocate(ray_session):
+    # string keys go through pd.util.hash_array — same key must always land
+    # in the same partition or counts fragment; a fragmented key would show
+    # up as duplicate group rows
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {"g": rng.choice([f"key{i}" for i in range(40)], 3000), "v": rng.random(3000)}
+    )
+    got = distinct_per_group(
+        ray.data.from_pandas(df).repartition(16), "g", "v", num_partitions=64
+    ).to_pandas()
+    assert not got["g"].duplicated().any()
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep composition contracts
+# ---------------------------------------------------------------------------
+
+
+def _prep_docs() -> pd.DataFrame:
+    en = "the and for with this that from have will what when where which "
+    rows = []
+    for i in range(40):
+        rows.append((i, en * 8 + f"unique tail {i}"))
+    # exact duplicates of doc 3's text under higher ids → must collapse to 3
+    rows.append((100, en * 8 + "unique tail 3"))
+    rows.append((101, en * 8 + "unique tail 3"))
+    # non-English → filtered out
+    rows.append((200, "der und das mit ist nicht von auf ein eine " * 10))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_prep_corpus_dedup_filter_split(ray_session, blocks):
+    from searty_ray.pipelines.prep import prep_corpus
+
+    df = _prep_docs()
+    out = (
+        prep_corpus(
+            ray.data.from_pandas(df).repartition(blocks),
+            lang="en",
+            min_score=0.0,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = set(out["doc_id"])
+    assert 3 in ids and 100 not in ids and 101 not in ids, "dup must collapse to min id"
+    assert 200 not in ids, "non-target language must be filtered"
+    assert (out["pred_lang"] == "en").all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert not out["doc_id"].duplicated().any()
+
+
+def test_prep_corpus_parallelism_invariant(ray_session):
+    from searty_ray.pipelines.prep import prep_corpus
+
+    df = _prep_docs()
+    outs = [
+        prep_corpus(ray.data.from_pandas(df).repartition(b), lang="en", min_score=0.0,
+                    concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for b in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -1167,6 +1167,65 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_image_channel_stats(sf_dir: str):
+    """Integer-exact raster statistics (ImageChannelStatsStage): the SQL
+    oracle re-derives every pixel byte (text bytes tiled over W·H·3, per
+    _ppm_bytes) and aggregates the same int64 sums — the feature-extraction
+    plumbing gets a FULL value-hash gate, complementing the float-kernel
+    ``image_features`` rows-only entry.  ASCII guard on both sides: the
+    engine tiles UTF-8 bytes, SQL reads codepoints, equal only for ASCII."""
+    import pandas as pd
+
+    from ..functions.resources import actor_pool
+
+    def ascii_only(b: pd.DataFrame) -> pd.DataFrame:
+        n_runes = b["text"].str.len()
+        n_bytes = b["text"].str.encode("utf-8").str.len()
+        return b[(n_runes == n_bytes) & (n_runes > 0)]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ascii_only, batch_format="pandas")
+        .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            multimodal.ImageChannelStatsStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=actor_pool(),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_IMAGE_CHANNEL_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+px AS (
+  SELECT doc_id, i % 3 AS ch,
+         ascii(substr(text, ((i % n) + 1)::INT, 1)) AS v
+  FROM (
+    SELECT doc_id, text, n,
+           unnest(range(0, (n % {multimodal.IMG_W_MOD} + 1)
+                         * (n % {multimodal.IMG_H_MOD} + 1) * 3)) AS i
+    FROM d
+  )
+)
+SELECT doc_id,
+       sum(CASE WHEN ch = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+       sum(CASE WHEN ch = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+       sum(CASE WHEN ch = 2 THEN v ELSE 0 END)::BIGINT AS sum_b,
+       min(v)::BIGINT AS px_min,
+       max(v)::BIGINT AS px_max,
+       count(*)::BIGINT AS n_px
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_audio_meta(sf_dir: str):
     """REAL RIFF/WAVE payloads parsed back by chunk-walking (audio decode
     plumbing); SQL mirrors the synthesized geometry."""
@@ -1742,6 +1801,7 @@ QUERIES = {
     "audio_meta": q_audio_meta,
     "image_resize": q_image_resize,
     "image_features": q_image_features,
+    "image_channel_stats": q_image_channel_stats,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
@@ -1794,7 +1854,9 @@ ORACLE_SQL = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,
     "image_resize": SQL_IMAGE_RESIZE,
-    # image_features: decoded-binary numpy kernels — rows-only by design
+    # image_features: decoded-binary FLOAT kernels — rows-only by design;
+    # its integer sibling image_channel_stats below carries the full oracle
+    "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,

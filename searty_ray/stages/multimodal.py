@@ -329,6 +329,39 @@ class ImageFeatureStage:
         )
 
 
+class ImageChannelStatsStage:
+    """Integer-exact channel statistics over decoded rasters: per-channel
+    byte SUMS (int64 — the exact numerators of the channel means), global
+    min/max, pixel count.  Pure integer arithmetic end-to-end, so unlike
+    the float kernels of :class:`ImageFeatureStage` these are
+    order-independent and the gate mirrors them in SQL bit-exactly
+    (``image_channel_stats``): the oracle re-derives every pixel byte from
+    the text and aggregates the same integers."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, h, _mx, _f, ps, buf = _parse_ppm_batch(batch["payload"])
+        n = len(w)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        mins = np.zeros(n, dtype=np.int64)
+        maxs = np.zeros(n, dtype=np.int64)
+        npx = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            px = buf[ps[i] : ps[i] + w[i] * h[i] * 3].reshape(-1, 3)
+            sums[i] = px.sum(axis=0, dtype=np.int64)
+            mins[i], maxs[i], npx[i] = px.min(), px.max(), px.size
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+                "px_min": pa.array(mins),
+                "px_max": pa.array(maxs),
+                "n_px": pa.array(npx),
+            }
+        )
+
+
 # ---------------------------------------------------------------------------
 # audio: RIFF/WAVE
 # ---------------------------------------------------------------------------

@@ -346,6 +346,16 @@ def test_image_resize_and_features_real_kernels(ray_session):
     assert feats["mean_r"][0].as_py() == pytest.approx(f64[:, :, 0].mean(), abs=1e-6)
     lum = f64 @ np.array([0.299, 0.587, 0.114])
     assert feats["lum_std"][0].as_py() == pytest.approx(lum.std(), abs=1e-6)
+    # integer channel stats: exact numpy reference (SQL oracle in the gate)
+    stats = multimodal.ImageChannelStatsStage()(payload)
+    flat = px.reshape(-1, 3).astype(np.int64)
+    assert stats["sum_r"][0].as_py() == int(flat[:, 0].sum())
+    assert stats["sum_g"][0].as_py() == int(flat[:, 1].sum())
+    assert stats["px_min"][0].as_py() == int(flat.min())
+    assert stats["px_max"][0].as_py() == int(flat.max())
+    assert stats["n_px"][0].as_py() == flat.size
+    # the all-'z' doc: every byte identical → sums = 122·n, min == max
+    assert stats["px_min"][1].as_py() == stats["px_max"][1].as_py() == 122
 
 
 def test_hash_bytes_u64_matches_scalar_and_sql():

@@ -254,6 +254,14 @@ def main() -> None:
     knn.knn_ivf_search_batch(ivf_dir, emb.limit(64), k=10, nprobe=4).count()
     timings["ann_ivf"] = time.monotonic() - t0
 
+    # composed training-data cleaning (lang filter → quality model → exact
+    # dedup → split): one streaming actor-pool pass + one narrow shuffle
+    from searty_ray.pipelines.prep import prep_corpus
+
+    t0 = time.monotonic()
+    prep_corpus(docs).count()
+    timings["corpus_prep"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -95,6 +95,22 @@ def cmd_add(args) -> int:
     return 0
 
 
+def cmd_remove(args) -> int:
+    _ray_session()
+    from .pipelines.merge import remove_documents
+
+    manifest = remove_documents(
+        args.index, args.output,
+        filenames=args.filenames,
+        preserve_ids=args.preserve_ids, resume=args.resume,
+    )
+    print(
+        f"shrunk {args.index}: now {manifest.n_docs} docs, "
+        f"{manifest.total_tokens} tokens -> {args.output}"
+    )
+    return 0
+
+
 def cmd_index_spec(args) -> int:
     _ray_session()
     from .sources.spec import index_spec
@@ -228,6 +244,17 @@ def main(argv: list[str] | None = None) -> int:
     pa_.add_argument("--preserve-ids", action="store_true")
     pa_.add_argument("--resume", action="store_true")
     pa_.set_defaults(fn=cmd_add)
+
+    pr = sub.add_parser(
+        "remove", help="drop documents from an existing index (no re-tokenization "
+                       "of surviving docs; unknown filenames are a no-op)"
+    )
+    pr.add_argument("-d", "--index", required=True, help="existing index dir")
+    pr.add_argument("-o", "--output", required=True, help="shrunk index dir")
+    pr.add_argument("filenames", nargs="+", help="docmeta filenames to remove")
+    pr.add_argument("--preserve-ids", action="store_true")
+    pr.add_argument("--resume", action="store_true")
+    pr.set_defaults(fn=cmd_remove)
 
     pspec = sub.add_parser("index-spec", help="index searty spec JSON(s) + file tree")
     pspec.add_argument("-o", "--output", required=True)

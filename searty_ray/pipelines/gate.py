@@ -278,6 +278,61 @@ def q_merge_postings(sf_dir: str):
     )
 
 
+def _ensure_removed_index(sf_dir: str) -> str:
+    """Full-corpus index with every ODD-doc_id document removed via
+    remove_documents (preserve_ids — survivors keep their corpus ids), so
+    the even-subset SQL oracle checks incremental deletion end to end."""
+    from .merge import remove_documents
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(CACHE_ROOT, f"removed_{name}_{_data_fingerprint(sf_dir)}")
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+    full = _ensure_index(sf_dir)
+    meta = pq.read_table(os.path.join(full, "docmeta"), columns=["doc_id"])
+    odd = meta["doc_id"].to_numpy(zero_copy_only=False)
+    remove_documents(full, out, doc_ids=odd[odd % 2 == 1], preserve_ids=True)
+    return out
+
+
+def q_remove_postings(sf_dir: str):
+    """postings probe against the SHRUNK index — value-hash-checked against
+    the even-doc-id subset of the same full-corpus SQL oracle."""
+    index_dir = _ensure_removed_index(sf_dir)
+    r = IndexReader(index_dir)
+    keys = {t: int(pack_trigrams(codepoints(t))[0]) for t in _POSTING_PROBE}
+    plists = r.lookup(np.array(list(keys.values()), dtype=np.uint64))
+    terms, docs, poss = [], [], []
+    for t in sorted(_POSTING_PROBE):
+        tp = plists[keys[t]]
+        if tp is None:
+            continue
+        expanded = np.repeat(tp.doc_ids, tp.tfs)
+        terms.extend([t] * len(tp.positions))
+        docs.extend(expanded.tolist())
+        poss.extend(tp.positions.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+        }
+    )
+
+
+# removal drops whole documents, so the oracle is the SAME tokens CTE with
+# an even-doc_id filter — any posting leakage from a removed doc, a broken
+# df rewrite, or a corrupted surviving position blob breaks the hash
+SQL_REMOVE_POSTINGS = f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE}
+SELECT term, doc_id, pos
+FROM tokens
+WHERE term IN (SELECT unnest({_sql_str_list(sorted(_POSTING_PROBE))}))
+  AND doc_id % 2 = 0
+ORDER BY term, doc_id, pos
+"""
+
+
 def q_phrase_search(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q)
@@ -1769,6 +1824,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "postings_probe": q_postings_probe,
     "merge_postings": q_merge_postings,
+    "remove_postings": q_remove_postings,
     "phrase_search": q_phrase_search,
     "phrase_limited": q_phrase_limited,
     "phrase_ranges": q_phrase_ranges,
@@ -1823,6 +1879,7 @@ ORACLE_SQL = {
     "term_stats": SQL_TERM_STATS,
     "postings_probe": SQL_POSTINGS_PROBE,
     "merge_postings": SQL_POSTINGS_PROBE,  # merged index ≡ full-corpus build
+    "remove_postings": SQL_REMOVE_POSTINGS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "phrase_limited": SQL_PHRASE_LIMITED,
     "phrase_ranges": SQL_PHRASE_RANGES,

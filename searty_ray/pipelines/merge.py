@@ -62,6 +62,7 @@ def merge_indexes(
     chunk_span: int | None = None,
     preserve_ids: bool = False,
     resume: bool = False,
+    drop_doc_ids: "tuple[int, np.ndarray] | None" = None,
 ) -> Manifest:
     t0 = time.monotonic()
     manifests = [Manifest.load(d) for d in index_dirs]
@@ -82,6 +83,13 @@ def merge_indexes(
     all_keys = pd.concat(frames, ignore_index=True)
     all_keys = all_keys.sort_values(["src", "doc_id"], kind="stable")
     all_keys["kept"] = ~all_keys.duplicated(subset=["repo", "path"], keep="first")
+    if drop_doc_ids is not None:
+        # removal rides the merge path: a dropped key goes through the same
+        # kept=False machinery duplicate filenames already use, so documents,
+        # docmeta, symbols, postings, df and stats all update consistently
+        src, ids = drop_doc_ids
+        dropped = (all_keys["src"] == src) & all_keys["doc_id"].isin(ids)
+        all_keys["kept"] &= ~dropped
     kept = all_keys[all_keys["kept"]].copy()
     if preserve_ids:
         # explicit opt-in for caller-assigned global ids (hash mode /
@@ -307,4 +315,54 @@ def add_documents(
         sub_splits=existing.sub_splits,
         preserve_ids=preserve_ids,
         resume=resume,
+    )
+
+
+def remove_documents(
+    index_dir: str,
+    out_dir: str,
+    *,
+    filenames: "list[str] | None" = None,
+    doc_ids: "list[int] | np.ndarray | None" = None,
+    preserve_ids: bool = False,
+    resume: bool = False,
+) -> Manifest:
+    """Incremental deletion: drop documents from an EXISTING index without
+    re-tokenizing anything that stays.
+
+    The reference's SQLite index is write-once (SURVEY.md §2.9) — its
+    deletion story is a full rebuild.  Here removal rides the index-level
+    merge machinery: the dropped keys take the same ``kept=False`` path
+    duplicate filenames take during a merge, so every artifact updates
+    consistently — documents/docmeta/symbols are filtered in the remap
+    stages, posting lists are filtered in SegmentsToRuns (still-compressed
+    position bytes of surviving docs move untouched), df/cf are recomputed
+    by the encode, and avgdl/BM25 stats come from the surviving docmeta.
+
+    With the default reassign mode the result is BYTE-IDENTICAL to a
+    direct build over the surviving corpus (pinned by pytest);
+    ``preserve_ids=True`` keeps surviving ids stable (the incremental
+    workflow: queries and external references stay valid).  Removing a
+    filename that is not in the index is a no-op, so retries are
+    idempotent.
+    """
+    if (filenames is None) == (doc_ids is None):
+        raise ValueError("remove_documents: pass exactly one of filenames / doc_ids")
+    existing = Manifest.load(index_dir)
+    if filenames is not None:
+        meta = pq.read_table(
+            os.path.join(index_dir, "docmeta"), columns=["doc_id", "filename"]
+        )
+        mask = pa.compute.is_in(meta["filename"], value_set=pa.array(filenames))
+        ids = meta.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ids = np.asarray(doc_ids, dtype=np.int64)
+    return merge_indexes(
+        [index_dir],
+        out_dir,
+        num_parts=existing.num_parts,
+        sub_splits=existing.sub_splits,
+        preserve_ids=preserve_ids,
+        resume=resume,
+        drop_doc_ids=(0, ids),
     )

@@ -131,3 +131,18 @@ def test_verify_index_clean_and_corrupted(ray_session, tmp_path):
     pq.write_table(t, f)
     res2 = verify_index(d)
     assert not res2["ok"] and res2["errors"] >= 1
+
+
+def test_cli_remove_shrinks_index(fixture_index, tmp_path, capsys):
+    index_dir, _ = fixture_index
+    meta = pq.read_table(os.path.join(index_dir, "docmeta"), columns=["doc_id", "filename"])
+    files = meta["filename"].to_pylist()
+    out = str(tmp_path / "shrunk")
+    rc = cli_main(["remove", "-d", index_dir, "-o", out, "--preserve-ids", files[0], files[1]])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "shrunk" in msg
+    got = pq.read_table(os.path.join(out, "docmeta"), columns=["filename"])
+    remaining = set(got["filename"].to_pylist())
+    assert files[0] not in remaining and files[1] not in remaining
+    assert len(remaining) == len(files) - 2

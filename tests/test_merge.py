@@ -279,3 +279,82 @@ def test_add_documents_incremental_equals_direct_build(ray_session, tmp_path):
     assert m2.n_docs == m.n_docs
     s2 = pq.read_table(os.path.join(out2, "segments"))
     assert su.sort_by(order).equals(s2.sort_by(order))
+
+
+def test_remove_documents_equals_direct_build(ray_session, tmp_path):
+    """remove_documents over one repo's filenames equals a direct build
+    over the surviving corpus byte-for-byte (default reassign mode), and
+    removing unknown filenames is a no-op."""
+    import pyarrow.compute as pc
+
+    from searty_ray.pipelines.merge import remove_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=24, seed=31)
+    drop = pc.equal(corpus["repo"], "cl-ppcre")
+    survivors = corpus.filter(pc.invert(drop))
+    dropped = corpus.filter(drop)
+    drop_files = [
+        f"{r}/{p}" for r, p in zip(dropped["repo"].to_pylist(), dropped["path"].to_pylist())
+    ]
+    full = str(tmp_path / "ix_full")
+    direct = str(tmp_path / "ix_direct")
+    out = str(tmp_path / "ix_removed")
+    build_index(ray.data.from_arrow(corpus), full, num_parts=4, tokenizer="trigram+symbols")
+    build_index(ray.data.from_arrow(survivors), direct, num_parts=4,
+                tokenizer="trigram+symbols")
+    m = remove_documents(full, out, filenames=drop_files)
+    md = IndexReader(direct).manifest
+    assert (m.n_docs, m.total_tokens, m.max_doc_id) == (md.n_docs, md.total_tokens, md.max_doc_id)
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    sd = pq.read_table(os.path.join(direct, "segments"))
+    sr = pq.read_table(os.path.join(out, "segments"))
+    assert sd.sort_by(order).equals(sr.sort_by(order))
+    # documents/docmeta agree too (same ids from the same surviving sort)
+    du = pq.read_table(os.path.join(direct, "docmeta")).sort_by([("doc_id", "ascending")])
+    dr = pq.read_table(os.path.join(out, "docmeta")).sort_by([("doc_id", "ascending")])
+    assert du.equals(dr)
+
+    # unknown filenames: a no-op shrink (idempotent retries)
+    out2 = str(tmp_path / "ix_noop")
+    m2 = remove_documents(out, out2, filenames=["nope/missing.lisp"])
+    assert m2.n_docs == m.n_docs
+    s2 = pq.read_table(os.path.join(out2, "segments"))
+    assert sd.sort_by(order).equals(s2.sort_by(order))
+
+
+def test_remove_documents_preserve_ids_keeps_survivor_ids(ray_session, tmp_path):
+    """preserve_ids=True: surviving doc ids (and their query results) are
+    unchanged — external references into the index stay valid."""
+    import pyarrow.compute as pc
+
+    from searty_ray.pipelines.merge import remove_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=20, seed=37)
+    full = str(tmp_path / "ix_full")
+    out = str(tmp_path / "ix_removed")
+    build_index(ray.data.from_arrow(corpus), full, num_parts=4, tokenizer="trigram+symbols")
+    meta = pq.read_table(os.path.join(full, "docmeta"), columns=["doc_id", "filename"])
+    files = meta["filename"].to_pylist()
+    ids = meta["doc_id"].to_pylist()
+    drop_files = files[::3]
+    survivors = {f: i for f, i in zip(files, ids) if f not in set(drop_files)}
+    remove_documents(full, out, filenames=drop_files, preserve_ids=True)
+    got = pq.read_table(os.path.join(out, "docmeta"), columns=["doc_id", "filename"])
+    assert {f: i for f, i in zip(got["filename"].to_pylist(), got["doc_id"].to_pylist())} == survivors
+    # a phrase present in a surviving doc still resolves to the SAME ids
+    r = IndexReader(out)
+    res = PhraseSearcher(r).search("defun")
+    assert res.num_rows > 0
+    assert set(res["doc_id"].to_pylist()) <= set(survivors.values())
+
+
+def test_remove_documents_arg_validation(ray_session, tmp_path):
+    from searty_ray.pipelines.merge import remove_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=6, seed=41)
+    full = str(tmp_path / "ix_full")
+    build_index(ray.data.from_arrow(corpus), full, num_parts=2, tokenizer="trigram")
+    with pytest.raises(ValueError):
+        remove_documents(full, str(tmp_path / "x"))
+    with pytest.raises(ValueError):
+        remove_documents(full, str(tmp_path / "y"), filenames=["a"], doc_ids=[1])

@@ -1505,6 +1505,61 @@ ORDER BY p.event_id
 
 
 # ---------------------------------------------------------------------------
+# rolling window: per-user ordered last-5-rows aggregates
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_ROWS = 5
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-key ordered rolling sum/mean (stages/windows.rolling_aggregate)
+    — SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW semantics."""
+    import pandas as pd
+
+    from ..stages.windows import rolling_aggregate
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "user_id": b["user_id"],
+                "value": b["value"],
+            }
+        )
+
+    out = rolling_aggregate(
+        ev.map_batches(purchases, batch_format="pandas"),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+        window_rows=ROLL_WINDOW_ROWS,
+    ).to_pandas()
+    for c in ("value", "roll_sum", "roll_mean"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_ROLLING = f"""
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, ts_us, user_id, round(value, 6) AS value,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_mean
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN {ROLL_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # equi-joins: broadcast (fact × dimension) and native shuffle hash join
 # ---------------------------------------------------------------------------
 
@@ -1862,6 +1917,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_rolling": q_events_rolling,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
     "orders_enriched": q_orders_enriched,
@@ -1918,6 +1974,7 @@ ORACLE_SQL = {
     "events_hopping": SQL_EVENTS_HOPPING,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_rolling": SQL_EVENTS_ROLLING,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,
     "orders_enriched": SQL_ORDERS_ENRICHED,

@@ -181,3 +181,50 @@ def sessionize(
         .groupby("bpart2")
         .map_groups(merge_fragments, batch_format="pandas")
     )
+
+
+def rolling_aggregate(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    window_rows: int = 5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key ORDERED rolling aggregates over the last ``window_rows``
+    rows — SQL ``ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW``
+    semantics, with ``order`` as the deterministic within-key ordering
+    (include a unique id column to break timestamp ties).
+
+    Adds ``roll_sum`` / ``roll_mean`` columns.  Shape: ONE hash shuffle of
+    the key over coarse partitions, then a per-partition vectorized sort +
+    C-level ``groupby(...).rolling(...)``.
+
+    PARTITIONING ASSUMPTION: one key's rows fit one partition (same
+    contract as group_quantiles — rolling state is inherently sequential
+    per key).  For event-scale keys, range-partition by (key, time) and
+    ship each range's last ``window_rows-1`` rows to its successor as
+    boundary state — documented as the scale path.
+    """
+    from .analytics import _pk_any
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort")
+        r = s.groupby(by, sort=False)[value].rolling(window_rows, min_periods=1)
+        # groupby(sort=False) preserves the sorted frame's group order, so
+        # the concatenated rolling values align positionally with s
+        s = s.drop(columns="__pk")
+        s["roll_sum"] = r.sum().to_numpy()
+        s["roll_mean"] = r.mean().to_numpy()
+        return s
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )

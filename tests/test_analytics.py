@@ -168,3 +168,46 @@ def test_prep_corpus_parallelism_invariant(ray_session):
         for b in (1, 7)
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# rolling window
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_partitions", [1, 8, 64])
+def test_rolling_aggregate_matches_pandas(ray_session, num_partitions):
+    from searty_ray.stages.windows import rolling_aggregate
+
+    rng = np.random.default_rng(41)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # skewed key + duplicate timestamps (tie-break on event_id)
+            "user_id": np.where(rng.random(n) < 0.4, 2, rng.integers(0, 10, n)).astype(np.int64),
+            "ts_us": rng.integers(0, 60, n).astype(np.int64),
+            "value": np.round(rng.random(n) * 10, 3),
+        }
+    )
+    got = (
+        rolling_aggregate(
+            ray.data.from_pandas(df).repartition(7),
+            by="user_id",
+            order=("ts_us", "event_id"),
+            value="value",
+            window_rows=5,
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    r = s.groupby("user_id", sort=False)["value"].rolling(5, min_periods=1)
+    s = s.copy()
+    s["roll_sum"] = r.sum().to_numpy()
+    s["roll_mean"] = r.mean().to_numpy()
+    want = s.sort_values("event_id").reset_index(drop=True)
+    got = got[list(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -200,11 +200,14 @@ def rolling_aggregate(
     the key over coarse partitions, then a per-partition vectorized sort +
     C-level ``groupby(...).rolling(...)``.
 
-    PARTITIONING ASSUMPTION: one key's rows fit one partition (same
-    contract as group_quantiles — rolling state is inherently sequential
-    per key).  For event-scale keys, range-partition by (key, time) and
-    ship each range's last ``window_rows-1`` rows to its successor as
-    boundary state — documented as the scale path.
+    PARTITIONING ASSUMPTION (default path): one key's rows fit one
+    partition (same contract as group_quantiles — rolling state is
+    inherently sequential per key).  For EVENT-SCALE keys pass
+    ``range_span_us``: rows are then partitioned by (key, time-range) —
+    no group ever holds more than one key's one time range — and each
+    range is seeded with the previous ranges' last ``window_rows-1`` rows
+    as broadcast boundary state (two phases, exact; pinned equal to the
+    one-shot path by pytest).
     """
     from .analytics import _pk_any
 
@@ -228,3 +231,103 @@ def rolling_aggregate(
         .groupby("__pk")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def rolling_aggregate_ranged(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    window_rows: int = 5,
+    range_span_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The event-scale-key rolling path: same output contract as
+    :func:`rolling_aggregate`, but no single partition ever holds more
+    than ONE key's ONE time range, so a pathological key cannot create an
+    unbounded group.
+
+    Two exact phases:
+
+    1. shuffle on (key, range = ts // range_span_us); each partition emits
+       its rows' rolling values computed WITH boundary seed rows, plus —
+       in a first pass — each (key, range)'s last ``window_rows-1`` rows
+       as boundary candidates.  Candidates total ≤ (w-1)·#(key, range)
+       rows — dimension-scale, independent of events per range.
+    2. the candidate table is reduced to per-(key, range) PREFIX
+       boundaries (last w-1 rows over all earlier ranges — an O(w)
+       per-range scan over the small sorted candidate table) and
+       broadcast via ``ray.put``; the main shuffle prepends each
+       partition's seed rows, rolls, and drops the seeds from the output.
+
+    Exactness: rolling over rows ``r`` of one (key, range) needs only the
+    w-1 rows immediately preceding the range in the key's global order —
+    precisely what the prefix boundary holds.  Pinned equal to the
+    one-shot path by pytest (skewed key spanning many ranges).
+    """
+    import ray as _ray
+
+    from .analytics import _pk_any
+    from .joins import _pk2
+
+    ts_col = order[0]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        rng = batch[ts_col].to_numpy().astype(np.int64) // np.int64(range_span_us)
+        out["__rng"] = rng
+        out["__pk"] = _pk2(batch[by].to_numpy(), rng, num_partitions)
+        return out
+
+    tagged = events.map_batches(tag, batch_format="pandas")
+
+    # ---- phase 1: per-(key, range) boundary candidates (last w-1 rows) ----
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        return s.groupby([by, "__rng"], sort=False, observed=True).tail(window_rows - 1)
+
+    cand = (
+        tagged.groupby("__pk").map_groups(candidates, batch_format="pandas").to_pandas()
+    )
+    # prefix boundaries on the SMALL candidate table: for each (key, range),
+    # the last w-1 candidate rows of all EARLIER ranges of that key
+    cand = cand.sort_values([by, *order], kind="mergesort")
+    seeds: dict[tuple, pd.DataFrame] = {}
+    for key, sub in cand.groupby(by, sort=False):
+        rngs = np.sort(sub["__rng"].unique())
+        for r in rngs:
+            prev = sub[sub["__rng"] < r].tail(window_rows - 1)
+            if len(prev):
+                seeds[(key, int(r))] = prev.drop(columns=["__pk"])
+    seeds_ref = _ray.put(seeds)
+
+    # ---- phase 2: roll each (key, range) with its seed prefix ----
+    # the closure carries only the ObjectRef; each task resolves it from
+    # the worker-local object store (zero-copy-shared per node), cached in
+    # a mutable cell for the task's lifetime
+    _cache: dict = {}
+
+    def roll_range(g: pd.DataFrame) -> pd.DataFrame:
+        if "seeds" not in _cache:
+            _cache["seeds"] = _ray.get(seeds_ref)
+        all_seeds = _cache["seeds"]
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        outs = []
+        for (key, rng_), sub in s.groupby([by, "__rng"], sort=False, observed=True):
+            seed = all_seeds.get((key, int(rng_)))
+            n_seed = 0
+            if seed is not None:
+                n_seed = len(seed)
+                sub = pd.concat([seed.assign(__rng=rng_), sub], ignore_index=True)
+            r = sub[value].rolling(window_rows, min_periods=1)
+            sub = sub.copy()
+            sub["roll_sum"] = r.sum().to_numpy()
+            sub["roll_mean"] = r.mean().to_numpy()
+            outs.append(sub.iloc[n_seed:])
+        if not outs:
+            return g.head(0).assign(roll_sum=0.0, roll_mean=0.0).drop(
+                columns=["__pk", "__rng"]
+            )
+        return pd.concat(outs, ignore_index=True).drop(columns=["__pk", "__rng"])
+
+    return tagged.groupby("__pk").map_groups(roll_range, batch_format="pandas")

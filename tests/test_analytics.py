@@ -211,3 +211,39 @@ def test_rolling_aggregate_matches_pandas(ray_session, num_partitions):
     want = s.sort_values("event_id").reset_index(drop=True)
     got = got[list(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_ranged_equals_oneshot(ray_session):
+    """The event-scale-key path (range partition + boundary seed handoff)
+    must equal the one-shot path exactly — including a skewed key whose
+    rows span many ranges and ranges with fewer than window_rows rows."""
+    from searty_ray.stages.windows import rolling_aggregate, rolling_aggregate_ranged
+
+    rng = np.random.default_rng(47)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # user 1 owns 60% of rows and spans the whole time axis
+            "user_id": np.where(rng.random(n) < 0.6, 1, rng.integers(0, 8, n)).astype(np.int64),
+            "ts_us": rng.integers(0, 10_000, n).astype(np.int64),
+            "value": np.round(rng.random(n) * 10, 3),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    want = (
+        rolling_aggregate(ds, by="user_id", order=("ts_us", "event_id"),
+                          value="value", window_rows=5)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got = (
+        rolling_aggregate_ranged(ds, by="user_id", order=("ts_us", "event_id"),
+                                 value="value", window_rows=5,
+                                 range_span_us=500)  # ~20 ranges, sparse tails
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got = got[list(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the skew guarantee: no (key, range) cell exceeds its own rows — check
+    # the partition tag function splits user 1 across many cells
+    assert df[df["user_id"] == 1]["ts_us"].floordiv(500).nunique() > 10

@@ -330,3 +330,135 @@ def _pad_cols(fn, other_cols: list[str], own_cols: list[str]):
         return out
 
     return _f
+
+
+def asof_join_ranged(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str = "ts_us",
+    by: str = "user_id",
+    right_value_cols: tuple[str, ...] = ("value",),
+    right_prefix: str = "r_",
+    dedup_id: str | None = "event_id",
+    range_span_us: int = 86_400_000_000,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """The BOTH-sides-event-scale as-of path: same output contract as
+    :func:`asof_join`, but partitioned by (key, time-range) so no group
+    ever holds more than one key's one range — a pathological key cannot
+    create an unbounded group (the one skew exposure :func:`asof_join`
+    documents).
+
+    As-of boundary state is minimal: a range's probe only needs the
+    LATEST right row from all earlier ranges of its key — ONE row per
+    (key, range).  Phase 1 collects each (key, range)'s last right row
+    (deduped per (by, on) by smallest ``dedup_id``, like the one-shot
+    path); a small prefix scan turns those into per-(key, range) seeds,
+    broadcast once via ``ray.put``.  Phase 2 shuffles both sides on
+    (key, range) and runs the per-group sorted ``merge_asof`` with the
+    seed prepended.  Pinned equal to :func:`asof_join` by pytest
+    (skewed key spanning many ranges, empty ranges, ties).
+    """
+    import ray as _ray
+
+    left_cols = list(left.schema().names)
+    if list(right.schema().names) != left_cols:
+        raise ValueError("asof_join_ranged: left and right must share a schema")
+
+    bw = np.int64(range_span_us)
+
+    def tag(side: int):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            rng = batch[on].to_numpy().astype(np.int64) // bw
+            out["__rng"] = rng
+            out["__pk"] = _pk2(batch[by].to_numpy(), rng, num_partitions)
+            out["__side"] = np.int8(side)
+            return out
+
+        return _tag
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+
+    # ---- phase 1: per-(key, range) latest right row → prefix seeds ----
+    def last_right(g: pd.DataFrame) -> pd.DataFrame:
+        r = g
+        if dedup_id:
+            r = r.sort_values([by, on, dedup_id], kind="mergesort")
+            r = r.drop_duplicates([by, on], keep="first")
+        r = r.sort_values([by, "__rng", on], kind="mergesort")
+        return r.groupby([by, "__rng"], sort=False, observed=True).tail(1)
+
+    cand = rt.groupby("__pk").map_groups(last_right, batch_format="pandas").to_pandas()
+    cand = cand.sort_values([by, on], kind="mergesort")
+    seeds: dict[tuple, pd.DataFrame] = {}
+    for key, sub in cand.groupby(by, sort=False):
+        rngs = np.sort(sub["__rng"].unique())
+        for r_ in rngs[1:] if len(rngs) else []:
+            prev = sub[sub["__rng"] < r_].tail(1)
+            if len(prev):
+                seeds[(key, int(r_))] = prev
+        # ranges that have LEFT rows but no right rows also need seeds;
+        # emit a seed for every range after each candidate range up to the
+        # next one — resolved lazily in phase 2 via searchsorted instead
+    # store per-key sorted candidate arrays for lazy seed resolution (a
+    # left-only range has no (key, range) entry to look up)
+    by_key = {
+        key: sub.reset_index(drop=True) for key, sub in cand.groupby(by, sort=False)
+    }
+    seeds_ref = _ray.put(by_key)
+
+    # ---- phase 2: per-(key, range) merge_asof with seed prepended ----
+    _cache: dict = {}
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        if "s" not in _cache:
+            _cache["s"] = _ray.get(seeds_ref)
+        by_key_local = _cache["s"]
+        out_frames = []
+        gs = g.sort_values([by, "__rng"], kind="mergesort")
+        for (key, rng_), cell in gs.groupby([by, "__rng"], sort=False, observed=True):
+            lf = cell[cell["__side"] == 0][left_cols]
+            if not len(lf):
+                continue
+            rr = cell[cell["__side"] == 1]
+            # seed: the key's latest right row from any EARLIER range
+            seed = None
+            kc = by_key_local.get(key)
+            if kc is not None:
+                earlier = kc[kc["__rng"] < rng_]
+                if len(earlier):
+                    seed = earlier.tail(1)
+            if seed is not None:
+                rr = pd.concat([seed, rr], ignore_index=True)
+            if dedup_id:
+                rr = rr.sort_values([by, on, dedup_id], kind="mergesort")
+                rr = rr.drop_duplicates([by, on], keep="first")
+            rr = rr[list(dict.fromkeys([by, on, *right_value_cols]))]
+            int_like = {
+                c: pd.api.types.is_integer_dtype(rr[c]) for c in (on, *right_value_cols)
+            }
+            rr = rr.rename(columns={c: right_prefix + c for c in (on, *right_value_cols)})
+            rr[on] = rr[right_prefix + on]
+            outc = pd.merge_asof(
+                lf.sort_values(on, kind="mergesort"),
+                rr.sort_values(on, kind="mergesort"),
+                on=on,
+                by=by,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            for c, is_int in int_like.items():
+                outc[right_prefix + c] = outc[right_prefix + c].astype(
+                    "Int64" if is_int else "Float64"
+                )
+            out_frames.append(outc)
+        if not out_frames:
+            empty = g[g["__side"] == 0][left_cols].head(0)
+            for c in (on, *right_value_cols):
+                empty[right_prefix + c] = pd.Series(dtype="Float64")
+            return empty
+        return pd.concat(out_frames, ignore_index=True)
+
+    return lt.union(rt).groupby("__pk").map_groups(merge_group, batch_format="pandas")

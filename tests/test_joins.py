@@ -257,3 +257,36 @@ def test_range_join_end_exclusive_and_no_dup_pairs(ray_session):
     assert list(zip(want["eid"], want["r_iid"])) == [(0, 0), (1, 1), (2, 1), (3, 1), (4, 1)]
     got = got[list(want.columns)].astype(want.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_ranged_equals_oneshot(ray_session):
+    """The both-sides-event-scale path (range partition + latest-right
+    boundary seed) equals the one-shot asof_join exactly — skewed key,
+    ties, left rows in ranges with no right rows (seed from earlier
+    ranges), and unmatched-left nulls."""
+    from searty_ray.stages.joins import asof_join_ranged
+
+    df = _mk_events(seed=9, n=600)
+    left = df[df["event_id"] % 3 != 0].reset_index(drop=True)
+    right = df[df["event_id"] % 3 == 0].reset_index(drop=True)
+    kw = dict(on="ts_us", by="user_id", right_prefix="r_", dedup_id="event_id")
+    want = (
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right), **kw)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got = (
+        asof_join_ranged(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            range_span_us=7,  # ts in [0, 50) → ~7 ranges, many left-only cells
+            **kw,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert int(want["r_ts_us"].isna().sum()) > 0, "fixture must exercise unmatched rows"
+    got = got[list(want.columns)]
+    pd.testing.assert_frame_equal(
+        got.astype({"r_ts_us": "Float64", "r_value": "Float64"}),
+        want.astype({"r_ts_us": "Float64", "r_value": "Float64"}),
+        check_dtype=False,
+    )

@@ -1505,6 +1505,50 @@ ORDER BY p.event_id
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: per-doc top-k by tf · idf (integer micro-units)
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Two-pass TF-IDF (stages/textstats.tfidf_topk): vocabulary df via a
+    combiner groupby, idf broadcast once, per-batch local scoring.  Scores
+    are integer micro-units (tf × round(ln((N+1)/(df+1))·1e6)) so ordering
+    and values reproduce EXACTLY in SQL — floats appear only at the final
+    ÷1e6 display step, identical both sides."""
+    from ..stages.textstats import tfidf_topk
+
+    out = tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=TFIDF_K).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY word),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * CAST(floor(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000 + 0.5) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, word) AS "rank"
+  FROM scored
+)
+SELECT doc_id, word, tf, score_micro / 1000000.0 AS tfidf, "rank"
+FROM ranked WHERE "rank" <= {TFIDF_K}
+ORDER BY doc_id, "rank"
+"""
+
+
+# ---------------------------------------------------------------------------
 # rolling window: per-user ordered last-5-rows aggregates
 # ---------------------------------------------------------------------------
 
@@ -1918,6 +1962,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
+    "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
     "orders_enriched": q_orders_enriched,
@@ -1975,6 +2020,7 @@ ORACLE_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,
     "orders_enriched": SQL_ORDERS_ENRICHED,

@@ -195,3 +195,101 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
         return [int(h.min())]
     sw = np.lib.stride_tricks.sliding_window_view(h, window)
     return [int(x) for x in np.unique(sw.min(axis=1))]  # unique is sorted
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def word_doc_freq(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """→ (word, df): per-word document frequency.  Combiner-first: each
+    batch emits one row per distinct (word) it saw with its partial count
+    — exact because one row IS one document, so per-batch (doc, word)
+    dedup is global dedup.  The shuffle moves vocabulary-scale partials,
+    never word instances."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.findall(WORD_RE).explode().dropna()
+        doc_ids = b["doc_id"].reindex(words.index)
+        pairs = pd.DataFrame(
+            {"doc_id": doc_ids.to_numpy(), "word": words.to_numpy()}
+        ).drop_duplicates()
+        vc = pairs["word"].value_counts()
+        return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy(np.int64)})
+
+    return docs.map_batches(partial, batch_format="pandas").groupby("word").aggregate(
+        Sum("cnt", alias_name="df")
+    )
+
+
+def idf_micro(df: np.ndarray, n_docs: int) -> np.ndarray:
+    """``round(ln((N+1)/(df+1)) · 1e6)`` as int64 — integer micro-units so
+    TF·IDF ordering and values are EXACTLY reproducible in SQL (floats
+    only appear at the final ÷1e6 display step, identical both sides)."""
+    x = np.log((n_docs + 1.0) / (df.astype(np.float64) + 1.0)) * 1e6
+    return np.floor(x + 0.5).astype(np.int64)  # half-away (values ≥ 0)
+
+
+class TfIdfStage:
+    """Per-doc top-k TF-IDF keywords: the vocabulary's idf table is
+    broadcast ONCE (``ray.put``), fetched per actor in ``__init__``; each
+    batch is a pure local pass (explode → tf → integer score → head-k) —
+    ZERO shuffle on the doc side.
+
+    SCALE CONTRACT: the idf table is vocabulary-scale (sublinear in the
+    corpus) and must fit a worker heap; for an open web-scale vocabulary
+    hash-partition words and use :func:`searty_ray.stages.joins.hash_join`
+    on (doc, word) instead — documented path, not a silent fallback."""
+
+    def __init__(self, idf_ref, k: int):
+        import ray as _ray
+
+        self.idf: pd.Series = _ray.get(idf_ref)
+        self.k = k
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.findall(WORD_RE).explode().dropna()
+        doc_ids = b["doc_id"].reindex(words.index)
+        pairs = pd.DataFrame({"doc_id": doc_ids.to_numpy(), "word": words.to_numpy()})
+        tf = pairs.groupby(["doc_id", "word"], sort=False).size().reset_index(name="tf")
+        tf["score_micro"] = tf["tf"].to_numpy(np.int64) * self.idf.reindex(
+            tf["word"]
+        ).to_numpy(np.int64)
+        s = tf.sort_values(
+            ["doc_id", "score_micro", "word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = s.groupby("doc_id", sort=False).head(self.k).copy()
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        out["tfidf"] = out["score_micro"].to_numpy(np.int64) / 1e6
+        return out[["doc_id", "word", "tf", "tfidf", "rank"]].astype(
+            {"tf": "int64", "rank": "int64"}
+        )
+
+
+def tfidf_topk(docs: "ray.data.Dataset", k: int = 5, concurrency=None) -> "ray.data.Dataset":
+    """→ (doc_id, word, tf, tfidf, rank): each document's top-``k``
+    keywords by TF·IDF (ties broken ascending on word — unique output).
+    Two passes: vocabulary df (combiner groupby) → broadcast idf →
+    per-batch local scoring."""
+    import ray as _ray
+
+    if concurrency is None:
+        from ..functions.resources import actor_pool
+
+        concurrency = actor_pool()
+    n_docs = docs.count()
+    df_tab = word_doc_freq(docs).to_pandas()  # vocabulary-scale (see TfIdfStage)
+    idf = pd.Series(
+        idf_micro(df_tab["df"].to_numpy(), n_docs), index=df_tab["word"].to_numpy()
+    )
+    return docs.map_batches(
+        TfIdfStage,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"idf_ref": _ray.put(idf), "k": k},
+    )

@@ -247,3 +247,49 @@ def test_rolling_ranged_equals_oneshot(ray_session):
     # the skew guarantee: no (key, range) cell exceeds its own rows — check
     # the partition tag function splits user 1 across many cells
     assert df[df["user_id"] == 1]["ts_us"].floordiv(500).nunique() > 10
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    """TF-IDF vs a direct numpy/pandas computation — duplicate words, a
+    corpus-universal word (idf 0), and ties broken by word order."""
+    import math
+
+    from searty_ray.stages.textstats import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "common alpha alpha beta",
+                "common beta gamma",
+                "common gamma gamma gamma delta",
+                "common delta epsilon",
+                "common epsilon zeta zeta",
+                "common zeta alpha",
+            ],
+        }
+    )
+    got = (
+        tfidf_topk(ray.data.from_pandas(docs).repartition(3), k=2, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    n = len(docs)
+    words = docs.assign(w=docs["text"].str.split()).explode("w")
+    df = words.drop_duplicates(["doc_id", "w"]).groupby("w").size()
+    rows = []
+    for doc_id, sub in words.groupby("doc_id"):
+        tf = sub.groupby("w").size()
+        scored = []
+        for w, t in tf.items():
+            idf_m = math.floor(math.log((n + 1) / (df[w] + 1)) * 1e6 + 0.5)
+            scored.append((w, int(t), int(t) * idf_m))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for r, (w, t, sm) in enumerate(scored[:2], 1):
+            rows.append((doc_id, w, t, sm / 1e6, r))
+    want = pd.DataFrame(rows, columns=["doc_id", "word", "tf", "tfidf", "rank"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # 'common' is in every doc → idf 0 → never beats any distinctive word
+    assert "common" not in set(got[got["rank"] == 1]["word"])

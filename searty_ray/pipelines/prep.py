@@ -95,3 +95,36 @@ def prep_corpus(
     )
     deduped = annotated.groupby("__pk").map_groups(_dedup_group, batch_format="pandas")
     return hash_split(deduped, fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def prep_corpus_to_parquet(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    lang: str = "en",
+    min_score: float = 0.5,
+    fractions: dict[str, float] | None = None,
+    resume: bool = False,
+) -> str:
+    """Run :func:`prep_corpus` and write ``split=train/…`` hive-partitioned
+    parquet — the training-consumable layout (each split is its own
+    directory of part files; a loader reads ``out_dir/split=train``
+    without touching val/test bytes).
+
+    Resumable output per the 100-TB contract: the write is atomic at the
+    directory level via a ``.done`` marker — a crashed run leaves no
+    marker and ``resume=True`` redoes the write (the pipeline itself is
+    deterministic, so a redo produces the same rows); a completed run
+    short-circuits.  Finer-grained (per-shard) resume belongs to the
+    upstream build, which already has it.
+    """
+    import os
+
+    marker = os.path.join(out_dir, ".done")
+    if resume and os.path.exists(marker):
+        return out_dir
+    ds = prep_corpus(docs, lang=lang, min_score=min_score, fractions=fractions)
+    ds.write_parquet(out_dir, partition_cols=["split"])
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir

@@ -293,3 +293,30 @@ def test_tfidf_topk_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # 'common' is in every doc → idf 0 → never beats any distinctive word
     assert "common" not in set(got[got["rank"] == 1]["word"])
+
+
+def test_prep_corpus_to_parquet_split_layout(ray_session, tmp_path):
+    """Split-partitioned output: hive dirs per split, rows round-trip, and
+    a completed run short-circuits on resume."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searty_ray.pipelines.prep import prep_corpus, prep_corpus_to_parquet
+
+    df = _prep_docs()
+    out = str(tmp_path / "prepped")
+    prep_corpus_to_parquet(ray.data.from_pandas(df).repartition(4), out,
+                           lang="en", min_score=0.0)
+    splits = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert splits and splits <= {"train", "val", "test"}
+    got = pq.read_table(out).to_pandas()
+    want = (
+        prep_corpus(ray.data.from_pandas(df), lang="en", min_score=0.0, concurrency=2)
+        .to_pandas()
+    )
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # resume short-circuit: marker present → same dir returned, no rewrite
+    mtime = os.path.getmtime(out + "/.done")
+    assert prep_corpus_to_parquet(ray.data.from_pandas(df), out, resume=True) == out
+    assert os.path.getmtime(out + "/.done") == mtime

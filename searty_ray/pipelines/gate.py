@@ -867,6 +867,37 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+GRID_BITS = 6  # 2^6 = 64 sign-grid cells over the first 6 embedding dims
+
+
+def q_dedup_embedding_grid(sf_dir: str):
+    """Sign-grid-blocked near-dup (the deterministic LSH scale path:
+    within-cell pairs only, ~O(N²/2^bits) dots).  The blocking is
+    data-independent and SQL-expressible, so — unlike the k-means IVF
+    variant — the FULL pipeline is value-hash-gated."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn.grid_near_dups(emb, threshold=EMB_DUP_THRESHOLD, bits=GRID_BITS)
+
+
+# DuckDB lists are 1-based; sign on the raw column mirrors the stage's sign
+# on the normalized vector exactly (normalization preserves sign)
+_GRID_CELL_EXPR = " + ".join(
+    f"{1 << d} * (CASE WHEN embedding[{d + 1}] >= 0 THEN 1 ELSE 0 END)"
+    for d in range(GRID_BITS)
+)
+
+SQL_DEDUP_EMBEDDING_GRID = f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_GRID_CELL_EXPR} AS cell FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
 IVF_NLIST = 16
 
 
@@ -1942,6 +1973,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    "dedup_embedding_grid": q_dedup_embedding_grid,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
@@ -1998,7 +2030,9 @@ ORACLE_SQL = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
-    # dedup_embedding_ivf: engine-defined k-means clustering — rows-only
+    # dedup_embedding_ivf: engine-defined k-means clustering — rows-only;
+    # its deterministic sibling dedup_embedding_grid carries the full oracle
+    "dedup_embedding_grid": SQL_DEDUP_EMBEDDING_GRID,
     "knn_cosine": SQL_KNN_COSINE,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,

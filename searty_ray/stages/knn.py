@@ -426,6 +426,42 @@ def knn_ivf_search_batch(
     )
 
 
+def _within_group_pairs(g: pa.Table, threshold: float) -> pa.Table:
+    """All (a < b, cosine ≥ threshold) pairs WITHIN one already-normalized
+    group — the shared per-block kernel of every blocked near-dup variant
+    (IVF clusters, sign-grid cells).  One matmul, no Python pair loop."""
+    ids, m = _emb_matrix(g.select(["vec_id", "embedding"]).combine_chunks())
+    sims = m @ m.T
+    bi, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+    if len(bi) == 0:
+        return _pairs_empty()
+    a = np.minimum(ids[bi], ids[bj])
+    b = np.maximum(ids[bi], ids[bj])
+    return pa.table(
+        {
+            "vec_id_a": pa.array(a, type=pa.int64()),
+            "vec_id_b": pa.array(b, type=pa.int64()),
+            "cosine": pa.array(np.round(sims[bi, bj], 6), type=pa.float64()),
+        }
+    )
+
+
+def _blocked_pairs(
+    assigned: ray.data.Dataset, key: str, threshold: float
+) -> pa.Table:
+    """groupby(key) → within-group pairs → sorted driver-side match table
+    (matches only — the contract every near-dup variant shares)."""
+    out = (
+        assigned.groupby(key)
+        .map_groups(lambda g: _within_group_pairs(g, threshold), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _pairs_empty()
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ivf_near_dups(
     embeddings: ray.data.Dataset, threshold: float = 0.95, nlist: int = 16, seed: int = 42
 ) -> pa.Table:
@@ -440,29 +476,37 @@ def ivf_near_dups(
     def assign(batch: pa.Table) -> pa.Table:
         return _assign_clusters(batch, cent_ref)
 
-    def cluster_pairs(g: pa.Table) -> pa.Table:
-        ids, m = _emb_matrix(g.select(["vec_id", "embedding"]).combine_chunks())
-        sims = m @ m.T
-        bi, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-        if len(bi) == 0:
-            return _pairs_empty()
-        a = np.minimum(ids[bi], ids[bj])
-        b = np.maximum(ids[bi], ids[bj])
-        return pa.table(
-            {
-                "vec_id_a": pa.array(a, type=pa.int64()),
-                "vec_id_b": pa.array(b, type=pa.int64()),
-                "cosine": pa.array(np.round(sims[bi, bj], 6), type=pa.float64()),
-            }
-        )
-
-    out = (
-        embeddings.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(cluster_pairs, batch_format="pyarrow")
-        .to_pandas()
+    return _blocked_pairs(
+        embeddings.map_batches(assign, batch_format="pyarrow"), "cluster", threshold
     )
-    if len(out) == 0:
-        return _pairs_empty()
-    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grid_near_dups(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, bits: int = 6
+) -> pa.Table:
+    """APPROXIMATE near-dup pairs via DETERMINISTIC sign-grid blocking —
+    random-hyperplane LSH with axis-aligned planes: a vector's cell is the
+    sign bit-pattern of its first ``bits`` dimensions (sign is invariant
+    under normalization, so the cell is computable from the raw column and
+    therefore exactly SQL-expressible — unlike the k-means blocking of
+    :func:`ivf_near_dups`, this variant carries a full value-hash oracle).
+
+    Pairs are emitted within a cell only: scan cost ~O(Σ cell²) ≈
+    O(N²/2^bits) for balanced signs; a pair differing in any of the first
+    ``bits`` signs is missed by construction (the exact path is
+    :func:`embedding_near_dups`).  Same emit contract.  At corpus scale a
+    skewed sign distribution concentrates cells — raise ``bits`` (cells are
+    data-independent, so re-blocking is a metadata change, not a re-train)."""
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _normalize_block(batch)
+        if len(t) == 0:
+            return t.append_column("cell", pa.array([], type=pa.int64()))
+        _, m = _emb_matrix(t)
+        cell = ((m[:, :bits] >= 0).astype(np.int64) * weights).sum(axis=1)
+        return t.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    return _blocked_pairs(
+        embeddings.map_batches(assign, batch_format="pyarrow"), "cell", threshold
+    )

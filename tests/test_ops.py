@@ -190,6 +190,38 @@ def test_ivf_near_dups_planted(ray_session):
     assert (10, 250) in pairs
 
 
+def test_grid_near_dups_exact_within_cell(ray_session):
+    """grid_near_dups == the numpy ground truth RESTRICTED to same-cell
+    pairs (cell = sign bits of the first `bits` dims), and a planted
+    near-identical pair (same signs everywhere) is always found."""
+    n, dim, bits = 300, 8, 4
+    mat, _ = _rand_emb(n, dim, 11)
+    mat[250] = mat[10] * 1.001  # positive scale: signs (and the cell) exactly preserved
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat], type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = knn.grid_near_dups(emb, threshold=0.99, bits=bits).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
+    assert (10, 250) in pairs
+    # ground truth: numpy sweep filtered to equal sign-cells — mirrors the
+    # SQL oracle's blocking exactly (sign taken on RAW values)
+    f32 = mat.astype(np.float32)  # stage input is float32 parquet
+    cells = ((f32[:, :bits] >= 0).astype(np.int64) * (1 << np.arange(bits))).sum(axis=1)
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    bi, bj = np.nonzero(np.triu(sims >= 0.99, k=1) & (cells[:, None] == cells[None, :]))
+    assert pairs == set(zip(bi.tolist(), bj.tolist()))
+    # and it's a subset of the exact all-pairs result
+    exact_bi, exact_bj = np.nonzero(np.triu(sims >= 0.99, k=1))
+    assert pairs <= set(zip(exact_bi.tolist(), exact_bj.tolist()))
+
+
 def test_lang_id_deterministic(ray_session):
     b = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["the cat and the dog", "der hund ist gut und der", "xyzzy plugh"]})
     out = textstats.lang_id_batch(b)

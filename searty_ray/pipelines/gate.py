@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -1867,6 +1868,199 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped composed analytics: Q1-style multi-measure pricing summary
+# and Q3-style revenue top-k over a broadcast+hash join chain
+# ---------------------------------------------------------------------------
+
+PRICING_CUTOFF = "2000-12-01"
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: scan-filter → per-batch MULTI-MEASURE partial sums
+    (one combiner row per (flag, status) per batch shuffles — never the
+    rows), final sums + exact avgs derived sum/count.  The aggregate keys
+    are dimension-cardinality (~6 groups), so the final groupby is tiny."""
+    import pandas as pd
+
+    cutoff = pd.Timestamp(PRICING_CUTOFF)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= cutoff]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=[*keys, "sum_qty", "sum_base_price", "sum_disc_price",
+                         "sum_charge", "sum_disc", "count_order"]
+            ).astype({"count_order": "int64"})
+        disc_price = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        m = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["l_quantity"].to_numpy(),
+                "sum_base_price": b["l_extendedprice"].to_numpy(),
+                "sum_disc_price": disc_price,
+                "sum_charge": disc_price * (1.0 + b["l_tax"].to_numpy()),
+                "sum_disc": b["l_discount"].to_numpy(),
+                "count_order": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return m.groupby(keys, sort=False, as_index=False, observed=True).sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(keys, sort=False, as_index=False, observed=True).sum()
+        n = s["count_order"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": s["l_returnflag"],
+                "l_linestatus": s["l_linestatus"],
+                "sum_qty": s["sum_qty"].round(4),
+                "sum_base_price": s["sum_base_price"].round(4),
+                "sum_disc_price": s["sum_disc_price"].round(4),
+                "sum_charge": s["sum_charge"].round(4),
+                "avg_qty": (s["sum_qty"].to_numpy() / n).round(6),
+                "avg_price": (s["sum_base_price"].to_numpy() / n).round(6),
+                "avg_disc": (s["sum_disc"].to_numpy() / n).round(6),
+                "count_order": s["count_order"].astype("int64"),
+            }
+        )
+
+    df = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values(keys).reset_index(drop=True)
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+Q3_CUTOFF, Q3_SEGMENT, Q3_TOPK = "1998-06-01", "BUILDING", 10
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: broadcast the filtered customer dimension into the
+    orders scan (zero-shuffle semi-join), hash-join lineitem × surviving
+    orders on the order key (the one unavoidable shuffle), then
+    analytics.sum_topk — partial revenue sums per batch, one partial
+    shuffle, driver merges ≤ k·partitions candidates."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.analytics import sum_topk
+    from ..stages.joins import broadcast_join, hash_join
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filter_orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < cutoff]
+        out = pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderdate_us": b["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+        return out
+
+    # semi-join: keep orders whose o_custkey is in the broadcast key set
+    # (c_custkey is unique, so the inner equi-join emits each order ≤ once)
+    orders_f = broadcast_join(
+        orders.map_batches(
+            lambda b: b[b["o_orderdate"] < cutoff], batch_format="pandas"
+        ),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+    ).map_batches(filter_orders, batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_revenue(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_revenue, batch_format="pandas"),
+        orders_f,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+    df = sum_topk(
+        joined,
+        group=["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+        value="revenue",
+        k=Q3_TOPK,
+        tie_col="l_orderkey",
+    )
+    df["revenue"] = df["revenue"].round(4)
+    df = df[["l_orderkey", "revenue", "o_orderdate_us", "o_orderpriority"]]
+    return df.astype({"l_orderkey": "int64", "o_orderdate_us": "int64"}).reset_index(
+        drop=True
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, round(revenue, 4) AS revenue, o_orderdate_us, o_orderpriority
+FROM (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+    AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY revenue DESC, l_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_prep: the composed training-data pipeline (lang filter → quality
 # model filter → exact dedup → train/val/test split) in one streaming pass
 # ---------------------------------------------------------------------------
@@ -2001,6 +2195,8 @@ QUERIES = {
     "lineitem_revenue": q_lineitem_revenue,
     "events_range": q_events_range,
     "orders_topk": q_orders_topk,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
     "corpus_prep": q_corpus_prep,
@@ -2061,6 +2257,8 @@ ORACLE_SQL = {
     "lineitem_revenue": SQL_LINEITEM_REVENUE,
     "events_range": SQL_EVENTS_RANGE,
     "orders_topk": SQL_ORDERS_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "corpus_prep": SQL_CORPUS_PREP,

@@ -116,6 +116,48 @@ def distinct_per_group(
     )
 
 
+def sum_topk(
+    ds: ray.data.Dataset,
+    group: str | list[str],
+    value: str,
+    k: int,
+    tie_col: str,
+    num_partitions: int = NUM_PARTITIONS,
+) -> pd.DataFrame:
+    """GLOBAL top-``k`` groups by ``sum(value)`` — the "top URLs by bytes
+    at 100 TB" shape.  Three-level reduction so group cardinality never
+    concentrates: (1) per-batch partial sums (combiner — at most one row
+    per group PER BATCH shuffles, never the raw rows), (2) ONE hash
+    shuffle of partials over coarse partitions keyed on ``group[0]`` with
+    per-partition exact sums + local top-k, (3) driver merges the
+    ≤ k·num_partitions candidate rows (contract-small).  Extra columns in
+    ``group`` ride along as composite key parts (functional dependents of
+    the first key, e.g. a dimension attribute carried through a join).
+    Ties break ascending on ``tie_col`` for a deterministic result."""
+    group = [group] if isinstance(group, str) else list(group)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(group, sort=False, as_index=False, observed=True)[value].sum()
+        out["__pk"] = _pk_any(out[group[0]], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby(group, sort=False, as_index=False, observed=True)[value].sum()
+        return sums.sort_values([value, tie_col], ascending=[False, True]).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values([value, tie_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def group_quantiles(
     ds: ray.data.Dataset,
     group: str,

@@ -9,7 +9,12 @@ import pandas as pd
 import pytest
 import ray.data
 
-from searty_ray.stages.analytics import distinct_per_group, group_quantiles, topk_per_group
+from searty_ray.stages.analytics import (
+    distinct_per_group,
+    group_quantiles,
+    sum_topk,
+    topk_per_group,
+)
 
 
 def _orders(seed: int = 5, n: int = 700) -> pd.DataFrame:
@@ -52,6 +57,41 @@ def test_topk_per_group_matches_oracle(ray_session, num_partitions):
     assert (want.groupby("cust").size() < 3).any(), "fixture must have groups smaller than k"
     got = got[list(want.columns)].astype(want.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 8, 64])
+def test_sum_topk_matches_pandas(ray_session, num_partitions):
+    """Global top-k groups by sum(value), with a ride-along composite key
+    column (functional dependent of the primary key) and float-sum ties
+    broken on tie_col — exact vs a single-machine pandas reduction."""
+    rng = np.random.default_rng(23)
+    n = 2500
+    key = rng.integers(0, 120, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "k": key,
+            "dim": key % 7,  # functionally dependent ride-along
+            # integer values so sums are order-independent exact (ties occur)
+            "v": rng.integers(0, 40, n).astype(np.float64),
+        }
+    )
+    got = sum_topk(
+        ray.data.from_pandas(df).repartition(9),
+        group=["k", "dim"],
+        value="v",
+        k=10,
+        tie_col="k",
+        num_partitions=num_partitions,
+    )
+    want = (
+        df.groupby(["k", "dim"], as_index=False)["v"].sum()
+        .sort_values(["v", "k"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "dim", "v"]].astype(want.dtypes.to_dict()), want, check_dtype=False
+    )
 
 
 def test_distinct_per_group_matches_nunique(ray_session):

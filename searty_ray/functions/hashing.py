@@ -173,6 +173,13 @@ def _sql_mix64(x: str) -> str:
     )
 
 
+def sql_mix64_expr(x: str) -> str:
+    """DuckDB expression bit-identical to ``mix64(x)`` for a non-negative
+    integer expression ``x`` (cast to UBIGINT) — the mirror under the KMV
+    approximate-distinct sketch's value hash."""
+    return f"({_sql_mix64(f'({x})::UBIGINT')})::UBIGINT"
+
+
 def sql_hash_expr(s: str, salt: int = 0) -> str:
     """DuckDB expression bit-identical to ``hash_str_u64(s)`` (or
     ``hash_bytes_u64(..., salt=salt)``) for a VARCHAR expression ``s``:

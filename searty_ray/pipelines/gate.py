@@ -1867,6 +1867,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+KMV_GATE_K = 64
+
+
+def q_events_approx_users(sf_dir: str):
+    """KMV approximate-distinct sketch (analytics.approx_distinct_per_group):
+    mergeable k-minimum-values over mix64(user_id) — the combiner ships ≤ k
+    hashes per group per batch no matter the user cardinality.  The sketch
+    is deterministic given the hash, so the full pipeline (hash, truncation,
+    estimator) is value-hash-gated against a window re-derivation in SQL."""
+    from ..stages.analytics import approx_distinct_per_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    df = approx_distinct_per_group(ev, "event_type", "user_id", k=KMV_GATE_K).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def _sql_events_approx_users() -> str:
+    from ..functions.hashing import sql_mix64_expr
+
+    k = KMV_GATE_K
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {sql_mix64_expr("user_id")} AS hv FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM d
+)
+SELECT event_type,
+       (CASE WHEN cnt < {k} THEN cnt::HUGEINT
+             ELSE ({k - 1}::HUGEINT * 18446744073709551616::HUGEINT)
+                  // greatest(hv::HUGEINT, 1)
+        END)::BIGINT AS approx_distinct
+FROM r WHERE rn = least(cnt, {k})
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped composed analytics: Q1-style multi-measure pricing summary
 # and Q3-style revenue top-k over a broadcast+hash join chain
@@ -2197,6 +2237,7 @@ QUERIES = {
     "orders_topk": q_orders_topk,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "events_approx_users": q_events_approx_users,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
     "corpus_prep": q_corpus_prep,
@@ -2259,6 +2300,7 @@ ORACLE_SQL = {
     "orders_topk": SQL_ORDERS_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "events_approx_users": _sql_events_approx_users(),
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "corpus_prep": SQL_CORPUS_PREP,

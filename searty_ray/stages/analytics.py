@@ -158,6 +158,72 @@ def sum_topk(
     )
 
 
+KMV_K = 64
+
+
+def approx_distinct_per_group(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    k: int = KMV_K,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Approximate count(distinct value) per group via a KMV (k-minimum-
+    values) sketch — the MERGEABLE scale path :func:`distinct_per_group`'s
+    docstring promises for billion-value keys, where shipping every
+    distinct (group, value) pair is itself the bottleneck.
+
+    Sketch: hash each value with the deterministic splitmix64 ``mix64``;
+    a group's sketch is its ``k`` smallest distinct hashes.  Sketches
+    merge by union + re-truncate (k smallest of a union of per-part
+    k-smallest IS the global k-smallest), so the combiner shuffles at
+    most k rows per group per batch regardless of value cardinality.
+    Estimator (integer-exact on both sides of the oracle): if a group's
+    merged sketch holds fewer than k hashes the count is EXACT (nothing
+    was ever truncated); otherwise ``(k-1) * 2^64 // kth_smallest`` —
+    standard KMV, relative error ~1/sqrt(k-2).
+
+    Deterministic given the hash, so the FULL pipeline carries a DuckDB
+    value-hash oracle (``sql_mix64_expr`` + window re-derivation) — unlike
+    HLL-class sketches whose register layout is engine-defined.
+
+    ``value`` must be integer-typed (hashed via mix64; use
+    ``hash_bytes_u64`` upstream for strings)."""
+    from ..functions.hashing import mix64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[[group, value]].drop_duplicates()
+        hv = mix64(d[value].to_numpy().astype(np.int64).view(np.uint64))
+        out = pd.DataFrame({group: d[group].to_numpy(), "hv": hv})
+        out = out.sort_values([group, "hv"], kind="mergesort")
+        out = out.groupby(group, sort=False, observed=True).head(k)
+        out["__pk"] = _pk_any(out[group], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g[[group, "hv"]]
+            .drop_duplicates()
+            .sort_values([group, "hv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        gb = d.groupby(group, sort=False, observed=True)
+        rn = gb.cumcount().to_numpy() + 1
+        cnt = gb["hv"].transform("size").to_numpy()
+        pick = d[rn == np.minimum(cnt, k)].reset_index(drop=True)
+        cnt_pick = cnt[rn == np.minimum(cnt, k)]
+        est = np.empty(len(pick), dtype=np.int64)
+        for i, (c, h) in enumerate(zip(cnt_pick, pick["hv"].to_numpy())):
+            est[i] = int(c) if c < k else (k - 1) * (1 << 64) // max(int(h), 1)
+        return pd.DataFrame({group: pick[group], "approx_distinct": est})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def group_quantiles(
     ds: ray.data.Dataset,
     group: str,

@@ -10,6 +10,7 @@ import pytest
 import ray.data
 
 from searty_ray.stages.analytics import (
+    approx_distinct_per_group,
     distinct_per_group,
     group_quantiles,
     sum_topk,
@@ -115,6 +116,38 @@ def test_distinct_per_group_matches_nunique(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"user": "int64"}), want.rename(columns={"user": "user"}), check_dtype=False
     )
+
+
+def test_approx_distinct_kmv(ray_session):
+    """KMV sketch contracts: (1) groups with < k distinct values are EXACT,
+    (2) high-cardinality groups estimate within the sketch's error bound,
+    (3) the result is bit-identical across input partitionings (mergeable
+    sketch — union + re-truncate commutes with how batches split)."""
+    rng = np.random.default_rng(7)
+    k = 64
+    # group 'small': 20 distinct values; group 'big': 5000 distinct values
+    small = pd.DataFrame({"g": "small", "v": rng.integers(0, 20, 400).astype(np.int64)})
+    big = pd.DataFrame({"g": "big", "v": rng.permutation(5000).astype(np.int64) + 1000})
+    df = pd.concat([small, big], ignore_index=True).sample(frac=1, random_state=3)
+
+    outs = []
+    for parts in (2, 13):
+        out = (
+            approx_distinct_per_group(
+                ray.data.from_pandas(df).repartition(parts), "g", "v", k=k
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partitioning-invariant
+
+    got = dict(zip(outs[0]["g"], outs[0]["approx_distinct"]))
+    assert got["small"] == small["v"].nunique()  # exact below k
+    n_big = big["v"].nunique()
+    rel = 3.0 / np.sqrt(k - 2)  # ~3σ KMV bound
+    assert abs(got["big"] - n_big) <= rel * n_big
 
 
 def test_group_quantiles_matches_numpy(ray_session):

@@ -1998,6 +1998,43 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+UNSHIPPED_CUTOFF = "2000-01-01"
+
+
+def q_orders_unshipped(sf_dir: str):
+    """Distributed anti-join (stages/joins.semi_join): orders with NO
+    lineitem shipped after the cutoff.  The lineitem side collapses to
+    distinct order keys per batch before the one hash shuffle."""
+    import pandas as pd
+
+    from ..stages.joins import anti_join
+
+    cutoff = pd.Timestamp(UNSHIPPED_CUTOFF)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(lambda b: b[b["l_shipdate"] > cutoff], batch_format="pandas")
+    df = anti_join(
+        orders, li, on="o_orderkey", right_on="l_orderkey", num_partitions=16
+    ).to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(6)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_UNSHIPPED = f"""
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice, o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > TIMESTAMP '{UNSHIPPED_CUTOFF}'
+)
+ORDER BY o_orderkey
+"""
+
+
 Q3_CUTOFF, Q3_SEGMENT, Q3_TOPK = "1998-06-01", "BUILDING", 10
 
 
@@ -2238,6 +2275,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "events_approx_users": q_events_approx_users,
+    "orders_unshipped": q_orders_unshipped,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
     "corpus_prep": q_corpus_prep,
@@ -2301,6 +2339,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "events_approx_users": _sql_events_approx_users(),
+    "orders_unshipped": SQL_ORDERS_UNSHIPPED,
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "corpus_prep": SQL_CORPUS_PREP,

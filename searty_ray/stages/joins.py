@@ -224,6 +224,46 @@ def hash_join(
     )
 
 
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """EXISTS / NOT EXISTS filter of ``left`` against ``right``'s key set
+    (the blocklist-filter shape of a training-data pipeline).  The right
+    side reduces to its DISTINCT keys per batch BEFORE the shuffle — a
+    combiner, so only distinct keys ever move, never right payload rows —
+    then Ray Data's native hash-partitioned left_semi / left_anti join
+    emits left rows unchanged (no right columns to pad or drop)."""
+    right_on = right_on if right_on is not None else on
+
+    def keys_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[right_on]].drop_duplicates()
+
+    keys = right.map_batches(keys_only, batch_format="pandas")
+    return left.join(
+        keys,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """left rows with NO key match in right — see :func:`semi_join`."""
+    return semi_join(left, right, on, right_on, anti=True, num_partitions=num_partitions)
+
+
 def range_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

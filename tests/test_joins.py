@@ -132,6 +132,37 @@ def test_broadcast_join_matches_pandas(ray_session, how):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_semi_and_anti_join_match_pandas(ray_session):
+    """semi/anti join vs pandas isin ground truth: left rows pass through
+    unchanged (no right columns), duplicates on the right don't multiply
+    left rows, and semi + anti partition the left exactly."""
+    from searty_ray.stages.joins import anti_join, semi_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 400).astype(np.int64),
+            "payload": rng.random(400),
+        }
+    )
+    # right has duplicate keys and keys absent from left
+    right = pd.DataFrame({"rk": rng.integers(25, 80, 300).astype(np.int64), "junk": 1})
+    lds = ray.data.from_pandas(left).repartition(7)
+    rds = ray.data.from_pandas(right).repartition(5)
+
+    semi = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
+    anti = anti_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
+
+    keys = set(right["rk"])
+    want_semi = left[left["k"].isin(keys)]
+    want_anti = left[~left["k"].isin(keys)]
+    srt = lambda d: d.sort_values(["k", "payload"]).reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(srt(semi)[["k", "payload"]], srt(want_semi))
+    pd.testing.assert_frame_equal(srt(anti)[["k", "payload"]], srt(want_anti))
+    assert len(semi) + len(anti) == len(left)
+    assert list(semi.columns) == ["k", "payload"]  # no right columns leak
+
+
 def test_hash_join_matches_pandas(ray_session):
     facts, _, dims = _facts_dims()
     got = (

@@ -1134,6 +1134,36 @@ def _sample_sql() -> tuple[str, str]:
 SQL_SAMPLE_BERNOULLI, SQL_SPLIT_ASSIGN = _sample_sql()
 
 
+STRATIFIED_N = 50
+
+
+def q_events_stratified(sf_dir: str):
+    """Deterministic n-per-group sample (stages/sample.stratified_sample):
+    keep each event_type's n smallest mix64(event_id) ranks — per-stratum
+    quota sampling via the combiner-first top-k kernel, reproducible at any
+    parallelism and mirrored bit-exactly by a window re-derivation."""
+    from ..stages.sample import stratified_sample
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    df = stratified_sample(ev, "event_type", STRATIFIED_N, key="event_id").to_pandas()
+    df = df.astype({"event_id": "int64", "rank": "int64"})
+    return df.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
+def _sql_events_stratified() -> str:
+    from ..stages.sample import sql_key_hash
+
+    return f"""
+SELECT event_id, event_type, rn AS "rank" FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {sql_key_hash("event_id")}, event_id) AS rn
+  FROM events
+) WHERE rn <= {STRATIFIED_N}
+ORDER BY event_type, "rank"
+"""
+
+
 def q_multimodal_meta(sf_dir: str):
     """Synthesize REAL P6 payloads, then parse them back byte-for-byte with
     the real decoder (stages/multimodal.py).  The SQL mirror reproduces the
@@ -2254,6 +2284,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "sample_bernoulli": q_sample_bernoulli,
     "split_assign": q_split_assign,
+    "events_stratified": q_events_stratified,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
@@ -2317,6 +2348,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "events_stratified": _sql_events_stratified(),
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,

@@ -81,3 +81,44 @@ def hash_split(
 def sql_key_hash(key_expr: str, salt: int = DEFAULT_SALT) -> str:
     """DuckDB expression bit-identical to :func:`_key_hash` for an int key."""
     return _sql_mix64(f"xor(({key_expr})::UBIGINT, {salt}::UBIGINT)")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group: str,
+    n: int,
+    *,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic n-PER-GROUP sample (per-language / per-class quotas):
+    rank rows by ``mix64(key ^ salt)`` and keep each group's ``n`` smallest
+    ranks — a uniform without-replacement sample per stratum that is
+    reproducible across runs, parallelism, and layout, and mergeable (the
+    top-k kernel: each batch ships ≤ n candidate rows per group, never the
+    stratum).  Output carries a 1-based ``rank`` column in hash order; a
+    different ``salt`` draws an independent sample."""
+    import pandas as pd
+
+    from .analytics import topk_per_group
+
+    def rank_col(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        ids = out[key].to_numpy().astype(np.int64).view(np.uint64)
+        out["__rank"] = mix64(ids ^ np.uint64(salt))
+        return out
+
+    kwargs = {} if num_partitions is None else {"num_partitions": num_partitions}
+    out = topk_per_group(
+        ds.map_batches(rank_col, batch_format="pandas"),
+        group=group,
+        order="__rank",
+        k=n,
+        tie_col=key,
+        descending=False,
+        **kwargs,
+    )
+    return out.map_batches(
+        lambda b: b.drop(columns="__rank"), batch_format="pandas"
+    )

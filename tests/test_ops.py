@@ -649,3 +649,43 @@ def test_hash_sample_layout_invariant(ray_session):
     s = set(sample.bernoulli_sample(ray.data.from_arrow(t), 0.8)
             .to_pandas()["doc_id"])
     assert s == set(df[df["split"] == "train"]["doc_id"])
+
+
+def test_stratified_sample_quota_and_determinism(ray_session):
+    """n-per-group sample: exact quota where the stratum is big enough,
+    whole stratum where it isn't; identical across block layouts; a
+    different salt draws a different subset of the big stratum."""
+    import pyarrow as pa
+    import ray.data
+
+    from searty_ray.stages import sample
+
+    # stratum 'a': 400 rows, stratum 'b': 7 rows (< n)
+    ids = list(range(407))
+    grp = ["a"] * 400 + ["b"] * 7
+    t = pa.table({"event_id": pa.array(ids, type=pa.int64()), "g": grp})
+    outs = []
+    for blocks in (1, 6):
+        df = (
+            sample.stratified_sample(
+                ray.data.from_arrow(t).repartition(blocks), "g", 20, key="event_id"
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-invariant
+    sizes = outs[0].groupby("g").size()
+    assert sizes["a"] == 20 and sizes["b"] == 7
+    assert (outs[0].groupby("g")["rank"].max() == sizes).all()  # dense 1..n
+    other = (
+        sample.stratified_sample(
+            ray.data.from_arrow(t), "g", 20, key="event_id", salt=99
+        )
+        .to_pandas()
+    )
+    a0 = set(outs[0][outs[0]["g"] == "a"]["event_id"])
+    a1 = set(other[other["g"] == "a"]["event_id"])
+    assert a0 != a1  # independent draw
+    assert set(other[other["g"] == "b"]["event_id"]) == set(range(400, 407))

@@ -1900,6 +1900,30 @@ FROM events GROUP BY event_type ORDER BY event_type
 KMV_GATE_K = 64
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Wide conditional aggregate (analytics.pivot_counts): per-user counts
+    of each declared event type as columns — each batch collapses to one
+    wide partial row per user before the shuffle."""
+    from ..stages.analytics import pivot_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    df = pivot_counts(ev, "user_id", "event_type", EVENT_TYPES).to_pandas()
+    df = df.astype({f"n_{c}": "int64" for c in EVENT_TYPES})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{c}') AS n_{c}" for c in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id"
+)
+
+
 def q_events_approx_users(sf_dir: str):
     """KMV approximate-distinct sketch (analytics.approx_distinct_per_group):
     mergeable k-minimum-values over mix64(user_id) — the combiner ships ≤ k
@@ -2306,6 +2330,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "events_approx_users": q_events_approx_users,
+    "events_pivot": q_events_pivot,
     "orders_unshipped": q_orders_unshipped,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
@@ -2371,6 +2396,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "events_approx_users": _sql_events_approx_users(),
+    "events_pivot": SQL_EVENTS_PIVOT,
     "orders_unshipped": SQL_ORDERS_UNSHIPPED,
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,

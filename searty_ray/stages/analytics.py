@@ -158,6 +158,43 @@ def sum_topk(
     )
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group: str,
+    cat: str,
+    categories: list[str],
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Wide conditional aggregate (the feature-engineering pivot): one row
+    per ``group``, one ``n_<category>`` count column per declared category.
+
+    Categories are DECLARED, not discovered — a distributed pipeline's
+    output schema cannot depend on a mid-stream data scan (blocks must
+    agree on schema before the shuffle); rows with undeclared categories
+    simply count toward no column.  Combiner-first: each batch collapses
+    to ≤ one partial row per group it sees (counts are already summed
+    wide), so the shuffle moves partials, never events."""
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.DataFrame({group: batch[group]})
+        cv = batch[cat].to_numpy()
+        for c, name in zip(categories, cols):
+            m[name] = (cv == c).astype(np.int64)
+        out = m.groupby(group, sort=False, as_index=False, observed=True).sum()
+        out["__pk"] = _pk_any(out[group], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[group, *cols]].groupby(group, sort=False, as_index=False, observed=True).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 KMV_K = 64
 
 

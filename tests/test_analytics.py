@@ -13,6 +13,7 @@ from searty_ray.stages.analytics import (
     approx_distinct_per_group,
     distinct_per_group,
     group_quantiles,
+    pivot_counts,
     sum_topk,
     topk_per_group,
 )
@@ -116,6 +117,31 @@ def test_distinct_per_group_matches_nunique(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"user": "int64"}), want.rename(columns={"user": "user"}), check_dtype=False
     )
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    """pivot_counts == pandas crosstab restricted to the declared
+    categories; undeclared categories count toward no column; groups whose
+    rows are all-undeclared still appear with zero rows."""
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 30, 1200).astype(np.int64),
+            "t": rng.choice(["a", "b", "c", "zz"], 1200, p=[0.4, 0.3, 0.2, 0.1]),
+        }
+    )
+    got = (
+        pivot_counts(ray.data.from_pandas(df).repartition(8), "u", "t", ["a", "b", "c"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    ct = pd.crosstab(df["u"], df["t"]).reindex(columns=["a", "b", "c"], fill_value=0)
+    want = ct.rename(columns={c: f"n_{c}" for c in ct.columns}).reset_index().rename(
+        columns={"u": "u"}
+    )
+    want.columns.name = None
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want, check_dtype=False)
 
 
 def test_approx_distinct_kmv(ray_session):

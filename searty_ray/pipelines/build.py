@@ -57,6 +57,95 @@ DEFAULT_SUB_SPLITS = 8  # doc-range sub-reducers per partition (hot-term skew)
 TOKENIZE_BATCH_SIZE = 256  # docs per batch; content rows can be MB-scale
 
 
+def _confirmed_doc_ranges(docs_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Sidecar-confirmed [lo, hi] doc-id ranges already on disk, sorted by
+    lo.  Any parquet WITHOUT a sidecar (a crashed, uncommitted write or a
+    pre-resumable-format leftover) is deleted so the pass rewrites it;
+    any sidecar without its parquet is dropped too."""
+    import json
+
+    los: list[int] = []
+    his: list[int] = []
+    if not os.path.isdir(docs_dir):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    names = set(os.listdir(docs_dir))
+    for name in sorted(names):
+        if name.startswith(".docs-") and name.endswith(".done.json"):
+            if name[1 : -len(".done.json")] + ".parquet" in names:
+                with open(os.path.join(docs_dir, name)) as f:
+                    sc = json.load(f)
+                los.append(int(sc["lo"]))
+                his.append(int(sc["hi"]))
+            else:
+                os.remove(os.path.join(docs_dir, name))
+        elif name.endswith((".parquet", ".parquet.tmp")):
+            stem = name.split(".parquet")[0]
+            if f".{stem}.done.json" not in names:
+                os.remove(os.path.join(docs_dir, name))
+    order = np.argsort(np.asarray(los, dtype=np.int64))
+    return (
+        np.asarray(los, dtype=np.int64)[order],
+        np.asarray(his, dtype=np.int64)[order],
+    )
+
+
+def write_documents_resumable(corpus: "ray.data.Dataset", docs_dir: str) -> int:
+    """Range-committed documents writer — partition-granular resume for the
+    pass that was previously all-or-nothing (the north rule's resumable
+    checkpoint requirement, applied to the metadata third of build cost).
+
+    Each batch is split at doc-id discontinuities and every CONTIGUOUS run
+    becomes one parquet file named by its exact [lo, hi] range, committed
+    tmp → rename + a JSON sidecar (lineage: range, rows, bytes).  A file
+    therefore contains EVERY id in its range, so on resume "id falls in a
+    confirmed range" ⇔ "row already written": batches drop covered rows
+    BEFORE the sha256/token-count compute and rewrite only the gaps.
+    Requires contiguous-run batches to be non-degenerate — true for
+    sort-mode dense ids (each block is a slice of the global order); hash
+    ids would fragment into per-row files, so build_index gates this path
+    on ``id_mode="sort"``.  Readers are unaffected: gap-fill files whose
+    ranges interleave older files' are handled by DocRangeMeta's
+    membership filter.  Returns the number of rows written (not skipped)."""
+    os.makedirs(docs_dir, exist_ok=True)
+    los, his = _confirmed_doc_ranges(docs_dir)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(los) and len(ids):
+            j = np.searchsorted(los, ids, side="right") - 1
+            covered = (j >= 0) & (ids <= his[np.clip(j, 0, None)])
+            if covered.any():
+                batch = batch.filter(pa.array(~covered))
+                ids = ids[~covered]
+        if len(ids) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        meta = document_meta_batch(batch)
+        cut = np.flatnonzero(np.diff(ids) != 1) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(ids)]))
+        out_lo, out_hi, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            lo, hi = int(ids[s]), int(ids[e - 1])
+            stem = f"docs-{lo:012d}-{hi:012d}"
+            tmp = os.path.join(docs_dir, f".{stem}.parquet.tmp")
+            dst = os.path.join(docs_dir, f"{stem}.parquet")
+            pq.write_table(meta.slice(s, e - s), tmp, row_group_size=4096)
+            os.replace(tmp, dst)
+            atomic_write_json(
+                os.path.join(docs_dir, f".{stem}.done.json"),
+                {"lo": lo, "hi": hi, "rows": int(e - s), "bytes": os.path.getsize(dst)},
+            )
+            out_lo.append(lo)
+            out_hi.append(hi)
+            out_n.append(int(e - s))
+        return pa.table({"lo": pa.array(out_lo, pa.int64()), "hi": pa.array(out_hi, pa.int64()),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    summary = corpus.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    return int(summary["rows"].sum()) if len(summary) else 0
+
+
 def pick_chunk_span(n_docs: int) -> int:
     """Power-of-two doc-range chunk size ≈ n_docs/64, floor 1024: hot terms
     split into ~64 chunks (≥ sub_splits) regardless of corpus size."""
@@ -105,8 +194,17 @@ def build_index(
     # ---- documents + content sidecar (streaming writes) ----
     docs_dir = os.path.join(index_dir, "documents")
     if not _stage_done("documents"):
-        _clear_dir(docs_dir)
-        corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
+        if id_mode == "sort":
+            # range-committed writes: a crashed run resumes by rewriting
+            # only the uncovered doc ranges (sidecar-confirmed files skip)
+            if not resume:
+                _clear_dir(docs_dir)
+            write_documents_resumable(corpus, docs_dir)
+        else:
+            # hash ids are non-contiguous — range files would degenerate
+            # to one per row; the pass stays all-or-nothing
+            _clear_dir(docs_dir)
+            corpus.map_batches(document_meta_batch, batch_format="pyarrow").write_parquet(docs_dir)
         _mark_done("documents")
     t_docwrite = time.monotonic()
 

@@ -83,6 +83,55 @@ def test_block_metadata(fixture_index):
         assert max(r["block_max_tf"]) == int(t.max())
 
 
+def test_documents_pass_gap_fill_resume(ray_session, fixture_corpus, tmp_path):
+    """Crash mid-documents-pass: resume rewrites ONLY the uncovered doc
+    ranges (confirmed range files skip via their sidecars), deletes
+    uncommitted strays, and the refilled table equals the direct build."""
+    import ray
+
+    from searty_ray.pipelines.build import build_index
+
+    corpus_t, _ = fixture_corpus
+    d1 = str(tmp_path / "ixd1")
+    build_index(
+        ray.data.from_arrow(corpus_t).repartition(5), d1, num_parts=4, chunk_span=16
+    )
+    docs_dir = os.path.join(d1, "documents")
+    want = pq.read_table(docs_dir).sort_by("doc_id")
+    files = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+    assert len(files) >= 2, "fixture must produce multiple range files"
+
+    # simulate the crash: stage marker gone, one confirmed file lost, one
+    # uncommitted stray present, downstream markers gone too
+    os.remove(os.path.join(d1, ".documents.done"))
+    victim = files[len(files) // 2]
+    os.remove(os.path.join(docs_dir, victim))
+    os.remove(os.path.join(docs_dir, f".{victim[:-len('.parquet')]}.done.json"))
+    stray = os.path.join(docs_dir, "docs-999999999000-999999999001.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not a parquet footer")
+    for mk in (".docmeta.done", ".symbols.done"):
+        if os.path.exists(os.path.join(d1, mk)):
+            os.remove(os.path.join(d1, mk))
+    survivors = {
+        f: os.path.getmtime(os.path.join(docs_dir, f))
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet") and f != victim and not f.startswith("docs-9999")
+    }
+
+    build_index(
+        ray.data.from_arrow(corpus_t).repartition(3),  # different layout on purpose
+        d1, num_parts=4, chunk_span=16, resume=True,
+    )
+    assert not os.path.exists(stray), "uncommitted stray must be cleaned"
+    got = pq.read_table(docs_dir).sort_by("doc_id")
+    assert got.equals(want)
+    for f, mtime in survivors.items():
+        assert os.path.getmtime(os.path.join(docs_dir, f)) == mtime, (
+            f"confirmed file {f} was rewritten on resume"
+        )
+
+
 def test_resume_skips_finished(fixture_index, fixture_corpus, tmp_path):
     """Kill-and-resume: second run with resume=True skips finished partitions
     and produces byte-identical segments."""

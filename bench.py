@@ -262,6 +262,14 @@ def main() -> None:
     prep_corpus(docs).count()
     timings["corpus_prep"] = time.monotonic() - t0
 
+    # join+analytics composition (TPC-H Q3 shape): broadcast semi-join →
+    # hash shuffle join → combiner-first global sum-top-k
+    from searty_ray.pipelines.gate import q_shipping_priority
+
+    t0 = time.monotonic()
+    q_shipping_priority(SF_DIR)
+    timings["join_topk"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -1986,13 +1986,18 @@ def q_pricing_summary(sf_dir: str):
     )
     keys = ["l_returnflag", "l_linestatus"]
 
+    measures = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "sum_disc"]
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] <= cutoff]
         if len(b) == 0:
-            return pd.DataFrame(
-                columns=[*keys, "sum_qty", "sum_base_price", "sum_disc_price",
-                         "sum_charge", "sum_disc", "count_order"]
-            ).astype({"count_order": "int64"})
+            # dtype-pinned empty partial: block schemas must agree whether
+            # or not a batch survives the filter
+            empty = pd.DataFrame({k: pd.Series(dtype="object") for k in keys})
+            for c in measures:
+                empty[c] = pd.Series(dtype="float64")
+            empty["count_order"] = pd.Series(dtype="int64")
+            return empty
         disc_price = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
         m = pd.DataFrame(
             {

@@ -33,7 +33,7 @@ from ..query import (
     SymbolSearcher,
 )
 from ..sources.corpus import CORPUS_CTE, corpus_from_documents
-from ..stages import dedup, knn, multimodal, textstats
+from ..stages import cluster, dedup, knn, multimodal, textstats
 from .build import build_index
 
 # bump INDEX_LAYOUT_VERSION whenever segment layout / derivation changes so a
@@ -382,6 +382,34 @@ def q_phrase_ranges(sf_dir: str):
 
 SQL_PHRASE_RANGES = _sql_phrase(PHRASE_OVERLAP_Q)
 
+
+BOOL_MUST = ("merge part",)
+BOOL_SHOULD = ("window", "stream")
+BOOL_NOT = ("customer",)
+
+
+def q_bool_search(sf_dir: str):
+    """Boolean phrase composition (query.BoolSearcher): AND/OR/NOT over
+    exact (position-verified) phrase doc-sets; set algebra on sorted id
+    arrays."""
+    from ..query import BoolSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return BoolSearcher(IndexReader(index_dir)).search(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT
+    )
+
+
+SQL_BOOL_SEARCH = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, repo || '/' || path AS filename
+FROM corpus
+WHERE contains(content, '{BOOL_MUST[0]}')
+  AND (contains(content, '{BOOL_SHOULD[0]}') OR contains(content, '{BOOL_SHOULD[1]}'))
+  AND NOT contains(content, '{BOOL_NOT[0]}')
+ORDER BY doc_id
+"""
+
 PHRASE_LIMIT_N = 20
 
 
@@ -539,6 +567,31 @@ SELECT doc_id, i - 1 AS pos FROM scan ORDER BY doc_id, pos
 """
 
 
+FUZZY_Q = "DOC-7"
+
+
+def q_fuzzy_words(sf_dir: str):
+    """Edit-distance-≤1 word match pushed into the corpus scan
+    (stages/fuzzy.py): the exact vectorized lcp+lcs ed≤1 kernel runs inside
+    every read batch, so only fuzzy-matching occurrences reach the shuffle."""
+    from ..stages import fuzzy
+
+    out = fuzzy.fuzzy_word_stats(corpus_from_documents(sf_dir), FUZZY_Q).to_pandas()
+    return out.sort_values("word").reset_index(drop=True)
+
+
+SQL_FUZZY_WORDS = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS word
+  FROM corpus
+),
+hits AS (SELECT word, doc_id FROM toks WHERE levenshtein(word, '{FUZZY_Q}') <= 1)
+SELECT word, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM hits GROUP BY word ORDER BY word
+"""
+
+
 def q_bm25_words(sf_dir: str):
     """Word-level BM25 over symbol terms (|D| = symbol-token count)."""
     from ..query import WordSearcher
@@ -692,11 +745,7 @@ ORDER BY doc_id_a, doc_id_b
 
 
 def q_dedup_minhash(sf_dir: str):
-    return dedup.minhash_lsh_pairs(
-        _docs(sf_dir, ["doc_id", "text"]),
-        threshold=0.5,
-        source_path=f"{sf_dir}/documents.parquet",
-    )
+    return _minhash_pairs(sf_dir)
 
 
 # DuckDB mirror of the ENTIRE MinHash+LSH pipeline — every hash primitive is
@@ -770,6 +819,70 @@ ORDER BY doc_id_a, doc_id_b
 
 
 SQL_DEDUP_MINHASH = _sql_dedup_minhash(0.5)
+
+
+def _minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.5,
+        source_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs → connected components (stages/cluster.py hash-to-min):
+    (doc_id, cluster_id = min doc_id of the component) for every doc in a
+    verified MinHash pair."""
+    out = cluster.duplicate_clusters(_minhash_pairs(sf_dir)).to_pandas()
+    out = out.reindex(columns=["doc_id", "cluster_id"])  # empty-ds schema quirk
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+# transitive closure of the FULL minhash-pipeline pairs via a recursive CTE —
+# the oracle re-derives candidate generation, verification AND the closure
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_sql_dedup_minhash(0.5)}),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+def q_dedup_canonical(sf_dir: str):
+    """The keep-list: documents minus non-canonical cluster members (one
+    canonical doc — the min id — survives per near-dup component).  The
+    drop-set is broadcast; the corpus streams through a vectorized filter."""
+    docs = _docs(sf_dir, ["doc_id"])
+    clusters = cluster.duplicate_clusters(_minhash_pairs(sf_dir))
+    out = cluster.canonical_filter(docs, clusters).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE pairs AS ({_sql_dedup_minhash(0.5)}),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY doc_id
+"""
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -1037,6 +1150,94 @@ FROM q ORDER BY doc_id
 
 
 SQL_QUALITY_SCORE = _sql_quality_score()
+
+
+QUALITY_FILTER_P = 0.75
+
+
+def q_quality_filter(sf_dir: str):
+    """Percentile-threshold quality filter (textstats.quality_quantile_filter):
+    keep docs scoring ≥ the per-lang discrete 0.75-quantile.  Two passes —
+    score (map_batches) → per-group order statistic (one narrow shuffle) →
+    broadcast thresholds → vectorized keep filter."""
+    out = (
+        textstats.quality_quantile_filter(
+            _docs(sf_dir, ["doc_id", "text", "lang"]), p=QUALITY_FILTER_P, by="lang"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _sql_quality_filter() -> str:
+    w0, w1, w2, w3, w4 = textstats.QUALITY_MODEL_W
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         len(words)::BIGINT AS n_words,
+         round(len(list_filter(words, x -> list_contains({_sql_str_list(list(textstats.STOPWORDS))}, x)))::DOUBLE
+               / greatest(len(words), 1), 6) AS stop_ratio,
+         round(len(list_distinct(words))::DOUBLE / greatest(len(words), 1), 6) AS distinct_ratio,
+         round(list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE
+               / greatest(len(words), 1), 6) AS mean_word_len
+  FROM w
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(1.0 / (1.0 + exp(-({w0} + {w1} * (n_words / 100.0) + {w2} * stop_ratio
+                                 + {w3} * distinct_ratio + {w4} * (mean_word_len / 10.0)))), 6)
+           AS quality_score
+  FROM q
+),
+thr AS (
+  SELECT lang, quantile_disc(quality_score, {QUALITY_FILTER_P}) AS t
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score
+FROM scored s JOIN thr USING (lang)
+WHERE s.quality_score >= thr.t
+ORDER BY s.doc_id
+"""
+
+
+SQL_QUALITY_FILTER = _sql_quality_filter()
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (textstats.scrub_pii_batch): emails + multi-digit runs
+    → placeholder tokens, single vectorized map_batches pass, no shuffle.
+    Runs over the derived corpus (its doc-NNN identifiers exercise the
+    digit-run path on every row)."""
+    out = (
+        corpus_from_documents(sf_dir)
+        .select_columns(["doc_id", "content"])
+        .map_batches(
+            lambda b: textstats.scrub_pii_batch(b, text_col="content"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_PII_SCRUB = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id,
+       regexp_replace(regexp_replace(content, '{textstats.PII_EMAIL_PAT}', '{textstats.PII_EMAIL_TOKEN}', 'g'),
+                      '{textstats.PII_NUM_PAT}', '{textstats.PII_NUM_TOKEN}', 'g') AS clean,
+       len(regexp_extract_all(content, '{textstats.PII_EMAIL_PAT}'))::BIGINT AS n_email,
+       len(regexp_extract_all(regexp_replace(content, '{textstats.PII_EMAIL_PAT}', '{textstats.PII_EMAIL_TOKEN}', 'g'),
+                              '{textstats.PII_NUM_PAT}'))::BIGINT AS n_num
+FROM corpus ORDER BY doc_id
+"""
 
 
 def q_token_counts(sf_dir: str):
@@ -1665,6 +1866,54 @@ ORDER BY event_id
 """
 
 
+def q_events_lag(sf_dir: str):
+    """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
+    shuffle, per-partition vectorized groupby shift; NaN on each key's
+    first row ≡ SQL NULL."""
+    import pandas as pd
+
+    from ..stages.windows import lag_delta
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "user_id": b["user_id"],
+                "value": b["value"],
+            }
+        )
+
+    out = lag_delta(
+        ev.map_batches(purchases, batch_format="pandas"),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+    ).to_pandas()
+    for c in ("value", "prev_value"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_LAG = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, ts_us, user_id, round(value, 6) AS value,
+       (LAG(ts_us) OVER w)::DOUBLE AS prev_ts,
+       round(LAG(value) OVER w, 6) AS prev_value,
+       (ts_us - LAG(ts_us) OVER w)::DOUBLE AS gap_us
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # equi-joins: broadcast (fact × dimension) and native shuffle hash join
 # ---------------------------------------------------------------------------
@@ -2288,10 +2537,12 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "phrase_limited": q_phrase_limited,
     "phrase_ranges": q_phrase_ranges,
+    "bool_search": q_bool_search,
     "bm25_topk": q_bm25_topk,
     "symbol_search": q_symbol_search,
     "word_occurrences": q_word_occurrences,
     "bm25_words": q_bm25_words,
+    "fuzzy_words": q_fuzzy_words,
     "package_defs": q_package_defs,
     "file_search": q_file_search,
     "line_extract": q_line_extract,
@@ -2300,6 +2551,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -2309,7 +2562,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "quality_score": q_quality_score,
+    "quality_filter": q_quality_filter,
     "token_counts": q_token_counts,
+    "pii_scrub": q_pii_scrub,
     "fingerprint": q_fingerprint,
     "sample_bernoulli": q_sample_bernoulli,
     "split_assign": q_split_assign,
@@ -2325,6 +2580,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
+    "events_lag": q_events_lag,
     "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
@@ -2352,10 +2608,12 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "phrase_limited": SQL_PHRASE_LIMITED,
     "phrase_ranges": SQL_PHRASE_RANGES,
+    "bool_search": SQL_BOOL_SEARCH,
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,
     "word_occurrences": SQL_WORD_OCCURRENCES,
     "bm25_words": SQL_BM25_WORDS,
+    "fuzzy_words": SQL_FUZZY_WORDS,
     "package_defs": SQL_PACKAGE_DEFS,
     "file_search": SQL_FILE_SEARCH,
     "line_extract": SQL_LINE_EXTRACT,
@@ -2364,6 +2622,8 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     # dedup_embedding_ivf: engine-defined k-means clustering — rows-only;
@@ -2374,7 +2634,9 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,
     "quality_score": SQL_QUALITY_SCORE,
+    "quality_filter": SQL_QUALITY_FILTER,
     "token_counts": SQL_TOKEN_COUNTS,
+    "pii_scrub": SQL_PII_SCRUB,
     "fingerprint": SQL_FINGERPRINT,
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "split_assign": SQL_SPLIT_ASSIGN,
@@ -2391,6 +2653,7 @@ ORACLE_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "events_lag": SQL_EVENTS_LAG,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,

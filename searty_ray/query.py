@@ -737,6 +737,72 @@ def _phrase_empty() -> pa.Table:
     )
 
 
+class BoolSearcher:
+    """Boolean phrase composition over the index: must=AND, should=OR(≥1),
+    must_not=NOT — a generalization of the reference CLI's union across
+    query kinds (D5; `/root/reference/cmd/searty/main.go` runs one kind per
+    invocation, set ops are new surface).
+
+    Doc-level output (positions are a phrase-query concern).  Every leaf
+    phrase is EXACT — full trigram AND + positional verification via
+    PhraseSearcher.base_positions, so a trigram-candidate superset can
+    never leak through a NOT.  Set algebra runs on sorted unique doc-id
+    arrays (searchsorted intersect / union / setdiff — no Python sets)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self._phrase = PhraseSearcher(reader)
+
+    def _docs(self, phrase: str) -> np.ndarray:
+        return np.unique(self._phrase.base_positions(phrase)[0])
+
+    def search(
+        self,
+        must: tuple[str, ...] = (),
+        should: tuple[str, ...] = (),
+        must_not: tuple[str, ...] = (),
+    ) -> pa.Table:
+        """→ (doc_id, filename) ascending by doc_id."""
+        if not must and not should:
+            raise ValueError("bool query needs at least one must or should phrase")
+        if must:
+            cur = self._docs(must[0])
+            for p in must[1:]:
+                if len(cur) == 0:
+                    break
+                other = self._docs(p)
+                i = np.searchsorted(other, cur)
+                i[i == len(other)] = 0
+                cur = cur[other[i] == cur] if len(other) else cur[:0]
+        else:
+            cur = None
+        if should:
+            uni = np.unique(np.concatenate([self._docs(p) for p in should]))
+            if cur is None:
+                cur = uni
+            else:
+                i = np.searchsorted(uni, cur)
+                i[i == len(uni)] = 0
+                cur = cur[uni[i] == cur] if len(uni) else cur[:0]
+        for p in must_not:
+            if len(cur) == 0:
+                break
+            ex = self._docs(p)
+            if len(ex):
+                i = np.minimum(np.searchsorted(ex, cur), len(ex) - 1)
+                cur = cur[ex[i] != cur]
+        if len(cur) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "filename": pa.array([], type=pa.string())}
+            )
+        meta = self.reader.resolve_docs(cur, ["filename"])
+        return pa.table(
+            {"doc_id": pa.array(meta["doc_id"], type=pa.int64()),
+             "filename": meta["filename"]}
+        )
+
+
 class BM25Searcher:
     """Exhaustive DAAT (baseline) and block-max WAND top-k (O4)."""
 

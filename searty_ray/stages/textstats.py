@@ -293,3 +293,113 @@ def tfidf_topk(docs: "ray.data.Dataset", k: int = 5, concurrency=None) -> "ray.d
         concurrency=concurrency,
         fn_constructor_kwargs={"idf_ref": _ray.put(idf), "k": k},
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile-threshold quality filtering (two-pass)
+# ---------------------------------------------------------------------------
+
+
+def quantile_threshold(values: np.ndarray, p: float) -> float:
+    """Discrete p-quantile = sorted[ceil(p·n) − 1] — an order statistic
+    (no interpolation), bit-identical to DuckDB ``quantile_disc``."""
+    import math
+
+    s = np.sort(np.asarray(values, dtype=np.float64))
+    return float(s[min(max(math.ceil(p * len(s)) - 1, 0), len(s) - 1)])
+
+
+def quality_quantile_filter(
+    docs: "ray.data.Dataset", p: float = 0.75, by: str = "lang",
+) -> "ray.data.Dataset":
+    """Keep documents whose model quality score is ≥ the per-``by``-group
+    discrete p-quantile.  The canonical "top-X% by quality" training-data
+    filter, exact by construction:
+
+    1. score pass — score every doc (one matmul per batch; the toy model's
+       weights travel in the task closure — swap in the QualityModelStage
+       actor pool for a real checkpoint); the narrow (doc_id, group, score)
+       table is materialized (re-scoring the corpus for pass 2 would double
+       the model compute; the scored table is ~24 B/doc —
+       object-store-scale, never driver-scale).
+    2. threshold pass — one hash shuffle of the narrow table per group,
+       per-group order statistic (``quantile_disc`` semantics — bit-exact,
+       no float interpolation ambiguity at the keep/drop boundary), tiny
+       (group, threshold) table broadcast back into a vectorized filter.
+
+    Scores are round6()ed BEFORE the quantile so engine and SQL compare
+    identical float sets on both sides of the threshold.
+    """
+    import ray as _ray
+
+    from .analytics import _pk_any
+
+    w = np.array(QUALITY_MODEL_W, dtype=np.float64)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(b)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                by: b[by].to_numpy(),
+                "quality_score": round6(score_quality(q, w)),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas").materialize()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__pk"] = _pk_any(b[by], 16)
+        return b
+
+    def thr(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.groupby(by, sort=False)["quality_score"]
+            .agg(lambda v: quantile_threshold(v.to_numpy(), p))
+            .reset_index(name="thr")
+        )
+        return r
+
+    thresholds = (
+        scored.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(thr, batch_format="pandas")
+        .to_pandas()  # one row per group — dimension-scale
+    )
+    thr_ref = _ray.put(dict(zip(thresholds[by], thresholds["thr"])))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        t = _ray.get(thr_ref)
+        cut = b[by].map(t).to_numpy(dtype=np.float64)
+        return b[b["quality_score"].to_numpy() >= cut]
+
+    return scored.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data normalization)
+# ---------------------------------------------------------------------------
+
+# both patterns are RE2-compatible (no backrefs / lookaround), so the Python
+# kernel and the DuckDB oracle run the IDENTICAL expression
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUM_PAT = r"[0-9]{2,}"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_NUM_TOKEN = "<NUM>"
+
+
+def scrub_pii_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Redact email addresses and multi-digit runs → (id cols, clean,
+    n_email, n_num).  Single map_batches pass, C-regex pandas str kernels,
+    no shuffle; emails first (they contain digits)."""
+    s = batch[text_col].astype(str)
+    n_email = s.str.count(PII_EMAIL_PAT).astype("int64")
+    clean = s.str.replace(PII_EMAIL_PAT, PII_EMAIL_TOKEN, regex=True)
+    n_num = clean.str.count(PII_NUM_PAT).astype("int64")
+    clean = clean.str.replace(PII_NUM_PAT, PII_NUM_TOKEN, regex=True)
+    out = batch.drop(columns=[text_col]).copy()
+    out["clean"] = clean
+    out["n_email"] = n_email
+    out["n_num"] = n_num
+    return out

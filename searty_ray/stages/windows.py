@@ -331,3 +331,115 @@ def rolling_aggregate_ranged(
         return pd.concat(outs, ignore_index=True).drop(columns=["__pk", "__rng"])
 
     return tagged.groupby("__pk").map_groups(roll_range, batch_format="pandas")
+
+
+def lag_delta(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key LAG: previous row's timestamp/value plus the gap to it —
+    ``LAG(x) OVER (PARTITION BY key ORDER BY order)`` semantics.  Adds
+    ``prev_ts`` / ``prev_value`` / ``gap_us`` (NaN ≡ SQL NULL on each
+    key's first row).
+
+    Shape: ONE hash shuffle of the key over coarse partitions, then a
+    per-partition vectorized sort + C-level groupby shift.  Same
+    partitioning contract as :func:`rolling_aggregate` (one key fits one
+    partition); :func:`lag_delta_ranged` is the event-scale-key escape.
+    """
+    from .analytics import _pk_any
+
+    ts_col = order[0]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort").drop(columns="__pk")
+        grp = s.groupby(by, sort=False)
+        s["prev_ts"] = grp[ts_col].shift(1)
+        s["prev_value"] = grp[value].shift(1)
+        s["gap_us"] = s[ts_col].to_numpy(dtype=np.float64) - s["prev_ts"].to_numpy()
+        return s
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def lag_delta_ranged(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    range_span_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The event-scale-key LAG path: identical output contract to
+    :func:`lag_delta`, partitioned by (key, time-range) so no partition
+    ever holds more than one key's one time range.  Boundary state is each
+    (key, range)'s LAST row, reduced to a per-(key, range) predecessor row
+    on the small candidate table and broadcast (the rolling_aggregate_ranged
+    two-phase pattern with w = 2)."""
+    import ray as _ray
+
+    from .joins import _pk2
+
+    ts_col = order[0]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        rng = batch[ts_col].to_numpy().astype(np.int64) // np.int64(range_span_us)
+        out["__rng"] = rng
+        out["__pk"] = _pk2(batch[by].to_numpy(), rng, num_partitions)
+        return out
+
+    tagged = events.map_batches(tag, batch_format="pandas")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        return s.groupby([by, "__rng"], sort=False, observed=True).tail(1)
+
+    cand = tagged.groupby("__pk").map_groups(candidates, batch_format="pandas").to_pandas()
+    cand = cand.sort_values([by, *order], kind="mergesort")
+    seeds: dict[tuple, tuple] = {}
+    for key, sub in cand.groupby(by, sort=False):
+        rngs = np.sort(sub["__rng"].unique())
+        for r in rngs:
+            prev = sub[sub["__rng"] < r].tail(1)
+            if len(prev):
+                seeds[(key, int(r))] = (
+                    float(prev[ts_col].iloc[0]),
+                    float(prev[value].iloc[0]),
+                )
+    seeds_ref = _ray.put(seeds)
+    _cache: dict = {}
+
+    def lag_range(g: pd.DataFrame) -> pd.DataFrame:
+        if "seeds" not in _cache:
+            _cache["seeds"] = _ray.get(seeds_ref)
+        all_seeds = _cache["seeds"]
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        grp = s.groupby([by, "__rng"], sort=False, observed=True)
+        prev_ts = grp[ts_col].shift(1).to_numpy(dtype=np.float64)
+        prev_val = grp[value].shift(1).to_numpy(dtype=np.float64)
+        # splice the broadcast predecessor into each (key, range)'s first row
+        firsts = np.flatnonzero(grp.cumcount().to_numpy() == 0)
+        for i in firsts:  # O(#(key, range) per partition) — dimension-scale
+            seed = all_seeds.get((s[by].iloc[i], int(s["__rng"].iloc[i])))
+            if seed is not None:
+                prev_ts[i], prev_val[i] = seed
+        s = s.drop(columns=["__pk", "__rng"])
+        s["prev_ts"] = prev_ts
+        s["prev_value"] = prev_val
+        s["gap_us"] = s[ts_col].to_numpy(dtype=np.float64) - prev_ts
+        return s
+
+    return tagged.groupby("__pk").map_groups(lag_range, batch_format="pandas")

@@ -1,0 +1,139 @@
+"""lag_delta (+ ranged variant), quality_quantile_filter, scrub_pii_batch —
+each against an independent one-process reference (pandas window ops /
+DuckDB quantile_disc + regexp_replace)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+from searty_ray.stages import textstats
+from searty_ray.stages.windows import lag_delta, lag_delta_ranged
+
+
+def _events(n=400, users=7, seed=3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts_us": rng.integers(0, 5 * 86_400_000_000, n),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "value": rng.random(n).round(3),
+        }
+    )
+
+
+def _lag_ref(df: pd.DataFrame) -> pd.DataFrame:
+    s = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort").copy()
+    g = s.groupby("user_id", sort=False)
+    s["prev_ts"] = g["ts_us"].shift(1)
+    s["prev_value"] = g["value"].shift(1)
+    s["gap_us"] = s["ts_us"] - s["prev_ts"]
+    return s.sort_values("event_id").reset_index(drop=True)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values("event_id")
+        .reset_index(drop=True)[
+            ["event_id", "ts_us", "user_id", "value", "prev_ts", "prev_value", "gap_us"]
+        ]
+        .astype({"gap_us": "float64", "prev_ts": "float64"})
+    )
+
+
+def test_lag_delta_matches_pandas():
+    df = _events()
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = _canon(lag_delta(ds).to_pandas())
+    pd.testing.assert_frame_equal(got, _canon(_lag_ref(df)))
+
+
+def test_lag_delta_ranged_equals_one_shot_with_skewed_key():
+    df = _events(600, users=5)
+    df.loc[: len(df) // 2, "user_id"] = 0  # one user owns half the events
+    ds = ray.data.from_pandas(df).repartition(6)
+    one = _canon(lag_delta(ds).to_pandas())
+    ranged = _canon(lag_delta_ranged(ds, range_span_us=86_400_000_000).to_pandas())
+    pd.testing.assert_frame_equal(ranged, one)
+    # the ranged path actually split the skewed user across ranges
+    assert df.loc[df["user_id"] == 0, "ts_us"].floordiv(86_400_000_000).nunique() > 1
+
+
+def test_quantile_threshold_matches_duckdb_quantile_disc():
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 3, 5, 8, 13, 100, 101):
+        vals = rng.random(n).round(6)
+        got = textstats.quantile_threshold(vals, 0.75)
+        exp = duckdb.sql(
+            f"SELECT quantile_disc(x, 0.75) FROM (SELECT unnest({[float(v) for v in vals]}) AS x)"
+        ).fetchone()[0]
+        assert got == float(exp), (n, got, exp)
+
+
+def test_quality_quantile_filter_matches_reference():
+    rng = np.random.default_rng(5)
+    vocab = ["the", "merge", "scan", "of", "zz", "window", "a", "queue"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(120)
+            ],
+            "lang": rng.choice(["en", "de", "fr"], 120),
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    got = (
+        textstats.quality_quantile_filter(ds, p=0.75, by="lang")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference: score every doc, per-lang discrete quantile, filter
+    q = textstats.quality_batch(docs)
+    w = np.array(textstats.QUALITY_MODEL_W)
+    scored = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "lang": docs["lang"],
+            "quality_score": textstats.score_quality(q, w),
+        }
+    )
+    thr = scored.groupby("lang")["quality_score"].apply(
+        lambda v: textstats.quantile_threshold(v.to_numpy(), 0.75)
+    )
+    exp = (
+        scored[scored["quality_score"] >= scored["lang"].map(thr)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert 0 < len(got) < len(docs)
+
+
+def test_scrub_pii_matches_duckdb():
+    texts = [
+        "contact bob.smith+x@ex-ample.org or 1234567 now",
+        "doc-42 has 99 problems and no email",
+        "two mails: a@b.co c.d@e.f.gg, num 007",
+        "nothing here",
+        "",
+    ]
+    b = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = textstats.scrub_pii_batch(b)
+    con = duckdb.connect()
+    con.register("t", b)
+    exp = con.execute(f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{textstats.PII_EMAIL_PAT}', '{textstats.PII_EMAIL_TOKEN}', 'g'),
+                              '{textstats.PII_NUM_PAT}', '{textstats.PII_NUM_TOKEN}', 'g') AS clean,
+               len(regexp_extract_all(text, '{textstats.PII_EMAIL_PAT}'))::BIGINT AS n_email,
+               len(regexp_extract_all(regexp_replace(text, '{textstats.PII_EMAIL_PAT}', '{textstats.PII_EMAIL_TOKEN}', 'g'),
+                                      '{textstats.PII_NUM_PAT}'))::BIGINT AS n_num
+        FROM t ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    assert got["n_email"].sum() == 3 and got["n_num"].sum() >= 3

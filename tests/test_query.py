@@ -214,3 +214,28 @@ def test_random_phrases_match_oracle(reader, fixture_oracle, fixture_index):
         ]
         assert eng == ora, repr(q)
         checked += 1
+
+
+def test_bool_search_matches_content_oracle(reader, fixture_oracle):
+    from searty_ray.query import BoolSearcher
+
+    bs = BoolSearcher(reader)
+    cases = [
+        (("defun",), ("cons", "setf"), ("zzzz-nohit",)),
+        (("defun", "(defpackage"), (), ()),
+        ((), ("identical content", "format"), ("cons",)),
+        (("defun",), (), ("defun",)),  # self-contradiction → empty
+    ]
+    for must, should, must_not in cases:
+        got = bs.search(must=must, should=should, must_not=must_not)
+        exp = sorted(
+            d
+            for d, doc in fixture_oracle.docs.items()
+            if all(p in doc.content for p in must)
+            and (not should or any(p in doc.content for p in should))
+            and not any(p in doc.content for p in must_not)
+        )
+        assert got["doc_id"].to_pylist() == exp, (must, should, must_not)
+
+    with pytest.raises(ValueError):
+        bs.search(must_not=("defun",))

@@ -339,7 +339,7 @@ def q_phrase_search(sf_dir: str):
     return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q)
 
 
-def _sql_phrase(query: str) -> str:
+def _sql_phrase(query: str, extra_cols: str = "") -> str:
     qlen = len(query)
     esc = query.replace("'", "''")
     # raw matches → interval merge via gaps-and-islands (overlap/touch merges)
@@ -365,7 +365,7 @@ merged AS (
   SELECT doc_id, min(start) AS start, max("end") AS "end"
   FROM grouped GROUP BY doc_id, grp
 )
-SELECT m.doc_id, c.repo || '/' || c.path AS filename, m.start, m."end"
+SELECT m.doc_id, c.repo || '/' || c.path AS filename, m.start, m."end"{extra_cols}
 FROM merged m JOIN corpus c USING (doc_id)
 ORDER BY filename, start
 """
@@ -381,6 +381,29 @@ def q_phrase_ranges(sf_dir: str):
 
 
 SQL_PHRASE_RANGES = _sql_phrase(PHRASE_OVERLAP_Q)
+
+
+SNIPPET_WINDOW = 20
+
+
+def q_phrase_snippets(sf_dir: str):
+    """KWIC: ±window-rune context around every merged phrase match
+    (PrettyPrinter.snippets — doc-major streamed body fetch)."""
+    from ..query import PrettyPrinter
+
+    index_dir = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    res = PhraseSearcher(reader).search(PHRASE_Q)
+    return PrettyPrinter(reader).snippets(res, window=SNIPPET_WINDOW)
+
+
+SQL_PHRASE_SNIPPETS = _sql_phrase(
+    PHRASE_Q,
+    extra_cols=f""",
+       substr(c.content, greatest(m.start - {SNIPPET_WINDOW}, 0) + 1,
+              least(m."end" + {SNIPPET_WINDOW}, length(c.content))
+                - greatest(m.start - {SNIPPET_WINDOW}, 0)) AS snippet""",
+)
 
 
 BOOL_MUST = ("merge part",)
@@ -695,6 +718,54 @@ FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
       FROM documents)
 GROUP BY word
 ORDER BY n DESC, word
+LIMIT {TOPK_WORDS_N}
+"""
+
+
+def q_topk_bigrams(sf_dir: str):
+    """Corpus-wide frequent word BIGRAMS: same combiner-first shape as
+    topk_words — consecutive-pair extraction is one explode + shift inside
+    the batch, and only (bigram, count) partials ever shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.words import WORD_RE
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.findall(WORD_RE).explode().dropna()
+        flat = ex.to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        if len(flat) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        same = doc[1:] == doc[:-1]
+        bigrams = pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same])
+        vc = bigrams.value_counts()
+        return pd.DataFrame({"bigram": vc.index, "cnt": vc.to_numpy()})
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    out = counts.sort_values(["n", "bigram"], ascending=[False, True]).head(TOPK_WORDS_N)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_TOPK_BIGRAMS = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bigram
+  FROM w
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
 LIMIT {TOPK_WORDS_N}
 """
 
@@ -1997,6 +2068,117 @@ def q_lineitem_revenue(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape: six-table join with ONE large shuffle.  All four
+    dimension sides (region→nation filter, customer→nation, supplier→
+    nation) are broadcast once via ``ray.put`` and applied as vectorized
+    map lookups inside the scan batches; the only all-to-all exchange is
+    the unavoidable large×large lineitem ⋈ orders hash join, onto which
+    the date filter and in-region customer semi-join are pushed BEFORE the
+    shuffle (orders shrink ~6×).  Revenue aggregates combiner-first.
+
+    PARTITIONING ASSUMPTION: customer/supplier are dimension-scale
+    (broadcastable); at warehouse scale swap the customer lookup for a
+    second hash_join — the policy point stages/joins.py documents.
+    """
+    import pandas as pd
+
+    from ..stages.joins import hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rk = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rk]
+    nat_keys = set(nat["n_nationkey"])
+    n_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    c_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    s_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    lo, hi = pd.Timestamp(Q5_DATE_LO), pd.Timestamp(Q5_DATE_HI)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep_orders(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(c_ref)
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        cn = b["o_custkey"].map(cmap)
+        b = pd.DataFrame({"o_orderkey": b["o_orderkey"], "c_nationkey": cn})
+        return b.dropna().astype({"c_nationkey": "int64"})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(
+        li,
+        orders.map_batches(prep_orders, batch_format="pandas"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(s_ref)
+        sn = b["l_suppkey"].map(smap).to_numpy(dtype=np.float64)
+        keep = sn == b["c_nationkey"].to_numpy(dtype=np.float64)
+        b = b[keep]
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        out = (
+            pd.DataFrame({"nationkey": b["c_nationkey"].to_numpy(), "revenue": rev})
+            .groupby("nationkey", sort=False, as_index=False)["revenue"]
+            .sum()
+        )
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nationkey": np.array([g["nationkey"].iloc[0]], dtype=np.int64),
+                "revenue": [g["revenue"].sum()],
+            }
+        )
+
+    df = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("nationkey")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    df["n_name"] = df["nationkey"].map(n_name)
+    df["revenue"] = df["revenue"].round(2)
+    return (
+        df[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+SQL_REGIONAL_REVENUE = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}' AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 SQL_LINEITEM_REVENUE = """
 SELECT o_orderpriority, count(*) AS n_lines,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2538,6 +2720,7 @@ QUERIES = {
     "phrase_limited": q_phrase_limited,
     "phrase_ranges": q_phrase_ranges,
     "bool_search": q_bool_search,
+    "phrase_snippets": q_phrase_snippets,
     "bm25_topk": q_bm25_topk,
     "symbol_search": q_symbol_search,
     "word_occurrences": q_word_occurrences,
@@ -2548,6 +2731,7 @@ QUERIES = {
     "line_extract": q_line_extract,
     "topk_terms": q_topk_terms,
     "topk_words": q_topk_words,
+    "topk_bigrams": q_topk_bigrams,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -2586,6 +2770,7 @@ QUERIES = {
     "regex_scan": q_regex_scan,
     "orders_enriched": q_orders_enriched,
     "lineitem_revenue": q_lineitem_revenue,
+    "regional_revenue": q_regional_revenue,
     "events_range": q_events_range,
     "orders_topk": q_orders_topk,
     "pricing_summary": q_pricing_summary,
@@ -2609,6 +2794,7 @@ ORACLE_SQL = {
     "phrase_limited": SQL_PHRASE_LIMITED,
     "phrase_ranges": SQL_PHRASE_RANGES,
     "bool_search": SQL_BOOL_SEARCH,
+    "phrase_snippets": SQL_PHRASE_SNIPPETS,
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,
     "word_occurrences": SQL_WORD_OCCURRENCES,
@@ -2619,6 +2805,7 @@ ORACLE_SQL = {
     "line_extract": SQL_LINE_EXTRACT,
     "topk_terms": SQL_TOPK_TERMS,
     "topk_words": SQL_TOPK_WORDS,
+    "topk_bigrams": SQL_TOPK_BIGRAMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
@@ -2659,6 +2846,7 @@ ORACLE_SQL = {
     "regex_scan": SQL_REGEX_SCAN,
     "orders_enriched": SQL_ORDERS_ENRICHED,
     "lineitem_revenue": SQL_LINEITEM_REVENUE,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
     "events_range": SQL_EVENTS_RANGE,
     "orders_topk": SQL_ORDERS_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,

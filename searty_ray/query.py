@@ -1203,6 +1203,31 @@ class PrettyPrinter:
                     lines[lo + r] = text[ls[r] : le[r]]
         return phrase_results.append_column("line", pa.array(lines, type=pa.string()))
 
+    def snippets(self, phrase_results: pa.Table, window: int = 20) -> pa.Table:
+        """KWIC rendering: a ``window``-rune context slice around each match
+        instead of the enclosing line.  Same doc-major streamed body fetch
+        as :meth:`render` (memory bounded by ``doc_batch``); offsets are
+        rune offsets, so Python slicing == SQL ``substr`` on characters."""
+        n = len(phrase_results)
+        if n == 0:
+            return phrase_results.append_column("snippet", pa.array([], type=pa.string()))
+        docs = phrase_results["doc_id"].to_numpy()
+        starts = phrase_results["start"].to_numpy()
+        ends = phrase_results["end"].to_numpy()
+        bounds = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1, [n]))
+        group_docs = docs[bounds[:-1]]
+        snips: list[str | None] = [None] * n
+        for gi in range(0, len(group_docs), self.doc_batch):
+            bodies = self.reader.content_for(group_docs[gi : gi + self.doc_batch])
+            for g in range(gi, min(gi + self.doc_batch, len(group_docs))):
+                text = bodies[int(group_docs[g])]
+                lo, hi = int(bounds[g]), int(bounds[g + 1])
+                s = np.maximum(starts[lo:hi] - window, 0)
+                e = np.minimum(ends[lo:hi] + window, len(text))
+                for r in range(hi - lo):
+                    snips[lo + r] = text[s[r] : e[r]]
+        return phrase_results.append_column("snippet", pa.array(snips, type=pa.string()))
+
 
 class QueryEngine:
     """Actor-pool query evaluator for ``map_batches`` over a query table.

@@ -239,3 +239,17 @@ def test_bool_search_matches_content_oracle(reader, fixture_oracle):
 
     with pytest.raises(ValueError):
         bs.search(must_not=("defun",))
+
+
+def test_snippets_are_window_slices(reader, fixture_oracle):
+    from searty_ray.query import PrettyPrinter
+
+    ps = PhraseSearcher(reader)
+    res = ps.search("defun")
+    out = PrettyPrinter(reader).snippets(res, window=7)
+    assert out.num_rows == res.num_rows
+    for row in out.to_pylist()[:50]:
+        text = fixture_oracle.docs[row["doc_id"]].content
+        lo = max(row["start"] - 7, 0)
+        hi = min(row["end"] + 7, len(text))
+        assert row["snippet"] == text[lo:hi]

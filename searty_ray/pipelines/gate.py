@@ -1937,6 +1937,106 @@ ORDER BY event_id
 """
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-group z-score normalization (analytics.zscore_normalize): moment
+    combiner → broadcast (group → mean/std) → one streaming normalize map;
+    the events themselves never shuffle."""
+    import pandas as pd
+
+    from ..stages.analytics import zscore_normalize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = zscore_normalize(ev, group="event_type", value="value").to_pandas()
+    out["value"] = out["value"].round(6)
+    out["z"] = out["z"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_ZSCORE = """
+SELECT event_id, event_type, round(value, 6) AS value,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 330.0, 33
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-width per-group histogram (analytics.histogram): per-batch
+    bincount partials, one tiny groupby-sum — integer-exact."""
+    from ..stages.analytics import histogram
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = histogram(
+        ev, "value", lo=HIST_LO, hi=HIST_HI, bins=HIST_BINS, group="event_type"
+    ).to_pandas()
+    return (
+        out.sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+        .astype({"bin": "int64", "n": "int64"})
+    )
+
+
+SQL_EVENTS_HISTOGRAM = f"""
+SELECT event_type,
+       least(greatest(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}), 0), {HIST_BINS - 1})::BIGINT AS bin,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+def q_events_cumsum(sf_dir: str):
+    """Per-key running total (windows.cumulative_sum) over purchase events —
+    SUM OVER ROWS UNBOUNDED PRECEDING parity."""
+    import pandas as pd
+
+    from ..stages.windows import cumulative_sum
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "user_id": b["user_id"],
+                "value": b["value"],
+            }
+        )
+
+    out = cumulative_sum(
+        ev.map_batches(purchases, batch_format="pandas"),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+    ).to_pandas()
+    for c in ("value", "running_sum"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_CUMSUM = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, ts_us, user_id, round(value, 6) AS value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+FROM p
+ORDER BY event_id
+"""
+
+
 def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
@@ -2765,6 +2865,9 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
     "events_lag": q_events_lag,
+    "events_cumsum": q_events_cumsum,
+    "events_zscore": q_events_zscore,
+    "events_histogram": q_events_histogram,
     "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
@@ -2841,6 +2944,9 @@ ORACLE_SQL = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_lag": SQL_EVENTS_LAG,
+    "events_cumsum": SQL_EVENTS_CUMSUM,
+    "events_zscore": SQL_EVENTS_ZSCORE,
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,

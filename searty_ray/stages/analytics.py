@@ -291,3 +291,104 @@ def group_quantiles(
         .groupby("__pk")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def zscore_normalize(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Per-group z-score feature normalization: (v − mean_g) / stddev_g
+    (sample stddev, SQL ``stddev_samp``); z = NaN (SQL NULL) for groups of
+    one.  Two passes, moments-first:
+
+    1. per-batch partial moments (n, Σv, Σv²) — the combiner, so the
+       moment shuffle is one row per (group, batch); a tiny per-group
+       moment table reaches the driver and broadcasts via ``ray.put``;
+    2. the data streams once through a vectorized normalize map — the
+       corpus itself never shuffles.
+    """
+    import ray as _ray
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({group: b[group], "v": v, "v2": v * v})
+        out = g.groupby(group, sort=False, as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return out.astype({"n": "int64"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(group, sort=False, as_index=False)[["n", "s", "s2"]].sum()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__pk"] = _pk_any(b[group], num_partitions)
+        return b
+
+    moments = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(lambda g: merge(g.drop(columns="__pk")), batch_format="pandas")
+        .to_pandas()  # one row per group — dimension-scale
+    )
+    n = moments["n"].to_numpy(dtype=np.float64)
+    mean = moments["s"].to_numpy() / n
+    # sample variance from raw moments; clamp the tiny negative residue
+    # cancellation can leave so sqrt never NaNs a legitimate zero-variance
+    var = np.maximum((moments["s2"].to_numpy() - n * mean * mean), 0.0) / np.maximum(n - 1, 1)
+    sd = np.sqrt(var)
+    sd[n < 2] = np.nan
+    stats_ref = _ray.put(
+        {k: (m, s) for k, m, s in zip(moments[group], mean, sd)}
+    )
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        st = _ray.get(stats_ref)
+        ms = b[group].map(lambda k: st[k][0]).to_numpy(dtype=np.float64)
+        sds = b[group].map(lambda k: st[k][1]).to_numpy(dtype=np.float64)
+        out = b.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (b[value].to_numpy(dtype=np.float64) - ms) / sds
+        z[sds == 0.0] = np.nan
+        out["z"] = z
+        return out
+
+    return ds.map_batches(normalize, batch_format="pandas")
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    value: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group: str | None = None,
+) -> ray.data.Dataset:
+    """Fixed-width histogram of ``value`` over [lo, hi) (underflow → bin 0,
+    overflow → bin ``bins-1``), optionally per ``group``.  Combiner-first:
+    per-batch ``np.bincount`` partials (≤ bins rows per batch), then one
+    tiny groupby-sum — bin ids are integers, so the result is exact."""
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / bins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value].to_numpy(dtype=np.float64)
+        ids = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, bins - 1)
+        if group is None:
+            c = np.bincount(ids, minlength=bins)
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({"bin": nz.astype("int64"), "cnt": c[nz].astype("int64")})
+        g = pd.DataFrame({group: b[group], "bin": ids})
+        out = g.groupby([group, "bin"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": "int64"})
+
+    keys = ["bin"] if group is None else [group, "bin"]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(Sum("cnt", alias_name="n"))
+    )

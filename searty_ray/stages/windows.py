@@ -443,3 +443,37 @@ def lag_delta_ranged(
         return s
 
     return tagged.groupby("__pk").map_groups(lag_range, batch_format="pandas")
+
+
+def cumulative_sum(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key running total — ``SUM(value) OVER (PARTITION BY key ORDER BY
+    order ROWS UNBOUNDED PRECEDING)``.  Adds ``running_sum``.  One hash
+    shuffle + per-partition vectorized groupby cumsum; accumulation order
+    is the key's global order on both engine and SQL sides, so the float
+    sums agree term-for-term.  Same one-key-one-partition contract as
+    rolling_aggregate (cumulative state is inherently sequential; a ranged
+    escape would carry per-range prefix sums — the rolling_aggregate_ranged
+    boundary pattern with a single scalar seed)."""
+    from .analytics import _pk_any
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort").drop(columns="__pk")
+        s["running_sum"] = s.groupby(by, sort=False)[value].cumsum()
+        return s
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )

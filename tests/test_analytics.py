@@ -419,3 +419,79 @@ def test_prep_corpus_to_parquet_split_layout(ray_session, tmp_path):
     mtime = os.path.getmtime(out + "/.done")
     assert prep_corpus_to_parquet(ray.data.from_pandas(df), out, resume=True) == out
     assert os.path.getmtime(out + "/.done") == mtime
+
+
+def test_zscore_normalize_matches_pandas(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import zscore_normalize
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(300, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c", "only_once"], 300,
+                                     p=[0.5, 0.3, 0.197, 0.003]),
+            "value": rng.random(300) * 100,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        zscore_normalize(ds, group="event_type", value="value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("event_type")["value"]
+    exp_z = (df["value"] - df["event_type"].map(g.mean())) / df["event_type"].map(g.std(ddof=1))
+    np.testing.assert_allclose(got["z"].to_numpy(), exp_z.to_numpy(), rtol=1e-9, equal_nan=True)
+    # singleton groups yield NaN (SQL NULL), never a crash or inf
+    singles = df["event_type"].value_counts()
+    if (singles == 1).any():
+        lone = singles[singles == 1].index[0]
+        assert got.loc[got["event_type"] == lone, "z"].isna().all()
+
+
+def test_histogram_matches_numpy(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import histogram
+
+    rng = np.random.default_rng(9)
+    v = np.concatenate([rng.random(500) * 10, [-5.0, 15.0, 9.999, 0.0]])  # under/overflow
+    df = pd.DataFrame({"value": v})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        histogram(ds, "value", lo=0.0, hi=10.0, bins=5)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    ids = np.clip(np.floor(v / 2.0).astype(np.int64), 0, 4)
+    exp = np.bincount(ids, minlength=5)
+    assert dict(zip(got["bin"], got["n"])) == {i: int(c) for i, c in enumerate(exp) if c}
+
+
+def test_cumulative_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from searty_ray.stages.windows import cumulative_sum
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(250, dtype=np.int64),
+            "ts_us": rng.integers(0, 10**9, 250),
+            "user_id": rng.integers(0, 6, 250).astype(np.int64),
+            "value": rng.random(250).round(4),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        cumulative_sum(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    exp = s.assign(running_sum=s.groupby("user_id")["value"].cumsum()).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)

@@ -232,6 +232,28 @@ def main() -> None:
     dedup.simhash_near_dups(docs.select_columns(["doc_id", "text"]), max_hamming=3)
     timings["dedup_simhash"] = time.monotonic() - t0
 
+    # pairs → connected components → canonical keep-list (the full dedup
+    # chain a training pipeline runs; CC rounds are edge-set-sized shuffles)
+    from searty_ray.stages import cluster as _cluster
+
+    t0 = time.monotonic()
+    pairs = dedup.minhash_lsh_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        threshold=0.5,
+        source_path=f"{SF_DIR}/documents.parquet",
+    )
+    clusters = _cluster.duplicate_clusters(pairs)
+    _cluster.canonical_filter(docs.select_columns(["doc_id"]), clusters).count()
+    timings["dedup_clusters"] = time.monotonic() - t0
+
+    # fuzzy scan-pushdown over the derived corpus (ed<=1 kernel per batch)
+    from searty_ray.sources.corpus import corpus_from_documents as _cfd
+    from searty_ray.stages.fuzzy import fuzzy_word_stats as _fuzzy
+
+    t0 = time.monotonic()
+    _fuzzy(_cfd(SF_DIR), "DOC-7").count()
+    timings["fuzzy_words"] = time.monotonic() - t0
+
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     qt = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
         f"{SF_DIR}/embeddings.parquet"

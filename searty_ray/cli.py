@@ -195,6 +195,29 @@ def cmd_search(args) -> int:
     if args.words:
         for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    if args.must or args.should:
+        from .query import BoolSearcher
+
+        res = BoolSearcher(reader).search(
+            must=tuple(args.must), should=tuple(args.should), must_not=tuple(args.must_not)
+        )
+        for r in res.to_pylist():
+            print(f"{r['filename']}\t{r['doc_id']}")
+    if args.fuzzy:
+        import ray.data
+
+        from .stages.fuzzy import fuzzy_word_stats
+
+        docs = ray.data.read_parquet(
+            os.path.join(args.database, "documents"), columns=["doc_id", "content"]
+        )
+        out = (
+            fuzzy_word_stats(docs, args.fuzzy)
+            .to_pandas()
+            .sort_values(["df", "word"], ascending=[False, True])
+        )
+        for r in out.itertuples(index=False):
+            print(f"{r.word}\t{r.df}\t{r.cf}")
     for phrase in args.phrase:
         res = printer.render(PhraseSearcher(reader).search(phrase, limit=args.limit))
         for r in res.to_pylist():
@@ -271,6 +294,13 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--regex", help="RE2 regex; trigram-pruned when the pattern allows, "
                     "distributed scan otherwise")
     ps.add_argument("--words")
+    ps.add_argument("--must", action="append", default=[],
+                    help="bool query: phrase that MUST match (repeatable)")
+    ps.add_argument("--should", action="append", default=[],
+                    help="bool query: at least one --should phrase must match")
+    ps.add_argument("--must-not", action="append", default=[],
+                    help="bool query: phrase that must NOT match")
+    ps.add_argument("--fuzzy", help="edit-distance-1 word match over the indexed corpus")
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--limit", type=int, default=None,
                     help="cap phrase results (default: print all, reference parity)")

@@ -146,3 +146,17 @@ def test_cli_remove_shrinks_index(fixture_index, tmp_path, capsys):
     remaining = set(got["filename"].to_pylist())
     assert files[0] not in remaining and files[1] not in remaining
     assert len(remaining) == len(files) - 2
+
+
+def test_cli_search_bool_and_fuzzy(fixture_index, capsys):
+    index_dir, _ = fixture_index
+    rc = cli_main(
+        ["search", "-d", index_dir, "--must", "defun", "--must-not", "zzzz-nohit",
+         "--fuzzy", "cons"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    bool_rows = [l for l in out if l.endswith(tuple("0123456789")) and "\t" in l and not l.startswith("CONS")]
+    assert bool_rows, out
+    # fuzzy rows: word \t df \t cf, CONS itself must appear
+    assert any(l.split("\t")[0] == "CONS" for l in out)

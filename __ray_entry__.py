@@ -34,6 +34,7 @@ def entry() -> Any:
         {"query_id": 2, "kind": "ranked", "query": "merge join", "k": 10},
         {"query_id": 3, "kind": "ranked", "query": "window batch stream", "k": 10},
         {"query_id": 7, "kind": "ranked_words", "query": "merge join window", "k": 10},
+        {"query_id": 8, "kind": "bool", "query": '+"merge part" window stream -customer', "k": 10},
         {"query_id": 4, "kind": "symbol", "query": "doc-7", "k": 10},
         {"query_id": 5, "kind": "symbol", "query": "src0::doc-0", "k": 10},
         {"query_id": 6, "kind": "file", "query": "doc_1", "k": 10},

@@ -732,16 +732,26 @@ def q_topk_bigrams(sf_dir: str):
     from ..functions.words import WORD_RE
 
     def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
         ex = b["text"].str.findall(WORD_RE).explode().dropna()
-        flat = ex.to_numpy(dtype=object)
+        if len(ex) < 2:
+            return empty
+        # count INTEGER code pairs (one factorize + bincount — C speed);
+        # bigram strings materialize once per DISTINCT pair, not per token
+        codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
         doc = ex.index.to_numpy()
-        if len(flat) < 2:
-            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
-                                 "cnt": pd.Series([], dtype="int64")})
         same = doc[1:] == doc[:-1]
-        bigrams = pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same])
-        vc = bigrams.value_counts()
-        return pd.DataFrame({"bigram": vc.index, "cnt": vc.to_numpy()})
+        if not same.any():
+            return empty
+        pair = codes[:-1][same].astype(np.int64) * len(vocab) + codes[1:][same]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        w1 = vocab[(uniq // len(vocab)).astype(np.int64)]
+        w2 = vocab[(uniq % len(vocab)).astype(np.int64)]
+        return pd.DataFrame(
+            {"bigram": np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str)),
+             "cnt": cnt.astype(np.int64)}
+        )
 
     counts = (
         _docs(sf_dir, ["text"])

@@ -737,6 +737,24 @@ def _phrase_empty() -> pa.Table:
     )
 
 
+#: bool mini-syntax token: optional +/- prefix, then a quoted phrase or a
+#: bare word.  `+x` must match, `-x` must not, bare → should (≥1 matches).
+_BOOL_TOKEN_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+
+
+def parse_bool_query(q: str) -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """Parse `+"merge part" window|−customer`-style bool syntax →
+    (must, should, must_not).  The symbol-query parser's sibling (M5) for
+    boolean composition; quoted phrases keep their spaces."""
+    must, should, must_not = [], [], []
+    for sign, quoted, bare in _BOOL_TOKEN_RE.findall(q):
+        text = quoted if quoted else bare
+        if not text:
+            continue
+        (must if sign == "+" else must_not if sign == "-" else should).append(text)
+    return tuple(must), tuple(should), tuple(must_not)
+
+
 class BoolSearcher:
     """Boolean phrase composition over the index: must=AND, should=OR(≥1),
     must_not=NOT — a generalization of the reference CLI's union across
@@ -801,6 +819,11 @@ class BoolSearcher:
             {"doc_id": pa.array(meta["doc_id"], type=pa.int64()),
              "filename": meta["filename"]}
         )
+
+    def search_str(self, q: str) -> pa.Table:
+        """Parse bool mini-syntax (see :func:`parse_bool_query`) and search."""
+        must, should, must_not = parse_bool_query(q)
+        return self.search(must=must, should=should, must_not=must_not)
 
 
 class BM25Searcher:
@@ -1232,9 +1255,10 @@ class PrettyPrinter:
 class QueryEngine:
     """Actor-pool query evaluator for ``map_batches`` over a query table.
 
-    Input batch columns: query_id:int64, kind:string (phrase|ranked|symbol|file),
-    query:string, k:int32.  Output: query_id, kind, n_results, top JSON-ish
-    summary columns kept scalar for Arrow friendliness.
+    Input batch columns: query_id:int64, kind:string
+    (phrase|ranked|ranked_words|symbol|bool|file), query:string, k:int32.
+    Output: query_id, kind, n_results, top JSON-ish summary columns kept
+    scalar for Arrow friendliness.
     """
 
     def __init__(self, index_dir: str, prewarm: bool = True, phrase_limit: int | None = None):
@@ -1248,6 +1272,7 @@ class QueryEngine:
         self.words = WordSearcher(self.reader)
         self.symbol = SymbolSearcher(self.reader)
         self.file = FileSearcher(self.reader)
+        self.bool = BoolSearcher(self.reader)
         if prewarm:
             # per-actor one-time loads happen at actor CONSTRUCTION (the
             # actor-pool contract: setup in __init__), not inside the first
@@ -1289,6 +1314,9 @@ class QueryEngine:
                 head = str(res["doc_id"][0].as_py()) if len(res) else ""
             elif kind == "symbol":
                 res = self.symbol.search(q)
+                head = res["filename"][0].as_py() if len(res) else ""
+            elif kind == "bool":
+                res = self.bool.search_str(q)
                 head = res["filename"][0].as_py() if len(res) else ""
             else:
                 res = self.file.search(q)

@@ -477,3 +477,75 @@ def cumulative_sum(
         .groupby("__pk")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def cumulative_sum_ranged(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    value: str = "value",
+    range_span_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The event-scale-key running-total path: identical output contract to
+    :func:`cumulative_sum`, partitioned by (key, time-range).  Boundary
+    state is ONE scalar per (key, range): the sum of all earlier ranges —
+    per-(key, range) sums are candidate-scale, prefix-summed on the small
+    candidate table and broadcast.
+
+    Float caveat (documented, pinned by pytest): the seed folds an entire
+    prefix into one scalar, so results equal the one-shot path up to float
+    summation regrouping — exact for the pytest's round(4) values, and the
+    correct trade at scale (the alternative ships every prior row).
+    """
+    import ray as _ray
+
+    from .joins import _pk2
+
+    ts_col = order[0]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        rng = batch[ts_col].to_numpy().astype(np.int64) // np.int64(range_span_us)
+        out["__rng"] = rng
+        out["__pk"] = _pk2(batch[by].to_numpy(), rng, num_partitions)
+        return out
+
+    tagged = events.map_batches(tag, batch_format="pandas")
+
+    def range_sums(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([by, "__rng"], sort=False, as_index=False)[value]
+            .sum()
+            .rename(columns={value: "s"})
+        )
+
+    sums = tagged.groupby("__pk").map_groups(range_sums, batch_format="pandas").to_pandas()
+    sums = sums.sort_values([by, "__rng"], kind="mergesort")
+    grp = sums.groupby(by, sort=False)["s"]
+    seeds_df = sums.assign(seed=grp.cumsum() - sums["s"])
+    seeds = {
+        (k, int(r)): float(sd)
+        for k, r, sd in zip(seeds_df[by], seeds_df["__rng"], seeds_df["seed"])
+        if sd != 0.0
+    }
+    seeds_ref = _ray.put(seeds)
+    _cache: dict = {}
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if "seeds" not in _cache:
+            _cache["seeds"] = _ray.get(seeds_ref)
+        all_seeds = _cache["seeds"]
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        gb = s.groupby([by, "__rng"], sort=False)
+        run = gb[value].cumsum().to_numpy()
+        sizes = gb.size().to_numpy()
+        # per-GROUP seed lookup (dimension-scale), repeated out to rows
+        seed_per_group = np.array(
+            [all_seeds.get((k, int(r)), 0.0) for k, r in gb.groups.keys()]
+        )
+        s = s.drop(columns=["__pk", "__rng"])
+        s["running_sum"] = run + np.repeat(seed_per_group, sizes)
+        return s
+
+    return tagged.groupby("__pk").map_groups(roll, batch_format="pandas")

@@ -137,3 +137,25 @@ def test_scrub_pii_matches_duckdb():
         got.reset_index(drop=True), exp, check_dtype=False
     )
     assert got["n_email"].sum() == 3 and got["n_num"].sum() >= 3
+
+
+def test_cumulative_sum_ranged_equals_one_shot():
+    from searty_ray.stages.windows import cumulative_sum, cumulative_sum_ranged
+
+    df = _events(500, users=4, seed=8)
+    df.loc[: len(df) // 2, "user_id"] = 0  # skewed key spans many ranges
+    ds = ray.data.from_pandas(df).repartition(6)
+    one = cumulative_sum(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ranged = (
+        cumulative_sum_ranged(ds, range_span_us=86_400_000_000)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        ranged.drop(columns="running_sum"), one.drop(columns="running_sum")
+    )
+    np.testing.assert_allclose(
+        ranged["running_sum"].to_numpy(), one["running_sum"].to_numpy(), rtol=1e-9
+    )
+    assert df.loc[df["user_id"] == 0, "ts_us"].floordiv(86_400_000_000).nunique() > 1

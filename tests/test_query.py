@@ -253,3 +253,31 @@ def test_snippets_are_window_slices(reader, fixture_oracle):
         lo = max(row["start"] - 7, 0)
         hi = min(row["end"] + 7, len(text))
         assert row["snippet"] == text[lo:hi]
+
+
+def test_parse_bool_query():
+    from searty_ray.query import parse_bool_query
+
+    must, should, must_not = parse_bool_query('+"merge part" window stream -customer')
+    assert must == ("merge part",)
+    assert should == ("window", "stream")
+    assert must_not == ("customer",)
+    assert parse_bool_query('+a -"b c" d') == (("a",), ("d",), ("b c",))
+    assert parse_bool_query("") == ((), (), ())
+
+
+def test_query_engine_bool_kind(fixture_index):
+    import ray.data
+
+    from searty_ray.query import BoolSearcher, IndexReader, QueryEngine
+
+    index_dir, _ = fixture_index
+    qds = ray.data.from_items(
+        [{"query_id": 0, "kind": "bool", "query": '+defun -"zzzz-nohit"', "k": 10}]
+    )
+    out = qds.map_batches(
+        QueryEngine, batch_format="pyarrow", batch_size=4, concurrency=1,
+        fn_constructor_kwargs={"index_dir": index_dir},
+    ).to_pandas()
+    direct = BoolSearcher(IndexReader(index_dir)).search_str('+defun -"zzzz-nohit"')
+    assert out["n_results"].iloc[0] == direct.num_rows > 0

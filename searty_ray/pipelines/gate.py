@@ -2047,6 +2047,77 @@ ORDER BY event_id
 """
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (analytics.vector_centroids): one reduceat
+    partial per batch, dim-length partials shuffle — never the vectors."""
+    from ..stages.analytics import vector_centroids
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    out = vector_centroids(emb, group="label").to_pandas()
+    out["centroid"] = out["centroid"].round(6)
+    return (
+        out.sort_values(["label", "pos"])
+        .reset_index(drop=True)
+        .astype({"label": "int64", "pos": "int64"})
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label::BIGINT AS label, i - 1 AS pos, round(avg(embedding[i]), 6) AS centroid
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Strict first-touch funnel (analytics.funnel_counts): per-(user,stage)
+    min-ts combiner → per-partition chain test → |stages| counters."""
+    import pandas as pd
+
+    from ..stages.analytics import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    out = funnel_counts(ev.map_batches(prep, batch_format="pandas"), FUNNEL_STAGES)
+    return out.astype({"users": "int64"})
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' THEN epoch_us(ts) END) AS t1,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY user_id
+)
+SELECT stage, users FROM (
+  SELECT '{FUNNEL_STAGES[0]}' AS stage,
+         count(*) FILTER (WHERE t0 IS NOT NULL)::BIGINT AS users FROM m
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[1]}',
+         count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0)::BIGINT FROM m
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[2]}',
+         count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0 AND t2 > t1)::BIGINT FROM m
+)
+"""
+
+
 def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
@@ -2878,6 +2949,8 @@ QUERIES = {
     "events_cumsum": q_events_cumsum,
     "events_zscore": q_events_zscore,
     "events_histogram": q_events_histogram,
+    "events_funnel": q_events_funnel,
+    "embedding_centroids": q_embedding_centroids,
     "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
@@ -2957,6 +3030,8 @@ ORACLE_SQL = {
     "events_cumsum": SQL_EVENTS_CUMSUM,
     "events_zscore": SQL_EVENTS_ZSCORE,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,
     "regex_scan": SQL_REGEX_SCAN,

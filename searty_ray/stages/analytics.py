@@ -392,3 +392,103 @@ def histogram(
         .groupby(keys)
         .aggregate(Sum("cnt", alias_name="n"))
     )
+
+
+def vector_centroids(
+    ds: ray.data.Dataset,
+    group: str,
+    vec: str = "embedding",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group mean vector (class centroids over an embedding column) in
+    long form → (group, pos, centroid).  Combiner-first: each batch folds
+    its vectors into ONE (group → sum-vector, n) partial with a single
+    reduceat per group — the shuffle moves dim-length partials per
+    (group, batch), never the embeddings."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(np.stack(b[vec].to_numpy()), dtype=np.float64)
+        keys, inv = np.unique(b[group].to_numpy(), return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, inv[order][1:] != inv[order][:-1]])
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        n = np.diff(np.r_[starts, len(order)])
+        dim = mat.shape[1]
+        return pd.DataFrame(
+            {
+                group: np.repeat(keys, dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int64), len(keys)),
+                "s": sums.ravel(),
+                "n": np.repeat(n, dim).astype(np.int64),
+            }
+        )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__pk"] = _pk_any(b[group], num_partitions)
+        return b
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby([group, "pos"], sort=False, as_index=False)[["s", "n"]].sum()
+        r["centroid"] = r["s"] / r["n"]
+        return r[[group, "pos", "centroid"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    stages: tuple[str, ...],
+    user: str = "user_id",
+    event_type: str = "event_type",
+    ts: str = "ts_us",
+    num_partitions: int = NUM_PARTITIONS,
+) -> pd.DataFrame:
+    """Strict first-touch funnel: a user converts at stage k when their
+    FIRST stage-i timestamps are strictly increasing through i ≤ k
+    (min(t₁) < min(t₂) < … — the simple funnel semantics a SQL mirror can
+    state exactly).  → (stage, users) with cumulative conversion counts.
+
+    Shape: per-batch (user, stage, min-ts) partials — the combiner, so the
+    shuffle carries ≤ |stages| rows per user per batch; per-partition
+    vectorized pivot + chain test; only |stages| counters reach the driver.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[event_type].isin(stages)]
+        return b.groupby([user, event_type], sort=False, as_index=False)[ts].min()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__pk"] = _pk_any(b[user], num_partitions)
+        return b
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby([user, event_type], sort=False)[ts].min().unstack(event_type)
+        ok = np.ones(len(m), dtype=bool)
+        prev = None
+        out = np.zeros(len(stages), dtype=np.int64)
+        for i, st in enumerate(stages):
+            cur = m[st].to_numpy(dtype=np.float64) if st in m.columns else np.full(len(m), np.nan)
+            if prev is None:
+                ok = ok & ~np.isnan(cur)
+            else:
+                with np.errstate(invalid="ignore"):
+                    ok = ok & ~np.isnan(cur) & (cur > prev)
+            out[i] = int(ok.sum())
+            prev = cur
+        return pd.DataFrame({"stage": list(stages), "users": out})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(counts, batch_format="pandas")
+        .to_pandas()  # |stages| rows per partition
+    )
+    agg = parts.groupby("stage", sort=False, as_index=False)["users"].sum()
+    order = {s: i for i, s in enumerate(stages)}
+    return agg.sort_values("stage", key=lambda s: s.map(order)).reset_index(drop=True)

@@ -495,3 +495,58 @@ def test_cumulative_sum_matches_pandas(ray_session):
         "event_id"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_vector_centroids_matches_numpy(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import vector_centroids
+
+    rng = np.random.default_rng(6)
+    n, dim = 200, 8
+    df = pd.DataFrame(
+        {
+            "label": rng.integers(0, 5, n).astype(np.int64),
+            "embedding": list(rng.standard_normal((n, dim)).astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        vector_centroids(ds, group="label")
+        .to_pandas()
+        .sort_values(["label", "pos"])
+        .reset_index(drop=True)
+    )
+    for lbl in sorted(df["label"].unique()):
+        exp = np.stack(df.loc[df["label"] == lbl, "embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lbl].sort_values("pos")["centroid"].to_numpy()
+        np.testing.assert_allclose(sub, exp, rtol=1e-12)
+
+
+def test_funnel_counts_matches_brute_force(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import funnel_counts
+
+    rng = np.random.default_rng(15)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase", "noise"], n),
+            "ts_us": rng.integers(0, 10**7, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = funnel_counts(ds, ("view", "click", "purchase"))
+    # brute force
+    firsts = df.pivot_table(index="user_id", columns="event_type", values="ts_us", aggfunc="min")
+    def t(col):
+        return firsts[col] if col in firsts else pd.Series(np.nan, index=firsts.index)
+    s1 = t("view").notna()
+    s2 = s1 & (t("click") > t("view"))
+    s3 = s2 & (t("purchase") > t("click"))
+    exp = [int(s1.sum()), int(s2.sum()), int(s3.sum())]
+    assert got["users"].tolist() == exp
+    assert got["stage"].tolist() == ["view", "click", "purchase"]
+    assert exp[0] >= exp[1] >= exp[2] and exp[1] > 0

@@ -2118,6 +2118,30 @@ SELECT stage, users FROM (
 """
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Data-quality profile (analytics.profile_numeric): per-column n /
+    nulls / min / max from per-batch mergeable partials — |columns| rows
+    per batch shuffle, never data."""
+    from ..stages.analytics import profile_numeric
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=PROFILE_COLS)
+    out = profile_numeric(li, PROFILE_COLS)
+    for c in ("min", "max"):
+        out[c] = out[c].round(6)
+    return out
+
+
+SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       round(min({c}), 6) AS min, round(max({c}), 6) AS max FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
 def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
@@ -2950,6 +2974,7 @@ QUERIES = {
     "events_zscore": q_events_zscore,
     "events_histogram": q_events_histogram,
     "events_funnel": q_events_funnel,
+    "lineitem_profile": q_lineitem_profile,
     "embedding_centroids": q_embedding_centroids,
     "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
@@ -3031,6 +3056,7 @@ ORACLE_SQL = {
     "events_zscore": SQL_EVENTS_ZSCORE,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,

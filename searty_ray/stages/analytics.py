@@ -492,3 +492,39 @@ def funnel_counts(
     agg = parts.groupby("stage", sort=False, as_index=False)["users"].sum()
     order = {s: i for i, s in enumerate(stages)}
     return agg.sort_values("stage", key=lambda s: s.map(order)).reset_index(drop=True)
+
+
+def profile_numeric(
+    ds: ray.data.Dataset,
+    columns: list[str],
+) -> pd.DataFrame:
+    """Data-quality profile of numeric columns → one row per column:
+    (column, n, n_null, min, max).  All statistics are mergeable, so each
+    batch folds to |columns| partial rows (the combiner) and the final
+    reduce handles |columns| × #batches rows on the driver — bytes, not
+    data.  Exact distinct-cardinality profiling is deliberately NOT here:
+    that is a shuffle (or the KMV sketch, analytics.approx_distinct_per_group
+    — the 100-TB path)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:  # per-COLUMN loop — dimension-scale
+            col = b[c]
+            null = col.isna()
+            vals = col[~null].to_numpy(dtype=np.float64)
+            rows.append(
+                (
+                    c,
+                    len(col),
+                    int(null.sum()),
+                    float(vals.min()) if len(vals) else np.nan,
+                    float(vals.max()) if len(vals) else np.nan,
+                )
+            )
+        return pd.DataFrame(rows, columns=["column", "n", "n_null", "min", "max"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("column", sort=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"), min=("min", "min"), max=("max", "max")
+    )
+    out = agg.reindex(columns).reset_index().rename(columns={"index": "column"})
+    return out.astype({"n": "int64", "n_null": "int64"})

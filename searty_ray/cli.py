@@ -95,6 +95,19 @@ def cmd_add(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    _ray_session()
+    from .pipelines.merge import update_documents
+
+    corpus = _load_corpus(args.corpus, args.from_documents)
+    manifest = update_documents(args.index, corpus, args.output, resume=args.resume)
+    print(
+        f"updated {args.index}: now {manifest.n_docs} docs, "
+        f"{manifest.total_tokens} tokens -> {args.output}"
+    )
+    return 0
+
+
 def cmd_remove(args) -> int:
     _ray_session()
     from .pipelines.merge import remove_documents
@@ -267,6 +280,16 @@ def main(argv: list[str] | None = None) -> int:
     pa_.add_argument("--preserve-ids", action="store_true")
     pa_.add_argument("--resume", action="store_true")
     pa_.set_defaults(fn=cmd_add)
+
+    pu = sub.add_parser(
+        "update", help="replace matching-filename docs with new versions (remove+add)"
+    )
+    pu.add_argument("-d", "--index", required=True, help="existing index dir")
+    pu.add_argument("-o", "--output", required=True, help="updated index dir")
+    pu.add_argument("corpus", nargs="+")
+    pu.add_argument("--from-documents", action="store_true")
+    pu.add_argument("--resume", action="store_true")
+    pu.set_defaults(fn=cmd_update)
 
     pr = sub.add_parser(
         "remove", help="drop documents from an existing index (no re-tokenization "

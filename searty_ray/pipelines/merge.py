@@ -366,3 +366,46 @@ def remove_documents(
         resume=resume,
         drop_doc_ids=(0, ids),
     )
+
+
+def update_documents(
+    index_dir: str,
+    corpus: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    id_mode: str = "sort",
+    resume: bool = False,
+) -> Manifest:
+    """Incremental UPDATE: replace documents whose filename already exists
+    in the index with the new corpus's version (and add the rest).
+
+    Composition of the two existing primitives — remove the incoming
+    filenames (no-op for genuinely-new files), then add the new corpus —
+    so every consistency property is inherited: still-compressed postings
+    of untouched docs move without re-tokenization, df/cf/avgdl recompute
+    in the encode, and with the default reassign mode the result is
+    BYTE-IDENTICAL to a direct build over (old − updated) ∪ new (pinned
+    by pytest).  The filename list is the only driver-resident state —
+    update-batch-sized, not index-sized.
+    """
+    import shutil
+    import tempfile
+
+    def _names(b: pd.DataFrame) -> pd.DataFrame:
+        # same join the doc stage writes (indexer.go:36-44 parity)
+        return pd.DataFrame({"filename": b["repo"] + "/" + b["path"]})
+
+    names = [
+        fn
+        for b in corpus.select_columns(["repo", "path"])
+            .map_batches(_names, batch_format="pandas")
+            .iter_batches(batch_format="pandas")
+        for fn in b["filename"]
+    ]
+    tmp = tempfile.mkdtemp(prefix="searty_update_", dir="/tmp")
+    try:
+        shrunk = os.path.join(tmp, "shrunk")
+        remove_documents(index_dir, shrunk, filenames=names, resume=resume)
+        return add_documents(shrunk, corpus, out_dir, id_mode=id_mode, resume=resume)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -84,3 +84,20 @@ def test_pipeline_matches_pandas_reference():
         .astype({"df": "int64", "cf": "int64"})
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_ed1_mask_hypothesis_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = st.text(alphabet="AB1-xyØ", min_size=0, max_size=7)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alpha.filter(bool), min_size=1, max_size=30), alpha.filter(bool))
+    def check(words, q):
+        cps, starts, lens = _pack(words)
+        got = fuzzy.ed1_mask(cps, starts, lens, q)
+        exp = np.array([_lev(w, q) <= 1 for w in words])
+        assert (got == exp).all(), [w for w, g, e in zip(words, got, exp) if g != e]
+
+    check()

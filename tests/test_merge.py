@@ -3,6 +3,7 @@
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -358,3 +359,46 @@ def test_remove_documents_arg_validation(ray_session, tmp_path):
         remove_documents(full, str(tmp_path / "x"))
     with pytest.raises(ValueError):
         remove_documents(full, str(tmp_path / "y"), filenames=["a"], doc_ids=[1])
+
+
+def test_update_documents_equals_direct_build(ray_session, tmp_path):
+    """update_documents (remove incoming filenames + add new versions)
+    equals a direct build over (old − updated) ∪ new byte-for-byte;
+    genuinely-new filenames in the update batch are plain adds."""
+    import pyarrow.compute as pc
+
+    from searty_ray.pipelines.merge import update_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=24, seed=37)
+    base = str(tmp_path / "ixu_base")
+    build_index(ray.data.from_arrow(corpus), base, num_parts=4, tokenizer="trigram+symbols")
+
+    # new versions of one repo's files (content changed), plus one new file
+    upd = corpus.filter(pc.equal(corpus["repo"], "cl-ppcre")).to_pandas()
+    upd["content"] = upd["content"] + "\n(defun updated-fn (x) x)\n"
+    new_row = upd.iloc[[0]].copy()
+    new_row["path"] = "src/brand-new.lisp"
+    new_row["content"] = "(defpackage :brand-new)\n(defun brand-new () nil)\n"
+    upd = pd.concat([upd, new_row], ignore_index=True)
+
+    out = str(tmp_path / "ixu_out")
+    m = update_documents(base, ray.data.from_pandas(upd), out)
+
+    # reference: direct build over survivors ∪ updated versions
+    keep = corpus.filter(pc.not_equal(corpus["repo"], "cl-ppcre")).to_pandas()
+    ref_corpus = pd.concat([keep, upd], ignore_index=True)
+    ref = str(tmp_path / "ixu_ref")
+    build_index(ray.data.from_pandas(ref_corpus), ref, num_parts=4, tokenizer="trigram+symbols")
+
+    mr = IndexReader(ref).manifest
+    assert (m.n_docs, m.total_tokens, m.max_doc_id) == (mr.n_docs, mr.total_tokens, mr.max_doc_id)
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    sr = pq.read_table(os.path.join(ref, "segments"))
+    so = pq.read_table(os.path.join(out, "segments"))
+    assert sr.sort_by(order).equals(so.sort_by(order))
+
+    # the updated content is actually searchable
+    from searty_ray.query import PhraseSearcher
+
+    assert PhraseSearcher(IndexReader(out)).search("updated-fn").num_rows > 0
+    assert PhraseSearcher(IndexReader(base)).search("updated-fn").num_rows == 0

@@ -232,9 +232,15 @@ def cmd_search(args) -> int:
         for r in out.itertuples(index=False):
             print(f"{r.word}\t{r.df}\t{r.cf}")
     for phrase in args.phrase:
-        res = printer.render(PhraseSearcher(reader).search(phrase, limit=args.limit))
-        for r in res.to_pylist():
-            print(f"{r['filename']}:{r['start']}:{r['end']}:{r['line']}")
+        hits = PhraseSearcher(reader).search(phrase, limit=args.limit)
+        if args.snippet is not None:
+            res = printer.snippets(hits, window=args.snippet)
+            for r in res.to_pylist():
+                print(f"{r['filename']}:{r['start']}:{r['end']}:{r['snippet']!r}")
+        else:
+            res = printer.render(hits)
+            for r in res.to_pylist():
+                print(f"{r['filename']}:{r['start']}:{r['end']}:{r['line']}")
     return 0
 
 
@@ -327,6 +333,8 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--limit", type=int, default=None,
                     help="cap phrase results (default: print all, reference parity)")
+    ps.add_argument("--snippet", type=int, default=None, metavar="WINDOW",
+                    help="KWIC rendering: ±WINDOW runes of context instead of the line")
     ps.add_argument("phrase", nargs="*")
     ps.set_defaults(fn=cmd_search)
 

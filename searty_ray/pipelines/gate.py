@@ -75,6 +75,25 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """Format-independence: the documents table ingested from LINE-DELIMITED
+    JSON (sources/text.documents_from_jsonl — pyarrow streaming JSONL read)
+    must equal the parquet table row-for-row."""
+    from ..sources.text import documents_from_jsonl, write_documents_jsonl
+
+    path = os.path.join(
+        CACHE_ROOT,
+        f"docs_{os.path.basename(os.path.normpath(sf_dir))}_{_data_fingerprint(sf_dir)}.jsonl",
+    )
+    if not os.path.exists(path):
+        write_documents_jsonl(f"{sf_dir}/documents.parquet", path)
+    out = documents_from_jsonl(path).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_JSONL_INGEST = "SELECT * FROM documents ORDER BY doc_id"
+
+
 def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """documents table; pass ``columns`` so the projection happens AT the
     parquet scan (Ray's planner runs select_columns as a separate Project
@@ -381,6 +400,30 @@ def q_phrase_ranges(sf_dir: str):
 
 
 SQL_PHRASE_RANGES = _sql_phrase(PHRASE_OVERLAP_Q)
+
+
+def q_phrase_counts(sf_dir: str):
+    """grep -c analogue: per-document RAW match count for a phrase, straight
+    from the positional index (base_positions — counts before interval
+    merging, so overlapping hits count individually)."""
+    index_dir = _ensure_index(sf_dir)
+    docs, _bases = PhraseSearcher(IndexReader(index_dir)).base_positions(PHRASE_Q)
+    uniq, cnt = np.unique(docs, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(uniq, type=pa.int64()),
+         "n_matches": pa.array(cnt, type=pa.int64())}
+    )
+
+
+SQL_PHRASE_COUNTS = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_matches
+FROM (SELECT doc_id, content,
+             unnest(range(1, greatest(length(content) - {len(PHRASE_Q)} + 2, 1))) AS i
+      FROM corpus)
+WHERE substr(content, i, {len(PHRASE_Q)}) = '{PHRASE_Q}'
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 SNIPPET_WINDOW = 20
@@ -2142,6 +2185,83 @@ SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field out of the JSON
+    ``props`` column with a C-regex kernel inside the scan (swap for a
+    vectorized JSON parser for nested payloads — same stage shape), then
+    the standard combiner-first aggregate per event_type."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"], "k": k}).groupby(
+            "event_type", sort=False, as_index=False
+        ).agg(n=("k", "size"), sum_k=("k", "sum"))
+        return g.astype({"n": "int64", "sum_k": "int64"})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    agg["avg_k"] = (agg["sum_k"] / agg["n"]).round(6)
+    return (
+        agg.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype({"n": "int64", "sum_k": "int64"})
+    )
+
+
+SQL_EVENTS_PROPS_STATS = """
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k, round(avg(k), 6) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+APPROX_Q_K = 64
+
+
+def q_events_approx_quantiles(sf_dir: str):
+    """Mergeable approximate quantiles (analytics.approx_group_quantiles):
+    deterministic bottom-k hash sample per group — ≤ k rows per group per
+    batch shuffle at ANY cardinality; the oracle reconstructs the IDENTICAL
+    sample via row_number over the mirrored mix64."""
+    from ..stages.analytics import approx_group_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = approx_group_quantiles(
+        ev, group="event_type", value="value", id_col="event_id", qs=(0.5, 0.9), k=APPROX_Q_K
+    ).to_pandas()
+    for c in ("q50", "q90"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _sql_events_approx_quantiles() -> str:
+    from ..functions.hashing import sql_mix64_expr
+
+    return f"""
+WITH h AS (
+  SELECT event_type, value, {sql_mix64_expr("event_id")} AS hv FROM events
+),
+s AS (
+  SELECT event_type, value FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY hv) <= {APPROX_Q_K}
+)
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.9), 6) AS q90
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
@@ -2916,6 +3036,7 @@ SQL_CORPUS_PREP = _sql_corpus_prep()
 
 QUERIES = {
     "build_documents": q_build_documents,
+    "jsonl_ingest": q_jsonl_ingest,
     "corpus_stats": q_corpus_stats,
     "term_stats": q_term_stats,
     "postings_probe": q_postings_probe,
@@ -2926,6 +3047,7 @@ QUERIES = {
     "phrase_ranges": q_phrase_ranges,
     "bool_search": q_bool_search,
     "phrase_snippets": q_phrase_snippets,
+    "phrase_counts": q_phrase_counts,
     "bm25_topk": q_bm25_topk,
     "symbol_search": q_symbol_search,
     "word_occurrences": q_word_occurrences,
@@ -2975,6 +3097,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "events_funnel": q_events_funnel,
     "lineitem_profile": q_lineitem_profile,
+    "events_props_stats": q_events_props_stats,
     "embedding_centroids": q_embedding_centroids,
     "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
@@ -2991,11 +3114,13 @@ QUERIES = {
     "orders_unshipped": q_orders_unshipped,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
+    "events_approx_quantiles": q_events_approx_quantiles,
     "corpus_prep": q_corpus_prep,
 }
 
 ORACLE_SQL = {
     "build_documents": SQL_BUILD_DOCUMENTS,
+    "jsonl_ingest": SQL_JSONL_INGEST,
     "corpus_stats": SQL_CORPUS_STATS,
     "term_stats": SQL_TERM_STATS,
     "postings_probe": SQL_POSTINGS_PROBE,
@@ -3006,6 +3131,7 @@ ORACLE_SQL = {
     "phrase_ranges": SQL_PHRASE_RANGES,
     "bool_search": SQL_BOOL_SEARCH,
     "phrase_snippets": SQL_PHRASE_SNIPPETS,
+    "phrase_counts": SQL_PHRASE_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,
     "word_occurrences": SQL_WORD_OCCURRENCES,
@@ -3057,6 +3183,7 @@ ORACLE_SQL = {
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
+    "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "regex_search": SQL_REGEX_SEARCH,
@@ -3073,5 +3200,6 @@ ORACLE_SQL = {
     "orders_unshipped": SQL_ORDERS_UNSHIPPED,
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "events_approx_quantiles": _sql_events_approx_quantiles(),
     "corpus_prep": SQL_CORPUS_PREP,
 }

@@ -528,3 +528,56 @@ def profile_numeric(
     )
     out = agg.reindex(columns).reset_index().rename(columns={"index": "column"})
     return out.astype({"n": "int64", "n_null": "int64"})
+
+
+def approx_group_quantiles(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    k: int = 64,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """MERGEABLE approximate per-group quantiles — the billion-value-key
+    escape the exact :func:`group_quantiles` contract names.  The sketch is
+    a deterministic bottom-k hash sample: keep the k rows with the smallest
+    ``mix64(id)`` per group (a uniform sample because the hash is uniform;
+    deterministic because the hash is seedless — reruns, any parallelism,
+    and the SQL oracle all pick the IDENTICAL sample), then interpolate
+    quantiles over the sample.  Bottom-k is a semigroup (bottom-k of a
+    union = bottom-k of concatenated bottom-ks), so each batch contributes
+    ≤ k rows per group to the shuffle no matter how many rows it holds.
+
+    Error: standard order-statistic sampling bounds, ~O(1/√k) in rank;
+    a pytest pins the observed error against exact quantiles.
+    """
+    from ..functions.hashing import mix64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = mix64(b[id_col].to_numpy().astype(np.int64).view(np.uint64))
+        t = pd.DataFrame({group: b[group], "v": b[value], "h": h})  # h stays uint64:
+        # int64-viewed hashes would sort sign-flipped vs the SQL's UBIGINT order
+        # per-group bottom-k by hash (sort once, head per group)
+        t = t.sort_values([group, "h"], kind="mergesort")
+        out = t.groupby(group, sort=False, observed=True).head(k)
+        out = out.copy()
+        out["__pk"] = _pk_any(out[group], num_partitions)
+        return out
+
+    names = [f"q{int(q * 100)}" for q in qs]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values([group, "h"], kind="mergesort")
+        t = t.groupby(group, sort=False, observed=True).head(k)
+        rows = []
+        for key, vals in t.groupby(group, sort=False)["v"]:
+            arr = np.sort(vals.to_numpy(np.float64))
+            rows.append((key, *np.quantile(arr, qs, method="linear")))
+        return pd.DataFrame(rows, columns=[group, *names])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )

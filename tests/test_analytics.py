@@ -550,3 +550,41 @@ def test_funnel_counts_matches_brute_force(ray_session):
     assert got["users"].tolist() == exp
     assert got["stage"].tolist() == ["view", "click", "purchase"]
     assert exp[0] >= exp[1] >= exp[2] and exp[1] > 0
+
+
+def test_approx_quantiles_deterministic_and_bounded_error(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import approx_group_quantiles
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.random(n) * 100,
+        }
+    )
+
+    def run(parts):
+        return (
+            approx_group_quantiles(
+                ray.data.from_pandas(df).repartition(parts),
+                group="event_type", value="value", id_col="event_id",
+                qs=(0.5, 0.9), k=128,
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(3), run(11)
+    pd.testing.assert_frame_equal(a, b)  # layout-independent: same sample
+    exact = df.groupby("event_type")["value"].quantile([0.5, 0.9]).unstack()
+    for et in ("a", "b"):
+        row = a[a["event_type"] == et].iloc[0]
+        # rank error ~O(1/sqrt(k)); values uniform on [0,100] so value
+        # error tracks rank error — generous 3-sigma-ish bound
+        assert abs(row["q50"] - exact.loc[et, 0.5]) < 15.0
+        assert abs(row["q90"] - exact.loc[et, 0.9]) < 15.0

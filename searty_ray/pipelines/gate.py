@@ -2262,6 +2262,30 @@ FROM s GROUP BY event_type ORDER BY event_type
 """
 
 
+SORT_HEAD_N = 1000
+
+
+def q_events_sorted(sf_dir: str):
+    """Ray Data's native distributed sort (range-partition all-to-all) +
+    limit: global top-N by (value DESC, event_id) — the one exchange shape
+    (ds.sort) the combiner-first top-k ops deliberately avoid, gate-covered
+    here on its own."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = (
+        ev.sort(["value", "event_id"], descending=[True, False])
+        .limit(SORT_HEAD_N)
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_SORTED = f"""
+SELECT event_id, round(value, 6) AS value
+FROM events ORDER BY value DESC, event_id LIMIT {SORT_HEAD_N}
+"""
+
+
 def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
@@ -3115,6 +3139,7 @@ QUERIES = {
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
     "events_approx_quantiles": q_events_approx_quantiles,
+    "events_sorted": q_events_sorted,
     "corpus_prep": q_corpus_prep,
 }
 
@@ -3201,5 +3226,6 @@ ORACLE_SQL = {
     "events_distinct": SQL_EVENTS_DISTINCT,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_approx_quantiles": _sql_events_approx_quantiles(),
+    "events_sorted": SQL_EVENTS_SORTED,
     "corpus_prep": SQL_CORPUS_PREP,
 }

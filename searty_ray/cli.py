@@ -208,6 +208,9 @@ def cmd_search(args) -> int:
     if args.words:
         for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    if args.must_not and not (args.must or args.should):
+        print("error: --must-not needs at least one --must or --should phrase", file=sys.stderr)
+        return 2
     if args.must or args.should:
         from .query import BoolSearcher
 

@@ -963,33 +963,10 @@ def q_dedup_clusters(sf_dir: str):
 
 
 # transitive closure of the FULL minhash-pipeline pairs via a recursive CTE —
-# the oracle re-derives candidate generation, verification AND the closure
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({_sql_dedup_minhash(0.5)}),
-edges AS (
-  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
-  UNION SELECT doc_id_b, doc_id_a FROM pairs
-),
-reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-)
-SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
-"""
-
-
-def q_dedup_canonical(sf_dir: str):
-    """The keep-list: documents minus non-canonical cluster members (one
-    canonical doc — the min id — survives per near-dup component).  The
-    drop-set is broadcast; the corpus streams through a vectorized filter."""
-    docs = _docs(sf_dir, ["doc_id"])
-    clusters = cluster.duplicate_clusters(_minhash_pairs(sf_dir))
-    out = cluster.canonical_filter(docs, clusters).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
-
-
-SQL_DEDUP_CANONICAL = f"""
+# the oracle re-derives candidate generation, verification AND the closure;
+# ONE closure definition feeds both cluster oracles (no copy to desync)
+def _sql_pair_closure(select: str) -> str:
+    return f"""
 WITH RECURSIVE pairs AS ({_sql_dedup_minhash(0.5)}),
 edges AS (
   SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
@@ -1003,10 +980,30 @@ reach(u, v) AS (
 clusters AS (
   SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u
 )
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-ORDER BY doc_id
+{select}
 """
+
+
+SQL_DEDUP_CLUSTERS = _sql_pair_closure(
+    "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+)
+
+
+def q_dedup_canonical(sf_dir: str):
+    """The keep-list: documents minus non-canonical cluster members (one
+    canonical doc — the min id — survives per near-dup component).  The
+    drop-set is broadcast; the corpus streams through a vectorized filter."""
+    docs = _docs(sf_dir, ["doc_id"])
+    clusters = cluster.duplicate_clusters(_minhash_pairs(sf_dir))
+    out = cluster.canonical_filter(docs, clusters).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+SQL_DEDUP_CANONICAL = _sql_pair_closure(
+    """SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY doc_id"""
+)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -2040,6 +2037,7 @@ SELECT event_type,
        least(greatest(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}), 0), {HIST_BINS - 1})::BIGINT AS bin,
        count(*)::BIGINT AS n
 FROM events
+WHERE value IS NOT NULL
 GROUP BY event_type, bin
 ORDER BY event_type, bin
 """

@@ -389,7 +389,6 @@ def update_documents(
     update-batch-sized, not index-sized.
     """
     import shutil
-    import tempfile
 
     def _names(b: pd.DataFrame) -> pd.DataFrame:
         # same join the doc stage writes (indexer.go:36-44 parity)
@@ -402,10 +401,15 @@ def update_documents(
             .iter_batches(batch_format="pandas")
         for fn in b["filename"]
     ]
-    tmp = tempfile.mkdtemp(prefix="searty_update_", dir="/tmp")
-    try:
-        shrunk = os.path.join(tmp, "shrunk")
-        remove_documents(index_dir, shrunk, filenames=names, resume=resume)
-        return add_documents(shrunk, corpus, out_dir, id_mode=id_mode, resume=resume)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # the intermediate shrunk index lives BESIDE the output (same storage
+    # root, so multi-node workers writing/reading it see shared storage, not
+    # node-local /tmp) under a DETERMINISTIC name (so resume=True can pick
+    # up a finished remove phase instead of redoing it under a fresh
+    # random dir); removed only after the add phase succeeds
+    shrunk = os.path.normpath(out_dir) + ".shrunk"
+    if not resume and os.path.exists(shrunk):
+        shutil.rmtree(shrunk)  # stale intermediate from an older update
+    remove_documents(index_dir, shrunk, filenames=names, resume=resume)
+    manifest = add_documents(shrunk, corpus, out_dir, id_mode=id_mode, resume=resume)
+    shutil.rmtree(shrunk, ignore_errors=True)
+    return manifest

@@ -277,7 +277,7 @@ def group_quantiles(
         out["__pk"] = _pk_any(out[group], num_partitions)
         return out
 
-    names = [f"q{int(q * 100)}" for q in qs]
+    names = [f"q{round(q * 100)}" for q in qs]  # round: int() truncates 0.29*100 -> 28
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -342,13 +342,17 @@ def zscore_normalize(
     sd = np.sqrt(var)
     sd[n < 2] = np.nan
     stats_ref = _ray.put(
-        {k: (m, s) for k, m, s in zip(moments[group], mean, sd)}
+        (
+            dict(zip(moments[group], mean)),
+            dict(zip(moments[group], sd)),
+        )
     )
 
     def normalize(b: pd.DataFrame) -> pd.DataFrame:
-        st = _ray.get(stats_ref)
-        ms = b[group].map(lambda k: st[k][0]).to_numpy(dtype=np.float64)
-        sds = b[group].map(lambda k: st[k][1]).to_numpy(dtype=np.float64)
+        mean_by, sd_by = _ray.get(stats_ref)
+        # Series.map(dict) is the C-level lookup path (no per-row lambda)
+        ms = b[group].map(mean_by).to_numpy(dtype=np.float64)
+        sds = b[group].map(sd_by).to_numpy(dtype=np.float64)
         out = b.copy()
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (b[value].to_numpy(dtype=np.float64) - ms) / sds
@@ -377,6 +381,11 @@ def histogram(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b[value].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)  # nulls are EXCLUDED, not binned: NaN→int64 is
+        # undefined (lands in bin 0 on x86) and SQL keeps NULL out of groups
+        if group is not None:
+            b = b[ok]
+        v = v[ok]
         ids = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, bins - 1)
         if group is None:
             c = np.bincount(ids, minlength=bins)
@@ -565,7 +574,7 @@ def approx_group_quantiles(
         out["__pk"] = _pk_any(out[group], num_partitions)
         return out
 
-    names = [f"q{int(q * 100)}" for q in qs]
+    names = [f"q{round(q * 100)}" for q in qs]  # round: int() truncates 0.29*100 -> 28
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         t = g.sort_values([group, "h"], kind="mergesort")

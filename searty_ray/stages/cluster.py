@@ -69,13 +69,21 @@ def _init_edges(b: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: sentinel node ids carrying the per-partition convergence signature inside
+#: the edge stream itself (doc ids are non-negative) — fused into the star
+#: pass so each round costs ONE shuffle, not a second signature exchange
+_SENT_N = np.int64(-1)
+_SENT_H = np.int64(-2)
+
+
 def _group_mins(part: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Dedup a u-partition and return (u, v, per-row group-min, group starts).
 
     The partition holds EVERY row of each of its u values (pgrp is a pure
     function of u), so the dedup and min are globally correct per node.
+    Sentinel signature rows (u < 0) from the previous round are dropped.
     """
-    df = part[["u", "v"]].drop_duplicates()
+    df = part.loc[part["u"] >= 0, ["u", "v"]].drop_duplicates()
     u = df["u"].to_numpy(dtype=np.int64)
     v = df["v"].to_numpy(dtype=np.int64)
     order = np.lexsort((v, u))
@@ -88,27 +96,24 @@ def _group_mins(part: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray,
 
 
 def _star(part: pd.DataFrame) -> pd.DataFrame:
-    u, v, m, _ = _group_mins(part)
+    u, v, m, starts = _group_mins(part)
     # hash-to-min emissions (see module docstring); locally deduped — the
     # cross-partition dedup happens in the NEXT round's _group_mins
     out = pd.DataFrame(
         {"u": np.concatenate([m, v]), "v": np.concatenate([v, m])}
     ).drop_duplicates()
-    return out
-
-
-def _label_sig(part: pd.DataFrame) -> pd.DataFrame:
-    """Per-partition (node count, hash-sum of (u, label)) — the convergence
-    signature.  Two ints per partition reach the driver."""
-    u, _, m, starts = _group_mins(part)
-    if len(u) == 0:
-        return pd.DataFrame({"n": pd.Series([0], dtype="int64"), "h": pd.Series([0], dtype="int64")})
-    gu = u[starts].astype(np.uint64)
-    gl = m[starts].astype(np.uint64)
-    h = mix64(gu ^ mix64(gl))
-    return pd.DataFrame(
-        {"n": [np.int64(len(gu))], "h": [np.int64(h.sum(dtype=np.uint64).astype(np.int64))]}
-    )
+    # convergence signature of THIS round's input labels, carried as two
+    # sentinel rows — the driver folds them with a map-only pass, so no
+    # second shuffle is ever needed
+    if len(starts):
+        gu = u[starts].astype(np.uint64)
+        gl = m[starts].astype(np.uint64)
+        h = np.int64(mix64(gu ^ mix64(gl)).sum(dtype=np.uint64).astype(np.int64))
+        n = np.int64(len(starts))
+    else:
+        h = n = np.int64(0)
+    sent = pd.DataFrame({"u": [_SENT_N, _SENT_H], "v": [n, h]})
+    return pd.concat([out, sent], ignore_index=True)
 
 
 def _labels(part: pd.DataFrame) -> pd.DataFrame:
@@ -156,8 +161,17 @@ def duplicate_clusters(
     stable = 0
     for _ in range(max_rounds):
         edges = _by_node(edges, _star, num_partitions).materialize()
-        sig_df = _by_node(edges, _label_sig, num_partitions).to_pandas()
-        sig = (int(sig_df["n"].sum()), int(sig_df["h"].sum()))  # tiny: 2 ints/partition
+        # fold the sentinel signature rows: a map-only filter over the
+        # materialized edges (wraps deterministically on int64 — only
+        # equality between rounds matters)
+        sig_df = edges.map_batches(
+            lambda b: b[b["u"] < 0], batch_format="pandas"
+        ).to_pandas()
+        with np.errstate(over="ignore"):
+            sig = (
+                int(sig_df.loc[sig_df["u"] == _SENT_N, "v"].to_numpy().sum()),
+                int(sig_df.loc[sig_df["u"] == _SENT_H, "v"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)),
+            )
         if sig == prev_sig:
             stable += 1
             # two consecutive identical label signatures → labels are at the

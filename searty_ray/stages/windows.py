@@ -408,17 +408,18 @@ def lag_delta_ranged(
         return s.groupby([by, "__rng"], sort=False, observed=True).tail(1)
 
     cand = tagged.groupby("__pk").map_groups(candidates, batch_format="pandas").to_pandas()
-    cand = cand.sort_values([by, *order], kind="mergesort")
-    seeds: dict[tuple, tuple] = {}
-    for key, sub in cand.groupby(by, sort=False):
-        rngs = np.sort(sub["__rng"].unique())
-        for r in rngs:
-            prev = sub[sub["__rng"] < r].tail(1)
-            if len(prev):
-                seeds[(key, int(r))] = (
-                    float(prev[ts_col].iloc[0]),
-                    float(prev[value].iloc[0]),
-                )
+    # one row per (key, range) (candidates emits tail(1)) → the predecessor
+    # of range r is simply the previous row of the key: one sorted shift,
+    # O(#(key, range)) total, not O(ranges²) per key
+    cand = cand.sort_values([by, "__rng", *order], kind="mergesort")
+    grp = cand.groupby(by, sort=False)
+    prev_ts_col = grp[ts_col].shift(1)
+    prev_val_col = grp[value].shift(1)
+    seeds: dict[tuple, tuple] = {
+        (k, int(r)): (float(t), float(v))
+        for k, r, t, v in zip(cand[by], cand["__rng"], prev_ts_col, prev_val_col)
+        if not np.isnan(t)
+    }
     seeds_ref = _ray.put(seeds)
     _cache: dict = {}
 

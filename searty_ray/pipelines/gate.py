@@ -1006,6 +1006,36 @@ ORDER BY doc_id"""
 )
 
 
+def q_canonical_export(sf_dir: str):
+    """Sink round-trip: the canonical keep-list streamed to HASH-PARTITIONED
+    parquet (one directory per lang — the resumable-output layout) and read
+    back; the value-hash oracle then checks the re-read table, so the gate
+    covers write → storage → read, not just the in-memory result."""
+    import shutil
+
+    out_dir = os.path.join(CACHE_ROOT, f"canon_{_data_fingerprint(sf_dir)}")
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    clusters = cluster.duplicate_clusters(_minhash_pairs(sf_dir))
+    kept = cluster.canonical_filter(docs, clusters)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kept.write_parquet(out_dir, partition_cols=["lang"])
+    back = ray.data.read_parquet(out_dir).to_pandas()
+    back["lang"] = back["lang"].astype(str)  # hive partition col reads back dictionary-encoded
+    return (
+        back[["doc_id", "lang"]]
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CANONICAL_EXPORT = _sql_pair_closure(
+    """SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY doc_id"""
+)
+
+
 def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -3086,6 +3116,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
+    "canonical_export": q_canonical_export,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -3171,6 +3202,7 @@ ORACLE_SQL = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "canonical_export": SQL_CANONICAL_EXPORT,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     # dedup_embedding_ivf: engine-defined k-means clustering — rows-only;

@@ -588,3 +588,25 @@ def test_approx_quantiles_deterministic_and_bounded_error(ray_session):
         # error tracks rank error — generous 3-sigma-ish bound
         assert abs(row["q50"] - exact.loc[et, 0.5]) < 15.0
         assert abs(row["q90"] - exact.loc[et, 0.9]) < 15.0
+
+
+def test_histogram_excludes_nulls(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import histogram
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b", "b"],
+            "value": [1.0, np.nan, 3.0, np.nan, 9.0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = (
+        histogram(ds, "value", lo=0.0, hi=10.0, bins=5, group="g")
+        .to_pandas()
+        .sort_values(["g", "bin"])
+        .reset_index(drop=True)
+    )
+    # NaNs are excluded — never silently counted into bin 0
+    assert got.values.tolist() == [["a", 0, 1], ["b", 1, 1], ["b", 4, 1]]

@@ -402,3 +402,30 @@ def test_update_documents_equals_direct_build(ray_session, tmp_path):
 
     assert PhraseSearcher(IndexReader(out)).search("updated-fn").num_rows > 0
     assert PhraseSearcher(IndexReader(base)).search("updated-fn").num_rows == 0
+
+
+def test_update_documents_clears_stale_intermediate(ray_session, tmp_path):
+    """A leftover .shrunk dir from a crashed older update must not poison a
+    fresh (resume=False) run."""
+    import pyarrow.compute as pc
+
+    from searty_ray.pipelines.merge import update_documents
+
+    corpus, _defs = generate_fixture_corpus(n_files=12, seed=41)
+    base = str(tmp_path / "ixs_base")
+    build_index(ray.data.from_arrow(corpus), base, num_parts=4, tokenizer="trigram+symbols")
+
+    out = str(tmp_path / "ixs_out")
+    stale = out + ".shrunk"
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "garbage"), "w") as f:
+        f.write("stale")
+
+    upd = corpus.filter(pc.equal(corpus["repo"], "alexandria")).to_pandas()
+    upd["content"] = upd["content"] + "\n(defun patched () t)\n"
+    m = update_documents(base, ray.data.from_pandas(upd), out)
+    assert m.n_docs == IndexReader(base).manifest.n_docs  # replace-only update
+    assert not os.path.exists(stale)  # intermediate cleaned up on success
+    from searty_ray.query import PhraseSearcher
+
+    assert PhraseSearcher(IndexReader(out)).search("patched").num_rows > 0

@@ -170,7 +170,13 @@ def main() -> None:
     corpus = corpus_from_documents(SF_DIR, replicate=REPLICATE, override_num_blocks=NUM_CPUS * 2)
     manifest = build_index(corpus, INDEX_DIR)
     timings["index_build"] = time.monotonic() - t0
-    cores_used = round((_session_tree_cpu_seconds() - cpu_before) / timings["index_build"], 2)
+    cpu_delta = _session_tree_cpu_seconds() - cpu_before
+    # a descendant reparented/reaped between snapshots drops its ticks out
+    # of the tree and can drive the delta negative — that's an accounting
+    # artifact, not a measurement; report null rather than a bogus number
+    # (scaling mode falls back to the nominal cpu count on null, and must
+    # never see a negative value — it would corrupt normalized efficiency)
+    cores_used = round(cpu_delta / timings["index_build"], 2) if cpu_delta > 0 else None
     n_files = manifest.n_docs
     n_bytes = manifest.total_tokens  # ≈ content bytes (ascii corpus)
 

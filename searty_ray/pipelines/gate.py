@@ -700,6 +700,45 @@ FROM scores ORDER BY scores.score DESC, doc_id LIMIT {k}
 SQL_BM25_WORDS = _sql_bm25_words(BM25_Q, BM25_K)
 
 
+def q_index_stats(sf_dir: str):
+    """Whole-index global invariants per term kind: distinct terms, Σdf,
+    Σcf — the oracle re-derives all three from the raw corpus, so any
+    lost/duplicated posting anywhere in the index moves a total."""
+    import pandas as pd
+
+    index_dir = _ensure_index(sf_dir)
+    seg = pq.read_table(
+        os.path.join(index_dir, "segments"), columns=["term_key", "kind", "df", "cf"]
+    ).to_pandas()
+    g = (
+        seg.groupby("kind", as_index=False)
+        .agg(n_terms=("term_key", "nunique"), total_df=("df", "sum"), total_cf=("cf", "sum"))
+        .astype({"kind": "int64", "n_terms": "int64", "total_df": "int64", "total_cf": "int64"})
+    )
+    return g.sort_values("kind").reset_index(drop=True)
+
+
+SQL_INDEX_STATS = f"""
+WITH {CORPUS_CTE}, {TOKENS_CTE},
+symtok AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS term
+  FROM corpus
+)
+SELECT 0::BIGINT AS kind,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM tokens))::BIGINT AS total_df,
+       count(*)::BIGINT AS total_cf
+FROM tokens
+UNION ALL
+SELECT 1::BIGINT,
+       count(DISTINCT term)::BIGINT,
+       (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM symtok))::BIGINT,
+       count(*)::BIGINT
+FROM symtok
+ORDER BY kind
+"""
+
+
 def q_topk_terms(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     seg = pq.read_table(os.path.join(index_dir, "segments"), columns=["term", "kind", "cf"])
@@ -3091,6 +3130,7 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "corpus_stats": q_corpus_stats,
     "term_stats": q_term_stats,
+    "index_stats": q_index_stats,
     "postings_probe": q_postings_probe,
     "merge_postings": q_merge_postings,
     "remove_postings": q_remove_postings,
@@ -3177,6 +3217,7 @@ ORACLE_SQL = {
     "jsonl_ingest": SQL_JSONL_INGEST,
     "corpus_stats": SQL_CORPUS_STATS,
     "term_stats": SQL_TERM_STATS,
+    "index_stats": SQL_INDEX_STATS,
     "postings_probe": SQL_POSTINGS_PROBE,
     "merge_postings": SQL_POSTINGS_PROBE,  # merged index ≡ full-corpus build
     "remove_postings": SQL_REMOVE_POSTINGS,

@@ -152,6 +152,11 @@ def cmd_verify(args) -> int:
 
 
 def cmd_search(args) -> int:
+    # validate BEFORE any searcher runs — a mid-command error after other
+    # query kinds printed would hand scripts partial output with rc != 0
+    if args.must_not and not (args.must or args.should):
+        print("error: --must-not needs at least one --must or --should phrase", file=sys.stderr)
+        return 2
     _ray_session()
     from .query import (
         BM25Searcher,
@@ -208,9 +213,6 @@ def cmd_search(args) -> int:
     if args.words:
         for r in WordSearcher(reader).topk(args.words, args.k).to_pylist():
             print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
-    if args.must_not and not (args.must or args.should):
-        print("error: --must-not needs at least one --must or --should phrase", file=sys.stderr)
-        return 2
     if args.must or args.should:
         from .query import BoolSearcher
 

@@ -358,18 +358,25 @@ def q_phrase_search(sf_dir: str):
     return PhraseSearcher(IndexReader(index_dir)).search(PHRASE_Q)
 
 
-def _sql_phrase(query: str, extra_cols: str = "") -> str:
+def _sql_phrase_matches(query: str) -> str:
+    """The shared raw-match CTE body (quote-escaped) — ONE definition under
+    every phrase oracle, so escaping can't silently diverge between them."""
     qlen = len(query)
     esc = query.replace("'", "''")
-    # raw matches → interval merge via gaps-and-islands (overlap/touch merges)
     return f"""
-WITH {CORPUS_CTE},
-matches AS (
   SELECT doc_id, i - 1 AS start, i - 1 + {qlen} AS "end"
   FROM (SELECT doc_id, content,
                unnest(range(1, greatest(length(content) - {qlen} + 2, 1))) AS i
         FROM corpus)
-  WHERE substr(content, i, {qlen}) = '{esc}'
+  WHERE substr(content, i, {qlen}) = '{esc}'""".strip()
+
+
+def _sql_phrase(query: str, extra_cols: str = "") -> str:
+    # raw matches → interval merge via gaps-and-islands (overlap/touch merges)
+    return f"""
+WITH {CORPUS_CTE},
+matches AS (
+  {_sql_phrase_matches(query)}
 ),
 flagged AS (
   SELECT *, CASE WHEN start > lag("end") OVER w THEN 1 ELSE 0 END AS brk
@@ -416,13 +423,12 @@ def q_phrase_counts(sf_dir: str):
 
 
 SQL_PHRASE_COUNTS = f"""
-WITH {CORPUS_CTE}
+WITH {CORPUS_CTE},
+matches AS (
+  {_sql_phrase_matches(PHRASE_Q)}
+)
 SELECT doc_id, count(*)::BIGINT AS n_matches
-FROM (SELECT doc_id, content,
-             unnest(range(1, greatest(length(content) - {len(PHRASE_Q)} + 2, 1))) AS i
-      FROM corpus)
-WHERE substr(content, i, {len(PHRASE_Q)}) = '{PHRASE_Q}'
-GROUP BY doc_id ORDER BY doc_id
+FROM matches GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -2106,7 +2112,7 @@ SELECT event_type,
        least(greatest(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}), 0), {HIST_BINS - 1})::BIGINT AS bin,
        count(*)::BIGINT AS n
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND NOT isnan(value)
 GROUP BY event_type, bin
 ORDER BY event_type, bin
 """
@@ -2263,19 +2269,29 @@ def q_events_props_stats(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        # rows without an integer "k" degrade to NULL exactly like the
+        # oracle's CAST(json_extract(...) AS BIGINT): counted in n, skipped
+        # by sum/avg (the flat-props contract is in the docstring)
+        k = pd.to_numeric(
+            b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False), errors="coerce"
+        )
         g = pd.DataFrame({"event_type": b["event_type"], "k": k}).groupby(
             "event_type", sort=False, as_index=False
-        ).agg(n=("k", "size"), sum_k=("k", "sum"))
-        return g.astype({"n": "int64", "sum_k": "int64"})
+        ).agg(n=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum"))
+        return g.astype({"n": "int64", "n_k": "int64", "sum_k": "int64"})
 
     agg = (
         ev.map_batches(partial, batch_format="pandas")
         .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_k", alias_name="n_k"),
+            Sum("sum_k", alias_name="sum_k"),
+        )
         .to_pandas()
     )
-    agg["avg_k"] = (agg["sum_k"] / agg["n"]).round(6)
+    agg["avg_k"] = (agg["sum_k"] / agg["n_k"]).round(6)  # avg over non-null, like SQL avg()
+    agg = agg.drop(columns="n_k")
     return (
         agg.sort_values("event_type")
         .reset_index(drop=True)

@@ -394,6 +394,11 @@ def update_documents(
         # same join the doc stage writes (indexer.go:36-44 parity)
         return pd.DataFrame({"filename": b["repo"] + "/" + b["path"]})
 
+    # pin the update batch once: the names pass AND the add phase's delta
+    # build both consume it — re-executing a derived/non-deterministic
+    # lineage could desync names from the docs actually added (update
+    # batches are small by this function's contract)
+    corpus = corpus.materialize()
     names = [
         fn
         for b in corpus.select_columns(["repo", "path"])

@@ -581,8 +581,15 @@ def approx_group_quantiles(
         t = t.groupby(group, sort=False, observed=True).head(k)
         rows = []
         for key, vals in t.groupby(group, sort=False)["v"]:
-            arr = np.sort(vals.to_numpy(np.float64))
-            rows.append((key, *np.quantile(arr, qs, method="linear")))
+            # null rows STAY in the hash sample (the SQL mirror's QUALIFY
+            # samples them too) but are skipped by the quantile, exactly
+            # like quantile_cont skips NULL; all-null → NaN ≡ SQL NULL
+            arr = vals.to_numpy(np.float64)
+            arr = np.sort(arr[~np.isnan(arr)])
+            if len(arr) == 0:
+                rows.append((key, *([np.nan] * len(qs))))
+            else:
+                rows.append((key, *np.quantile(arr, qs, method="linear")))
         return pd.DataFrame(rows, columns=[group, *names])
 
     return (

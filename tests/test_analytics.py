@@ -610,3 +610,42 @@ def test_histogram_excludes_nulls(ray_session):
     )
     # NaNs are excluded — never silently counted into bin 0
     assert got.values.tolist() == [["a", 0, 1], ["b", 1, 1], ["b", 4, 1]]
+
+
+def test_approx_quantiles_skips_nulls_like_sql(ray_session):
+    import ray.data
+
+    from searty_ray.stages.analytics import approx_group_quantiles
+
+    rng = np.random.default_rng(33)
+    n = 400
+    v = rng.random(n) * 10
+    v[rng.random(n) < 0.2] = np.nan  # null-bearing column
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "g": rng.choice(["a", "b"], n),
+            "v": v,
+        }
+    )
+    out = (
+        approx_group_quantiles(
+            ray.data.from_pandas(df).repartition(4),
+            group="g", value="v", id_col="event_id", qs=(0.5,), k=50,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # finite results despite NaNs in the sample (quantile_cont-skip parity)
+    assert np.isfinite(out["q50"]).all()
+    # reference: identical bottom-k hash sample, NaNs dropped at the quantile
+    from searty_ray.functions.hashing import mix64
+
+    h = mix64(df["event_id"].to_numpy().view(np.uint64))
+    for grp in ("a", "b"):
+        sub = df[df["g"] == grp].assign(h=h[df["g"] == grp]).sort_values("h").head(50)
+        arr = np.sort(sub["v"].dropna().to_numpy())
+        exp = np.quantile(arr, 0.5, method="linear")
+        got = out.loc[out["g"] == grp, "q50"].iloc[0]
+        assert got == exp

@@ -232,6 +232,8 @@ def cmd_search(args) -> int:
         out = (
             fuzzy_word_stats(docs, args.fuzzy)
             .to_pandas()
+            # zero matches → Ray drops the empty dataset's schema
+            .reindex(columns=["word", "df", "cf"])
             .sort_values(["df", "word"], ascending=[False, True])
         )
         for r in out.itertuples(index=False):

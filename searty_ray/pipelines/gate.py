@@ -86,7 +86,11 @@ def q_jsonl_ingest(sf_dir: str):
         f"docs_{os.path.basename(os.path.normpath(sf_dir))}_{_data_fingerprint(sf_dir)}.jsonl",
     )
     if not os.path.exists(path):
-        write_documents_jsonl(f"{sf_dir}/documents.parquet", path)
+        # tmp + atomic rename: a run killed mid-write must not leave a
+        # truncated file at the final (fingerprint-matching) cache path
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_documents_jsonl(f"{sf_dir}/documents.parquet", tmp)
+        os.replace(tmp, path)
     out = documents_from_jsonl(path).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -649,6 +653,7 @@ def q_fuzzy_words(sf_dir: str):
     from ..stages import fuzzy
 
     out = fuzzy.fuzzy_word_stats(corpus_from_documents(sf_dir), FUZZY_Q).to_pandas()
+    out = out.reindex(columns=["word", "df", "cf"])  # empty-ds schema quirk
     return out.sort_values("word").reset_index(drop=True)
 
 
@@ -2014,12 +2019,11 @@ ORDER BY doc_id, "rank"
 ROLL_WINDOW_ROWS = 5
 
 
-def q_events_rolling(sf_dir: str):
-    """Per-key ordered rolling sum/mean (stages/windows.rolling_aggregate)
-    — SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW semantics."""
+def _purchase_events(sf_dir: str) -> "ray.data.Dataset":
+    """purchase events as (event_id, ts_us, user_id, value) — the shared
+    prep under every per-key window gate query (one definition, four
+    consumers: rolling / lag / cumsum / and their SQL `p` CTE shape)."""
     import pandas as pd
-
-    from ..stages.windows import rolling_aggregate
 
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
@@ -2035,8 +2039,16 @@ def q_events_rolling(sf_dir: str):
             }
         )
 
+    return ev.map_batches(purchases, batch_format="pandas")
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-key ordered rolling sum/mean (stages/windows.rolling_aggregate)
+    — SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW semantics."""
+    from ..stages.windows import rolling_aggregate
+
     out = rolling_aggregate(
-        ev.map_batches(purchases, batch_format="pandas"),
+        _purchase_events(sf_dir),
         by="user_id",
         order=("ts_us", "event_id"),
         value="value",
@@ -2121,26 +2133,10 @@ ORDER BY event_type, bin
 def q_events_cumsum(sf_dir: str):
     """Per-key running total (windows.cumulative_sum) over purchase events —
     SUM OVER ROWS UNBOUNDED PRECEDING parity."""
-    import pandas as pd
-
     from ..stages.windows import cumulative_sum
 
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
-
-    def purchases(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"] == "purchase"]
-        return pd.DataFrame(
-            {
-                "event_id": b["event_id"],
-                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
-                "user_id": b["user_id"],
-                "value": b["value"],
-            }
-        )
-
     out = cumulative_sum(
-        ev.map_batches(purchases, batch_format="pandas"),
+        _purchase_events(sf_dir),
         by="user_id",
         order=("ts_us", "event_id"),
         value="value",
@@ -2291,6 +2287,10 @@ def q_events_props_stats(sf_dir: str):
         .to_pandas()
     )
     agg["avg_k"] = (agg["sum_k"] / agg["n_k"]).round(6)  # avg over non-null, like SQL avg()
+    if (agg["n_k"] == 0).any():
+        # SQL sum() over zero non-null values is NULL, and the presence of a
+        # NULL makes duckdb's .df() column float — mirror both
+        agg["sum_k"] = agg["sum_k"].astype("float64").where(agg["n_k"] > 0)
     agg = agg.drop(columns="n_k")
     return (
         agg.sort_values("event_type")
@@ -2373,26 +2373,10 @@ def q_events_lag(sf_dir: str):
     """Per-key LAG + inter-event gap (stages/windows.lag_delta): one hash
     shuffle, per-partition vectorized groupby shift; NaN on each key's
     first row ≡ SQL NULL."""
-    import pandas as pd
-
     from ..stages.windows import lag_delta
 
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
-
-    def purchases(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_type"] == "purchase"]
-        return pd.DataFrame(
-            {
-                "event_id": b["event_id"],
-                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
-                "user_id": b["user_id"],
-                "value": b["value"],
-            }
-        )
-
     out = lag_delta(
-        ev.map_batches(purchases, batch_format="pandas"),
+        _purchase_events(sf_dir),
         by="user_id",
         order=("ts_us", "event_id"),
         value="value",

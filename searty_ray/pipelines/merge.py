@@ -353,7 +353,10 @@ def remove_documents(
         meta = pq.read_table(
             os.path.join(index_dir, "docmeta"), columns=["doc_id", "filename"]
         )
-        mask = pa.compute.is_in(meta["filename"], value_set=pa.array(filenames))
+        # explicit string type: pa.array([]) infers null and is_in raises
+        mask = pa.compute.is_in(
+            meta["filename"], value_set=pa.array(filenames, type=pa.string())
+        )
         ids = meta.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         ids = np.asarray(doc_ids, dtype=np.int64)
@@ -411,6 +414,15 @@ def update_documents(
     # node-local /tmp) under a DETERMINISTIC name (so resume=True can pick
     # up a finished remove phase instead of redoing it under a fresh
     # random dir); removed only after the add phase succeeds
+    if not names:
+        # empty update batch → the output IS the input index (a delta build
+        # over zero docs has no work to do; copying keeps out_dir's contract)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        shutil.copytree(index_dir, out_dir)
+        from ..query import IndexReader
+
+        return IndexReader(out_dir).manifest
     shrunk = os.path.normpath(out_dir) + ".shrunk"
     if not resume and os.path.exists(shrunk):
         shutil.rmtree(shrunk)  # stale intermediate from an older update

@@ -783,32 +783,23 @@ class BoolSearcher:
         """→ (doc_id, filename) ascending by doc_id."""
         if not must and not should:
             raise ValueError("bool query needs at least one must or should phrase")
+        # every operand is sorted-unique (np.unique in _docs), so numpy's
+        # assume_unique set ops apply directly and outputs stay sorted
         if must:
             cur = self._docs(must[0])
             for p in must[1:]:
                 if len(cur) == 0:
                     break
-                other = self._docs(p)
-                i = np.searchsorted(other, cur)
-                i[i == len(other)] = 0
-                cur = cur[other[i] == cur] if len(other) else cur[:0]
+                cur = np.intersect1d(cur, self._docs(p), assume_unique=True)
         else:
             cur = None
         if should:
             uni = np.unique(np.concatenate([self._docs(p) for p in should]))
-            if cur is None:
-                cur = uni
-            else:
-                i = np.searchsorted(uni, cur)
-                i[i == len(uni)] = 0
-                cur = cur[uni[i] == cur] if len(uni) else cur[:0]
+            cur = uni if cur is None else np.intersect1d(cur, uni, assume_unique=True)
         for p in must_not:
             if len(cur) == 0:
                 break
-            ex = self._docs(p)
-            if len(ex):
-                i = np.minimum(np.searchsorted(ex, cur), len(ex) - 1)
-                cur = cur[ex[i] != cur]
+            cur = np.setdiff1d(cur, self._docs(p), assume_unique=True)
         if len(cur) == 0:
             return pa.table(
                 {"doc_id": pa.array([], type=pa.int64()),

@@ -429,3 +429,23 @@ def test_update_documents_clears_stale_intermediate(ray_session, tmp_path):
     from searty_ray.query import PhraseSearcher
 
     assert PhraseSearcher(IndexReader(out)).search("patched").num_rows > 0
+
+
+def test_update_documents_empty_batch_is_noop(ray_session, tmp_path):
+    """An empty update batch (no changed files) must yield an index
+    equivalent to the input, not crash in Arrow on an empty value set."""
+    corpus, _defs = generate_fixture_corpus(n_files=10, seed=43)
+    base = str(tmp_path / "ixe_base")
+    build_index(ray.data.from_arrow(corpus), base, num_parts=4, tokenizer="trigram+symbols")
+
+    from searty_ray.pipelines.merge import update_documents
+
+    empty = corpus.to_pandas().head(0)
+    out = str(tmp_path / "ixe_out")
+    m = update_documents(base, ray.data.from_pandas(empty), out)
+    mb = IndexReader(base).manifest
+    assert (m.n_docs, m.total_tokens) == (mb.n_docs, mb.total_tokens)
+    order = [("term_key", "ascending"), ("chunk", "ascending")]
+    sb = pq.read_table(os.path.join(base, "segments"))
+    so = pq.read_table(os.path.join(out, "segments"))
+    assert sb.sort_by(order).equals(so.sort_by(order))

@@ -1536,6 +1536,41 @@ def _sample_sql() -> tuple[str, str]:
 SQL_SAMPLE_BERNOULLI, SQL_SPLIT_ASSIGN = _sample_sql()
 
 
+WEIGHTED_RATE, WEIGHTED_REF = 0.3, 300.0
+
+
+def q_sample_weighted(sf_dir: str):
+    """Weight-proportional deterministic sample (sample.weighted_sample):
+    longer docs keep with higher probability; hash and per-row threshold
+    compared as IEEE doubles on both sides."""
+    from ..stages import sample
+
+    return (
+        sample.weighted_sample(
+            _docs(sf_dir, ["doc_id", "n_chars"]),
+            WEIGHTED_RATE, "n_chars", WEIGHTED_REF,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_sample_weighted() -> str:
+    from ..stages.sample import sql_key_hash
+
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE CAST({sql_key_hash("doc_id")} AS DOUBLE)
+      < least(greatest({WEIGHTED_RATE} * n_chars / {WEIGHTED_REF}, 0), 1)
+        * 18446744073709551616.0
+ORDER BY doc_id
+"""
+
+
+SQL_SAMPLE_WEIGHTED = _sql_sample_weighted()
+
+
 STRATIFIED_N = 50
 
 
@@ -3171,6 +3206,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "fingerprint": q_fingerprint,
     "sample_bernoulli": q_sample_bernoulli,
+    "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
     "multimodal_meta": q_multimodal_meta,
@@ -3259,6 +3295,7 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "fingerprint": SQL_FINGERPRINT,
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "split_assign": SQL_SPLIT_ASSIGN,
     "events_stratified": _sql_events_stratified(),
     "multimodal_meta": SQL_MULTIMODAL_META,

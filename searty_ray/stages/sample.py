@@ -122,3 +122,30 @@ def stratified_sample(
     return out.map_batches(
         lambda b: b.drop(columns="__rank"), batch_format="pandas"
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    base_rate: float,
+    weight_col: str,
+    w_ref: float,
+    *,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+) -> ray.data.Dataset:
+    """Deterministic WEIGHTED sample: keep probability ∝ a per-row weight
+    (the "sample long documents more" knob) — keep a row iff
+    ``mix64(key ^ salt) / 2⁶⁴ < clamp(base_rate · w / w_ref, 0, 1)``.
+
+    Same contract as :func:`bernoulli_sample`: stateless per-batch filter,
+    identical at any parallelism / layout / resume point, same-salt-same-
+    subset.  The hash and the per-row threshold are both compared as IEEE
+    doubles on the engine AND oracle sides (identical promotion), so the
+    SQL mirror is bit-exact."""
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt).astype(np.float64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.minimum(np.maximum(base_rate * w / w_ref, 0.0), 1.0)
+        return batch.filter(pa.array(h < p * float(_U64)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

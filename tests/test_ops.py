@@ -689,3 +689,36 @@ def test_stratified_sample_quota_and_determinism(ray_session):
     a1 = set(other[other["g"] == "a"]["event_id"])
     assert a0 != a1  # independent draw
     assert set(other[other["g"] == "b"]["event_id"]) == set(range(400, 407))
+
+
+def test_weighted_sample_rate_tracks_weight(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from searty_ray.stages.sample import weighted_sample
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.choice([100, 400], n),  # short vs long docs
+        }
+    )
+    kept_a = weighted_sample(
+        ray.data.from_pandas(df).repartition(3), 0.3, "n_chars", 300.0
+    ).to_pandas()
+    kept_b = weighted_sample(
+        ray.data.from_pandas(df).repartition(11), 0.3, "n_chars", 300.0
+    ).to_pandas()
+    # layout-independent: identical subset at any partitioning
+    pd.testing.assert_frame_equal(
+        kept_a.sort_values("doc_id").reset_index(drop=True),
+        kept_b.sort_values("doc_id").reset_index(drop=True),
+    )
+    # empirical keep rates track the weights: p(short)=0.1, p(long)=0.4
+    short = (kept_a["n_chars"] == 100).sum() / (df["n_chars"] == 100).sum()
+    long_ = (kept_a["n_chars"] == 400).sum() / (df["n_chars"] == 400).sum()
+    assert 0.07 < short < 0.13, short
+    assert 0.35 < long_ < 0.45, long_

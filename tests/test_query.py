@@ -281,3 +281,17 @@ def test_query_engine_bool_kind(fixture_index):
     ).to_pandas()
     direct = BoolSearcher(IndexReader(index_dir)).search_str('+defun -"zzzz-nohit"')
     assert out["n_results"].iloc[0] == direct.num_rows > 0
+
+
+def test_snippets_multibyte_rune_offsets(reader, fixture_oracle):
+    from searty_ray.query import PrettyPrinter
+
+    res = PhraseSearcher(reader).search("あいう")
+    assert res.num_rows > 0, "multibyte phrase must hit the fixture corpus"
+    out = PrettyPrinter(reader).snippets(res, window=4)
+    for row in out.to_pylist():
+        text = fixture_oracle.docs[row["doc_id"]].content
+        lo = max(row["start"] - 4, 0)
+        hi = min(row["end"] + 4, len(text))
+        # offsets are RUNE offsets: Python slicing == substr on characters
+        assert row["snippet"] == text[lo:hi]

@@ -1481,6 +1481,159 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (textstats.repetition_batch):
+    duplicate-line fraction (row + char weighted) and top-word fraction —
+    one vectorized map_batches pass, mirrored by line/word explode CTEs."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.repetition_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line),
+lagg AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_lines,
+         sum(c * length(line))::BIGINT AS line_chars,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_lines,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::BIGINT AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+wcn AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+wagg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_word
+  FROM wcn GROUP BY doc_id
+)
+SELECT d.doc_id,
+       lagg.n_lines,
+       round(lagg.dup_lines / greatest(lagg.n_lines, 1)::DOUBLE, 6) AS dup_line_frac,
+       round(lagg.dup_chars / greatest(lagg.line_chars, 1)::DOUBLE, 6) AS dup_line_char_frac,
+       coalesce(wagg.n_words, 0)::BIGINT AS n_words,
+       round(coalesce(wagg.top_word, 0)
+             / greatest(coalesce(wagg.n_words, 0), 1)::DOUBLE, 6) AS top_word_frac
+FROM documents d
+JOIN lagg USING (doc_id)
+LEFT JOIN wagg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+PACK_BUDGET = 64
+PACK_BUCKET_SPAN = 128
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (stages/packing.pack_sequences): distributed
+    exclusive prefix sum over per-doc token counts in doc_id order →
+    budget-sized sequence assignment; small budget/span so docs span
+    boundaries and multiple buckets exist at gate scale."""
+    from ..stages.packing import pack_sequences
+
+    return (
+        pack_sequences(
+            _docs(sf_dir, ["doc_id", "text"]),
+            budget=PACK_BUDGET,
+            bucket_span=PACK_BUCKET_SPAN,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {PACK_BUDGET} AS seq_first,
+       (tok_offset + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS seq_last,
+       tok_offset % {PACK_BUDGET} AS seq_pos
+FROM o ORDER BY doc_id
+"""
+
+
+CONTAM_BENCH_RATE = 0.2
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan (textstats.contamination_check): per
+    training doc, fraction of its distinct word 3-shingles appearing in the
+    hash-sampled benchmark split; broadcast gram set, zero shuffle."""
+    return (
+        textstats.contamination_check(
+            _docs(sf_dir, ["doc_id", "text"]), bench_rate=CONTAM_BENCH_RATE, w=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_contamination() -> str:
+    from ..stages.sample import _threshold, sql_key_hash
+
+    bench = f"({sql_key_hash('doc_id')})::HUGEINT < {_threshold(CONTAM_BENCH_RATE)}"
+    return f"""
+WITH wordlists AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+           ELSE []::VARCHAR[] END) AS shs
+  FROM wordlists
+),
+bset AS (
+  SELECT DISTINCT ({_hash_sql('s')})::HUGEINT AS h
+  FROM (SELECT unnest(shs) AS s FROM shl WHERE {bench})
+),
+train AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shs, s -> ({_hash_sql('s')})::HUGEINT)) AS hs
+  FROM shl WHERE NOT ({bench})
+),
+per AS (SELECT doc_id, unnest(hs) AS h FROM train),
+hits AS (
+  SELECT per.doc_id, count(*) AS c FROM per JOIN bset USING (h) GROUP BY per.doc_id
+)
+SELECT t.doc_id,
+       len(t.hs)::BIGINT AS n_shingles,
+       coalesce(h.c, 0)::BIGINT AS n_hits,
+       round(coalesce(h.c, 0) / greatest(len(t.hs), 1)::DOUBLE, 6) AS contam_frac
+FROM train t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+SQL_CONTAMINATION = _sql_contamination()
+
+
 SAMPLE_RATE = 0.37
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -2436,6 +2589,85 @@ ORDER BY event_id
 """
 
 
+# span chosen so the sf tables produce MANY (key, range) cells — the
+# distributed-seed machinery (windows.py seed_mode="shuffle") is actually
+# exercised, not bypassed
+SHUFFLE_SEED_SPAN_US = 6 * 3_600_000_000
+
+
+def q_events_rolling_shuffled(sf_dir: str):
+    """events_rolling's contract through the (key, range)-partitioned path
+    with FULLY DISTRIBUTED boundary seeds (seed_mode="shuffle": flagged seed
+    rows ride the exchange; zero driver state) — same SQL oracle."""
+    from ..stages.windows import rolling_aggregate_ranged
+
+    out = rolling_aggregate_ranged(
+        _purchase_events(sf_dir),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+        window_rows=ROLL_WINDOW_ROWS,
+        range_span_us=SHUFFLE_SEED_SPAN_US,
+        seed_mode="shuffle",
+    ).to_pandas()
+    for c in ("value", "roll_sum", "roll_mean"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_lag_shuffled(sf_dir: str):
+    """events_lag's contract through the distributed-seed ranged path
+    (predecessor rows delivered through the exchange) — same SQL oracle."""
+    from ..stages.windows import lag_delta_ranged
+
+    out = lag_delta_ranged(
+        _purchase_events(sf_dir),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+        range_span_us=SHUFFLE_SEED_SPAN_US,
+        seed_mode="shuffle",
+    ).to_pandas()
+    for c in ("value", "prev_value"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_cumsum_shuffled(sf_dir: str):
+    """Running total through the distributed-seed ranged path (typed-null
+    sentinel rows carry per-(key, range) prefix scalars).  The seed folds a
+    prefix into one scalar, so sums regroup associatively vs the sequential
+    SQL window — both sides round to 4 decimals (value scale ~10²,
+    regrouping error ~1e-12: boundary-safe) instead of the exact-path 6."""
+    from ..stages.windows import cumulative_sum_ranged
+
+    out = cumulative_sum_ranged(
+        _purchase_events(sf_dir),
+        by="user_id",
+        order=("ts_us", "event_id"),
+        value="value",
+        range_span_us=SHUFFLE_SEED_SPAN_US,
+        seed_mode="shuffle",
+    ).to_pandas()
+    out["value"] = out["value"].round(6)
+    out["running_sum"] = out["running_sum"].round(4)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_CUMSUM_SHUFFLED = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, ts_us, user_id, round(value, 6) AS value,
+       round(sum(value) OVER w, 4) AS running_sum
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # equi-joins: broadcast (fact × dimension) and native shuffle hash join
 # ---------------------------------------------------------------------------
@@ -3205,6 +3437,9 @@ QUERIES = {
     "token_counts": q_token_counts,
     "pii_scrub": q_pii_scrub,
     "fingerprint": q_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "pack_sequences": q_pack_sequences,
+    "contamination": q_contamination,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
@@ -3220,7 +3455,10 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
+    "events_rolling_shuffled": q_events_rolling_shuffled,
     "events_lag": q_events_lag,
+    "events_lag_shuffled": q_events_lag_shuffled,
+    "events_cumsum_shuffled": q_events_cumsum_shuffled,
     "events_cumsum": q_events_cumsum,
     "events_zscore": q_events_zscore,
     "events_histogram": q_events_histogram,
@@ -3294,6 +3532,9 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "pii_scrub": SQL_PII_SCRUB,
     "fingerprint": SQL_FINGERPRINT,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "contamination": SQL_CONTAMINATION,
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "split_assign": SQL_SPLIT_ASSIGN,
@@ -3310,8 +3551,11 @@ ORACLE_SQL = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "events_rolling_shuffled": SQL_EVENTS_ROLLING,  # same contract, seed_mode=shuffle
     "events_lag": SQL_EVENTS_LAG,
+    "events_lag_shuffled": SQL_EVENTS_LAG,  # same contract, seed_mode=shuffle
     "events_cumsum": SQL_EVENTS_CUMSUM,
+    "events_cumsum_shuffled": SQL_EVENTS_CUMSUM_SHUFFLED,
     "events_zscore": SQL_EVENTS_ZSCORE,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
     "events_funnel": SQL_EVENTS_FUNNEL,

@@ -403,3 +403,154 @@ def scrub_pii_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     out["n_email"] = n_email
     out["n_num"] = n_num
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules) + benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1 —
+    "repetitious documents" filters), fully vectorized: one line explode +
+    one word explode, C-level groupby aggregations, zero per-row Python.
+
+    * ``dup_line_frac``   — fraction of newline-split lines that belong to a
+      line value occurring more than once in the doc;
+    * ``dup_line_char_frac`` — fraction of line CHARS inside such lines;
+    * ``top_word_frac``   — occurrences of the most frequent word / n_words.
+
+    Line = ``split('\\n')`` segment (empty segments count, matching DuckDB
+    ``string_split(text, chr(10))``); word = ASCII-whitespace word (the
+    shared words.WORD_RE primitive).  Zero-line/zero-word denominators
+    yield 0.0.  Single map_batches pass, no shuffle.
+    """
+    idx = np.arange(len(batch))
+    out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()}, index=idx)
+    text = batch["text"].reset_index(drop=True)
+
+    lines = text.str.split("\n")
+    ex = lines.explode()
+    lc = (
+        pd.DataFrame({"i": ex.index.to_numpy(), "line": ex.to_numpy()})
+        .groupby(["i", "line"], sort=False)
+        .size()
+        .reset_index(name="c")
+    )
+    lc["chars"] = lc["line"].str.len().to_numpy(dtype=np.int64) * lc["c"]
+    dup = lc["c"] > 1
+    per = lc.groupby("i", sort=False).agg(
+        n_lines=("c", "sum"), line_chars=("chars", "sum")
+    )
+    dupper = lc[dup].groupby("i", sort=False).agg(
+        dup_lines=("c", "sum"), dup_chars=("chars", "sum")
+    )
+    n_lines = np.zeros(len(batch), dtype=np.int64)
+    line_chars = np.zeros(len(batch), dtype=np.int64)
+    n_lines[per.index] = per["n_lines"]
+    line_chars[per.index] = per["line_chars"]
+    dup_lines = np.zeros(len(batch), dtype=np.int64)
+    dup_chars = np.zeros(len(batch), dtype=np.int64)
+    dup_lines[dupper.index] = dupper["dup_lines"]
+    dup_chars[dupper.index] = dupper["dup_chars"]
+
+    words = text.str.findall(WORD_RE)
+    n_words = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    wex = words.explode().dropna()
+    wc = (
+        pd.DataFrame({"i": wex.index.to_numpy(), "w": wex.to_numpy()})
+        .groupby(["i", "w"], sort=False)
+        .size()
+        .groupby(level=0)
+        .max()
+    )
+    top_word = np.zeros(len(batch), dtype=np.int64)
+    top_word[wc.index] = wc
+
+    out["n_lines"] = n_lines
+    out["dup_line_frac"] = round6(dup_lines / np.maximum(n_lines, 1))
+    out["dup_line_char_frac"] = round6(dup_chars / np.maximum(line_chars, 1))
+    out["n_words"] = n_words
+    out["top_word_frac"] = round6(top_word / np.maximum(n_words, 1))
+    return out
+
+
+def contamination_check(
+    docs: "ray.data.Dataset",
+    *,
+    bench_rate: float = 0.05,
+    w: int = 3,
+    key: str = "doc_id",
+    text: str = "text",
+    salt: int | None = None,
+) -> "ray.data.Dataset":
+    """Benchmark-contamination scan: for every TRAINING doc, the fraction of
+    its distinct word ``w``-shingles that also appear anywhere in the
+    BENCHMARK split (the standard n-gram-overlap decontamination test a
+    training pipeline runs against held-out eval sets).
+
+    The benchmark split is the deterministic hash sample
+    (stages/sample.bernoulli_sample semantics: ``mix64(doc_id ^ salt) <
+    rate·2⁶⁴``) so the gate's DuckDB oracle reproduces the split bit-exactly;
+    swap the predicate for a real benchmark table at production scale —
+    the plumbing is identical.
+
+    Scale shape: pass 1 streams ONLY the benchmark docs (filter pushed into
+    the scan) and reduces their shingle hashes to per-batch DISTINCT arrays;
+    the driver unions them once and broadcasts ONE sorted uint64 array via
+    ``ray.put`` (contract: the benchmark gram set is small — benchmarks are
+    measured in MBs, not TBs; it is read per actor, never reshipped per
+    batch).  Pass 2 streams the training docs through a searchsorted
+    membership + bincount — no shuffle anywhere, content never moves.
+
+    → (doc_id, n_shingles, n_hits, contam_frac) for non-benchmark docs,
+    ``contam_frac = n_hits / max(n_shingles, 1)`` rounded to 6.
+    """
+    import ray as _ray
+    import ray.data  # noqa: F401
+
+    from .dedup import _batch_shingle_hashes
+    from .sample import DEFAULT_SALT, _threshold
+
+    if salt is None:
+        salt = DEFAULT_SALT
+    thresh = np.uint64(_threshold(bench_rate))
+    salt_u = np.uint64(salt)
+
+    def _is_bench(batch: pd.DataFrame) -> np.ndarray:
+        ids = batch[key].to_numpy().astype(np.int64).view(np.uint64)
+        return mix64(ids ^ salt_u) < thresh
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text].to_numpy()[_is_bench(batch)].tolist()
+        flat, _ = _batch_shingle_hashes(texts, w)
+        return pd.DataFrame({"h": np.unique(flat).view(np.int64)})
+
+    parts = docs.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    bench_set = np.unique(parts["h"].to_numpy().view(np.uint64))
+    set_ref = _ray.put(bench_set)
+    _cache: dict = {}
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        if "s" not in _cache:
+            _cache["s"] = _ray.get(set_ref)
+        bset = _cache["s"]
+        sub = batch[~_is_bench(batch)]
+        flat, counts = _batch_shingle_hashes(sub[text].tolist(), w)
+        if len(bset) == 0:
+            member = np.zeros(len(flat), dtype=bool)
+        else:
+            pos = np.searchsorted(bset, flat)
+            member = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == flat)
+        docrep = np.repeat(np.arange(len(sub)), counts)
+        hits = np.bincount(docrep[member], minlength=len(sub)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: sub[key].to_numpy(),
+                "n_shingles": counts,
+                "n_hits": hits,
+                "contam_frac": round6(hits / np.maximum(counts, 1)),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pandas")

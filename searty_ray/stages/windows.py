@@ -241,6 +241,7 @@ def rolling_aggregate_ranged(
     window_rows: int = 5,
     range_span_us: int = 86_400_000_000,
     num_partitions: int = 64,
+    seed_mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """The event-scale-key rolling path: same output contract as
     :func:`rolling_aggregate`, but no single partition ever holds more
@@ -264,11 +265,20 @@ def rolling_aggregate_ranged(
     w-1 rows immediately preceding the range in the key's global order —
     precisely what the prefix boundary holds.  Pinned equal to the
     one-shot path by pytest (skewed key spanning many ranges).
+
+    ``seed_mode="shuffle"`` computes the SAME seeds fully distributed
+    (no driver reduce, no broadcast — flagged seed rows ride the main
+    exchange); output pinned identical to broadcast mode by pytest.
     """
     import ray as _ray
 
     from .analytics import _pk_any
     from .joins import _pk2
+
+    if seed_mode == "shuffle":
+        return _rolling_ranged_shuffle(
+            events, by, order, value, window_rows, range_span_us, num_partitions
+        )
 
     ts_col = order[0]
 
@@ -286,19 +296,22 @@ def rolling_aggregate_ranged(
         s = g.sort_values([by, "__rng", *order], kind="mergesort")
         return s.groupby([by, "__rng"], sort=False, observed=True).tail(window_rows - 1)
 
-    cand = (
-        tagged.groupby("__pk").map_groups(candidates, batch_format="pandas").to_pandas()
-    )
-    # prefix boundaries on the SMALL candidate table: for each (key, range),
-    # the last w-1 candidate rows of all EARLIER ranges of that key
-    cand = cand.sort_values([by, *order], kind="mergesort")
     seeds: dict[tuple, pd.DataFrame] = {}
-    for key, sub in cand.groupby(by, sort=False):
-        rngs = np.sort(sub["__rng"].unique())
-        for r in rngs:
-            prev = sub[sub["__rng"] < r].tail(window_rows - 1)
-            if len(prev):
-                seeds[(key, int(r))] = prev.drop(columns=["__pk"])
+    if window_rows > 1:  # a 1-row window never crosses a range boundary
+        cand = (
+            tagged.groupby("__pk")
+            .map_groups(candidates, batch_format="pandas")
+            .to_pandas()
+        )
+        # prefix boundaries on the SMALL candidate table: for each (key,
+        # range), the last w-1 candidate rows of all EARLIER ranges of the key
+        cand = cand.sort_values([by, *order], kind="mergesort")
+        for key, sub in cand.groupby(by, sort=False):
+            rngs = np.sort(sub["__rng"].unique())
+            for r in rngs:
+                prev = sub[sub["__rng"] < r].tail(window_rows - 1)
+                if len(prev):
+                    seeds[(key, int(r))] = prev.drop(columns=["__pk"])
     seeds_ref = _ray.put(seeds)
 
     # ---- phase 2: roll each (key, range) with its seed prefix ----
@@ -331,6 +344,248 @@ def rolling_aggregate_ranged(
         return pd.concat(outs, ignore_index=True).drop(columns=["__pk", "__rng"])
 
     return tagged.groupby("__pk").map_groups(roll_range, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# seed_mode="shuffle": fully distributed boundary seeds (SCALE.md known-limit
+# 5 closed).  The broadcast variants reduce per-(key, range) seeds on the
+# DRIVER and ship them via ray.put — O(#(key, range)) driver rows, fine at
+# dimension×time scale.  Shuffle mode removes the driver from the path
+# entirely: the candidate table is hash-partitioned BY KEY, each key's prefix
+# seeds are computed in a map_groups and emitted as flagged SEED ROWS
+# (__seed=1) addressed to the (key, range) partition that consumes them
+# (joins.py's __side union idiom), then ONE union feeds the same final
+# exchange.  No driver state at any (key, range) cardinality.
+#
+# Partitioning assumption (documented contract): one KEY's candidate rows —
+# ≤ (w−1) per range it touches — fit one group.  That is #ranges(key) × w
+# narrow rows, far below the key's event count (the thing being escaped).
+# ---------------------------------------------------------------------------
+
+
+def _tag_flagged(events, by, ts_col, range_span_us, num_partitions):
+    from .joins import _pk2
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        rng = batch[ts_col].to_numpy().astype(np.int64) // np.int64(range_span_us)
+        out["__rng"] = rng
+        out["__pk"] = _pk2(batch[by].to_numpy(), rng, num_partitions)
+        out["__seed"] = np.int8(0)
+        return out
+
+    return events.map_batches(tag, batch_format="pandas")
+
+
+def _row_seed_dataset(tagged, by, order, tail_rows, num_partitions):
+    """Distributed per-key prefix tails → a Dataset of seed ROWS (__seed=1,
+    real event rows duplicated to the NEXT range's partition).  Exactness:
+    each range keeps at most ``tail_rows`` candidate rows (its own ordered
+    tail), so the ``tail_rows`` candidate rows immediately before a range
+    start are exactly the key's last ``tail_rows`` event rows from earlier
+    ranges — one O(#ranges × tail_rows) slice pass per key, no quadratic
+    rescan."""
+    from .analytics import _pk_any
+    from .joins import _pk2
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        return s.groupby([by, "__rng"], sort=False, observed=True).tail(tail_rows)
+
+    cand = tagged.groupby("__pk").map_groups(candidates, batch_format="pandas")
+
+    def kpk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__kpk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort")
+        outs = []
+        for _key, sub in s.groupby(by, sort=False):
+            sub = sub.reset_index(drop=True)
+            rngs = sub["__rng"].to_numpy()
+            starts = np.flatnonzero(np.concatenate(([True], rngs[1:] != rngs[:-1])))
+            for p in starts[1:]:  # a key's first range has no prefix
+                e = sub.iloc[max(0, p - tail_rows) : p].copy()
+                r = rngs[p]
+                e["__rng"] = r
+                e["__pk"] = _pk2(
+                    e[by].to_numpy(), np.full(len(e), r, dtype=np.int64), num_partitions
+                )
+                e["__seed"] = np.int8(1)
+                outs.append(e)
+        if not outs:
+            return s.head(0).drop(columns="__kpk")
+        return pd.concat(outs, ignore_index=True).drop(columns="__kpk")
+
+    return (
+        cand.map_batches(kpk, batch_format="pandas")
+        .groupby("__kpk")
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def _rolling_ranged_shuffle(
+    events, by, order, value, window_rows, range_span_us, num_partitions
+):
+    ts_col = order[0]
+    tagged = _tag_flagged(events, by, ts_col, range_span_us, num_partitions)
+    if window_rows <= 1:
+        seeds = None  # a 1-row window never crosses a range boundary
+    else:
+        seeds = _row_seed_dataset(tagged, by, order, window_rows - 1, num_partitions)
+    drop = ["__pk", "__rng", "__seed"]
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        # seed rows carry strictly earlier timestamps than any data row of
+        # their target range (rng = ts // span), so the ordered sort puts
+        # them first within each (key, range) — roll, then slice them off
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        outs = []
+        for (_key, _rng), sub in s.groupby([by, "__rng"], sort=False, observed=True):
+            n_seed = int((sub["__seed"].to_numpy() == 1).sum())
+            r = sub[value].rolling(window_rows, min_periods=1)
+            sub = sub.copy()
+            sub["roll_sum"] = r.sum().to_numpy()
+            sub["roll_mean"] = r.mean().to_numpy()
+            outs.append(sub.iloc[n_seed:])
+        if not outs:
+            return g.head(0).assign(roll_sum=0.0, roll_mean=0.0).drop(columns=drop)
+        return pd.concat(outs, ignore_index=True).drop(columns=drop)
+
+    src = tagged if seeds is None else tagged.union(seeds)
+    return src.groupby("__pk").map_groups(roll, batch_format="pandas")
+
+
+def _lag_ranged_shuffle(events, by, order, value, range_span_us, num_partitions):
+    ts_col = order[0]
+    tagged = _tag_flagged(events, by, ts_col, range_span_us, num_partitions)
+    seeds = _row_seed_dataset(tagged, by, order, 1, num_partitions)
+    drop = ["__pk", "__rng", "__seed"]
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, "__rng", *order], kind="mergesort")
+        grp = s.groupby([by, "__rng"], sort=False, observed=True)
+        prev_ts = grp[ts_col].shift(1).to_numpy(dtype=np.float64)
+        prev_val = grp[value].shift(1).to_numpy(dtype=np.float64)
+        keep = s["__seed"].to_numpy() == 0
+        out = s[keep].drop(columns=drop).copy()
+        out["prev_ts"] = prev_ts[keep]
+        out["prev_value"] = prev_val[keep]
+        out["gap_us"] = out[ts_col].to_numpy(dtype=np.float64) - prev_ts[keep]
+        return out
+
+    return tagged.union(seeds).groupby("__pk").map_groups(lag, batch_format="pandas")
+
+
+def _cumsum_ranged_shuffle(events, by, order, value, range_span_us, num_partitions):
+    import pyarrow as pa
+
+    from .analytics import _pk_any
+    from .joins import _pk2
+
+    ts_col = order[0]
+    # every stage on this path emits ARROW blocks: a sort boundary that lands
+    # empty emits a zero-column empty block in the UPSTREAM format, and a
+    # schema-less empty PANDAS block anywhere in the exchange demotes the
+    # whole shuffle to pandas (nulling the sentinel rows' int columns to
+    # float64); zero-column ARROW empties concat away cleanly
+    tagged = _tag_flagged(events, by, ts_col, range_span_us, num_partitions).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+
+    def range_sums(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby([by, "__rng"], sort=False, as_index=False)[value]
+            .sum()
+            .rename(columns={value: "s"})
+        )
+        out["__kpk"] = _pk_any(out[by], num_partitions)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sums = tagged.groupby("__pk").map_groups(range_sums, batch_format="pandas")
+
+    # seed rows are SYNTHETIC (a prefix total, not a real event) — build them
+    # as typed-null arrow tables matching the tagged schema exactly, so the
+    # union stays schema-clean and data-row dtypes survive untouched
+    def _pa_type(t):
+        # pandas-block datasets report numpy/python dtypes, not pa.DataType
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t == np.object_:
+            return pa.string()  # object passthrough cols must be strings
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    base = events.schema()
+    names = list(base.names) + ["__rng", "__pk", "__seed"]
+    types = [_pa_type(t) for t in base.types] + [pa.int64(), pa.int64(), pa.int8()]
+
+    def per_key_seeds(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values([by, "__rng"], kind="mergesort")
+        grp = s.groupby(by, sort=False)["s"]
+        seedv = (grp.cumsum() - s["s"]).to_numpy()
+        nz = seedv != 0.0
+        sub, seedv = s[nz], seedv[nz]
+        n = len(sub)
+        arrays = []
+        for nm, tp in zip(names, types):
+            if nm == by:
+                arrays.append(pa.array(sub[by].to_numpy(), type=tp))
+            elif nm == value:
+                arrays.append(pa.array(seedv, type=tp))
+            elif nm == "__rng":
+                arrays.append(pa.array(sub["__rng"].to_numpy(), type=tp))
+            elif nm == "__pk":
+                arrays.append(
+                    pa.array(
+                        _pk2(
+                            sub[by].to_numpy(),
+                            sub["__rng"].to_numpy(),
+                            num_partitions,
+                        ),
+                        type=tp,
+                    )
+                )
+            elif nm == "__seed":
+                arrays.append(pa.array(np.ones(n, dtype=np.int8), type=tp))
+            else:
+                arrays.append(pa.nulls(n, tp))
+        return pa.Table.from_arrays(arrays, names=names)
+
+    seeds = sums.groupby("__kpk").map_groups(per_key_seeds, batch_format="pandas")
+    drop = ["__pk", "__rng", "__seed"]
+
+    def roll(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        flag = pc.equal(g.column("__seed"), 1)
+        seed_t = g.filter(flag)
+        data = g.filter(pc.invert(flag)).to_pandas()  # no nulls → exact dtypes
+        if not len(data):
+            return data.assign(running_sum=np.empty(0)).drop(columns=drop)
+        local = {
+            (k, int(r)): float(v)
+            for k, r, v in zip(
+                seed_t.column(by).to_pylist(),
+                seed_t.column("__rng").to_pylist(),
+                seed_t.column(value).to_pylist(),
+            )
+        }
+        s = data.sort_values([by, "__rng", *order], kind="mergesort")
+        gb = s.groupby([by, "__rng"], sort=False)
+        run = gb[value].cumsum().to_numpy()
+        sizes = gb.size().to_numpy()
+        seed_per_group = np.array(
+            [local.get((k, int(r)), 0.0) for k, r in gb.groups.keys()]
+        )
+        s = s.drop(columns=drop)
+        s["running_sum"] = run + np.repeat(seed_per_group, sizes)
+        return s
+
+    return (
+        tagged.union(seeds).groupby("__pk").map_groups(roll, batch_format="pyarrow")
+    )
 
 
 def lag_delta(
@@ -381,16 +636,23 @@ def lag_delta_ranged(
     value: str = "value",
     range_span_us: int = 86_400_000_000,
     num_partitions: int = 64,
+    seed_mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """The event-scale-key LAG path: identical output contract to
     :func:`lag_delta`, partitioned by (key, time-range) so no partition
     ever holds more than one key's one time range.  Boundary state is each
     (key, range)'s LAST row, reduced to a per-(key, range) predecessor row
     on the small candidate table and broadcast (the rolling_aggregate_ranged
-    two-phase pattern with w = 2)."""
+    two-phase pattern with w = 2); ``seed_mode="shuffle"`` delivers the same
+    predecessor rows through the exchange instead (zero driver state)."""
     import ray as _ray
 
     from .joins import _pk2
+
+    if seed_mode == "shuffle":
+        return _lag_ranged_shuffle(
+            events, by, order, value, range_span_us, num_partitions
+        )
 
     ts_col = order[0]
 
@@ -487,12 +749,15 @@ def cumulative_sum_ranged(
     value: str = "value",
     range_span_us: int = 86_400_000_000,
     num_partitions: int = 64,
+    seed_mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """The event-scale-key running-total path: identical output contract to
     :func:`cumulative_sum`, partitioned by (key, time-range).  Boundary
     state is ONE scalar per (key, range): the sum of all earlier ranges —
     per-(key, range) sums are candidate-scale, prefix-summed on the small
-    candidate table and broadcast.
+    candidate table and broadcast.  ``seed_mode="shuffle"`` computes the
+    per-key prefix distributed and ships the scalars as typed-null sentinel
+    rows through the exchange — zero driver state at any cardinality.
 
     Float caveat (documented, pinned by pytest): the seed folds an entire
     prefix into one scalar, so results equal the one-shot path up to float
@@ -502,6 +767,11 @@ def cumulative_sum_ranged(
     import ray as _ray
 
     from .joins import _pk2
+
+    if seed_mode == "shuffle":
+        return _cumsum_ranged_shuffle(
+            events, by, order, value, range_span_us, num_partitions
+        )
 
     ts_col = order[0]
 

@@ -1,0 +1,127 @@
+"""pack_sequences, repetition_batch, contamination_check — each against an
+independent one-process reference (pandas cumsum / brute-force Python sets)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from searty_ray.functions.words import ascii_words
+from searty_ray.stages import textstats
+from searty_ray.stages.packing import pack_sequences
+
+
+def _docs(n=97, seed=11) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "omega"]
+    texts = []
+    for i in range(n):
+        if i % 19 == 0:
+            texts.append("")  # empty doc
+        elif i % 13 == 0:
+            texts.append("solo")  # 1 word (< shingle width)
+        else:
+            words = rng.choice(vocab, size=rng.integers(1, 40)).tolist()
+            # repeated lines for the repetition metrics
+            lines = [" ".join(words[: rng.integers(1, 6)]) for _ in range(rng.integers(1, 6))]
+            if rng.random() < 0.5 and lines:
+                lines.append(lines[0])
+            texts.append("\n".join(lines))
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def test_pack_sequences_matches_serial_cumsum(ray_session):
+    df = _docs()
+    ds = ray.data.from_pandas(df)
+    out = (
+        pack_sequences(ds, budget=17, bucket_span=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_tok = df["text"].map(lambda t: len(ascii_words(t))).to_numpy(dtype=np.int64)
+    off = np.cumsum(n_tok) - n_tok
+    assert (out["doc_id"].to_numpy() == df["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n_tok).all()
+    assert (out["tok_offset"].to_numpy() == off).all()
+    assert (out["seq_first"].to_numpy() == off // 17).all()
+    assert (out["seq_last"].to_numpy() == (off + np.maximum(n_tok, 1) - 1) // 17).all()
+    assert (out["seq_pos"].to_numpy() == off % 17).all()
+    # sequences must be gapless: every seq id in [0, last] is touched
+    total = int(n_tok.sum())
+    assert out["seq_last"].max() == (total - 1) // 17
+
+
+def test_pack_sequences_parallelism_invariant(ray_session):
+    df = _docs(n=60, seed=5)
+    a = (
+        pack_sequences(ray.data.from_pandas(df).repartition(1), budget=10, bucket_span=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(ray.data.from_pandas(df).repartition(13), budget=10, bucket_span=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_repetition_batch_brute_force():
+    df = _docs(n=80, seed=7)
+    out = textstats.repetition_batch(df).reset_index(drop=True)
+    for i, t in enumerate(df["text"]):
+        lines = t.split("\n")
+        from collections import Counter
+
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup_lines = sum(c for c in lc.values() if c > 1)
+        line_chars = sum(len(l) * c for l, c in lc.items())
+        dup_chars = sum(len(l) * c for l, c in lc.items() if c > 1)
+        words = ascii_words(t)
+        wc = Counter(words)
+        top = max(wc.values()) if wc else 0
+        row = out.iloc[i]
+        assert row["n_lines"] == n_lines
+        assert row["n_words"] == len(words)
+        assert abs(row["dup_line_frac"] - dup_lines / max(n_lines, 1)) < 5e-7
+        assert abs(row["dup_line_char_frac"] - dup_chars / max(line_chars, 1)) < 5e-7
+        assert abs(row["top_word_frac"] - top / max(len(words), 1)) < 5e-7
+
+
+def test_contamination_brute_force(ray_session):
+    from searty_ray.functions.hashing import mix64
+    from searty_ray.stages.sample import DEFAULT_SALT, _threshold
+
+    df = _docs(n=90, seed=13)
+    out = (
+        textstats.contamination_check(
+            ray.data.from_pandas(df), bench_rate=0.25, w=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def shingles(t: str) -> set:
+        w = ascii_words(t)
+        if len(w) >= 3:
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return {" ".join(w)} if w else set()
+
+    thresh = _threshold(0.25)
+    ids = df["doc_id"].to_numpy().view(np.uint64)
+    is_bench = mix64(ids ^ np.uint64(DEFAULT_SALT)) < np.uint64(thresh)
+    assert 0 < is_bench.sum() < len(df)
+    bench_set = set().union(*(shingles(t) for t in df["text"][is_bench])) if is_bench.any() else set()
+    exp = []
+    for d, t in zip(df["doc_id"][~is_bench], df["text"][~is_bench]):
+        sh = shingles(t)
+        hits = len(sh & bench_set)
+        exp.append((d, len(sh), hits, hits / max(len(sh), 1)))
+    ref = pd.DataFrame(exp, columns=["doc_id", "n_shingles", "n_hits", "contam_frac"])
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (out["n_shingles"].to_numpy() == ref["n_shingles"].to_numpy()).all()
+    assert (out["n_hits"].to_numpy() == ref["n_hits"].to_numpy()).all()
+    assert np.allclose(out["contam_frac"], ref["contam_frac"], atol=1e-6)
+    # at least one real hit so the test has teeth
+    assert out["n_hits"].sum() > 0

@@ -889,6 +889,71 @@ ORDER BY doc_id
 """
 
 
+LINE_DEDUP_MINLEN = 5
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide exact LINE dedup with document reassembly (RefinedWeb
+    repeated-span removal, stages/dedup.line_dedup): only (hash, doc, line)
+    rows shuffle for the decision; content moves once through the reassembly
+    join.  Runs over the DERIVED code corpus (multi-line files with real
+    cross-file duplicate lines — the flat documents text is single-line).
+    The oracle re-derives winners with the identical hash primitive and
+    rebuilds every file with a window + ordered string_agg."""
+    corpus = corpus_from_documents(sf_dir, override_num_blocks=16).select_columns(
+        ["doc_id", "content"]
+    )
+    out = (
+        dedup.line_dedup(corpus, text="content", min_len=LINE_DEDUP_MINLEN)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_dropped": "int64"})
+
+
+SQL_LINE_DEDUP = f"""
+WITH {CORPUS_CTE},
+ls AS (
+  SELECT doc_id, string_split(content, chr(10)) AS lines FROM corpus
+),
+l AS (
+  SELECT doc_id, i - 1 AS line_no, lines[i] AS line
+  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM ls)
+),
+q AS (
+  SELECT doc_id, line_no, line, length(line) >= {LINE_DEDUP_MINLEN} AS qual FROM l
+),
+win AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT doc_id, line_no, line,
+           row_number() OVER (PARTITION BY ({_hash_sql('line')})::HUGEINT
+                              ORDER BY doc_id, line_no) AS rn
+    FROM q WHERE qual
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, line_no, line FROM q WHERE NOT qual
+  UNION ALL
+  SELECT doc_id, line_no, line FROM win
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_no) AS clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nl AS (SELECT doc_id, len(lines)::BIGINT AS n_lines FROM ls)
+SELECT d.doc_id,
+       coalesce(a.clean, '') AS clean,
+       (nl.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+FROM documents d
+JOIN nl USING (doc_id)
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_jaccard(sf_dir: str):
     out = dedup.jaccard_dedup_pairs(
         _docs(sf_dir, ["doc_id", "text", "source", "lang"]),
@@ -3419,6 +3484,7 @@ QUERIES = {
     "topk_words": q_topk_words,
     "topk_bigrams": q_topk_bigrams,
     "dedup_exact": q_dedup_exact,
+    "line_dedup": q_line_dedup,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -3513,6 +3579,7 @@ ORACLE_SQL = {
     "topk_words": SQL_TOPK_WORDS,
     "topk_bigrams": SQL_TOPK_BIGRAMS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "line_dedup": SQL_LINE_DEDUP,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

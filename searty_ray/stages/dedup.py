@@ -689,3 +689,144 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> pd.DataFr
         .sort_values(["doc_id_a", "doc_id_b"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact LINE dedup (RefinedWeb-style repeated-span removal):
+# every exact duplicate of a qualifying line anywhere in the corpus keeps
+# only its FIRST occurrence (global (doc_id, line_no) order); documents are
+# reassembled without the dropped lines.
+#
+# Scale shape: content moves through exactly ONE exchange (the reassembly
+# hash join).  The dedup decision itself shuffles only (hash, doc_id,
+# line_no) rows — ~24 B per qualifying line; winners are decided per hash
+# partition with one lexsort; the drop-list returns to its documents keyed
+# by doc_id.  No broadcast of anything corpus-scale, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def _line_bounds(texts: list[str]):
+    """UTF-8 buffer + flat line boundaries for a batch (the _norm_word_bounds
+    pattern with 0x0A as the separator and NO normalization: a line is an
+    exact byte span of the original text).  Returns (buf, line_starts,
+    line_ends, lines_per_doc)."""
+    bufs = [t.encode("utf-8") for t in texts]
+    dlens = np.array([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    doffs = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)
+    nl = np.where(buf == 0x0A)[0]
+    # every doc contributes (newlines inside it + 1) lines, even when empty
+    starts = np.sort(np.concatenate([doffs[:-1], nl + 1]))
+    ends = np.sort(np.concatenate([doffs[1:], nl]))
+    nl_doc = np.searchsorted(doffs, nl, side="right") - 1
+    n_lines = np.bincount(nl_doc, minlength=len(texts)).astype(np.int64) + 1
+    return buf, starts, ends, n_lines
+
+
+def line_dedup(
+    docs: ray.data.Dataset,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    min_len: int = 5,
+    num_partitions: int = 64,
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """→ (doc_id, clean, n_dropped): ``clean`` is the document with every
+    non-first duplicate occurrence of a qualifying line removed; lines
+    shorter than ``min_len`` characters never participate (blank/short lines
+    are structure, not content).  Line identity = the engine's splitmix64
+    chunk-fold byte hash, mirrored bit-exactly by the gate's SQL oracle.
+    """
+    from .joins import hash_join
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text].tolist()
+        buf, starts, ends, n_lines = _line_bounds(texts)
+        lens = ends - starts
+        docrep = np.repeat(batch[key].to_numpy(), n_lines)
+        total = int(n_lines.sum())
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_lines) - n_lines, n_lines
+        )
+        # min_len is in CHARS (SQL length()); chars = bytes − UTF-8
+        # continuation bytes, counted for every span with ONE prefix sum
+        cont = np.concatenate(([0], np.cumsum((buf & 0xC0) == 0x80)))
+        char_lens = lens - (cont[ends] - cont[starts])
+        qual = char_lens >= min_len
+        h = hash_bytes_u64(buf, starts[qual], lens[qual])
+        return pd.DataFrame(
+            {
+                "h": h.view(np.int64),
+                key: docrep[qual],
+                "line_no": line_no[qual],
+                "__hp": (h % np.uint64(num_partitions)).astype(np.int64),
+            }
+        )
+
+    occ = docs.map_batches(explode, batch_format="pandas")
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        hh = g["h"].to_numpy()
+        dd = g[key].to_numpy()
+        ll = g["line_no"].to_numpy()
+        order = np.lexsort((ll, dd, hh))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = hh[order][1:] != hh[order][:-1]
+        lose = order[~first]
+        return pd.DataFrame({key: dd[lose], "line_no": ll[lose]})
+
+    drop_rows = occ.groupby("__hp").map_groups(drops, batch_format="pandas")
+
+    from .analytics import _pk_any
+
+    def dp(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__dp"] = _pk_any(b[key], num_partitions)
+        return out
+
+    def per_doc_list(g: pd.DataFrame) -> pd.DataFrame:
+        # arrow's acero join rejects list<> payload columns — carry the
+        # per-doc drop set as a CSV string instead (decoded in reassemble)
+        s = g.sort_values([key, "line_no"], kind="mergesort")
+        s["line_no"] = s["line_no"].astype(str)
+        agg = s.groupby(key, sort=False)["line_no"].agg(",".join).reset_index()
+        return agg.rename(columns={"line_no": "drop_lines"})
+
+    drop_lists = (
+        drop_rows.map_batches(dp, batch_format="pandas")
+        .groupby("__dp")
+        .map_groups(per_doc_list, batch_format="pandas")
+    )
+
+    # join_partitions is SEPARATE from the narrow-shuffle partition count:
+    # Ray's native join runs one aggregator ACTOR per partition — they must
+    # fit the cluster's CPUs alongside the upstream stages or the pipeline
+    # livelocks (measured: 64 aggregators deadlock an 8-cpu session)
+    joined = hash_join(
+        docs.select_columns([key, text]),
+        drop_lists,
+        on=key,
+        how="left_outer",
+        num_partitions=join_partitions,
+    )
+
+    def reassemble(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text].tolist()
+        dl = b["drop_lines"].tolist()
+        clean = list(texts)
+        n_dropped = np.zeros(len(b), dtype=np.int64)
+        for i, (t, d) in enumerate(zip(texts, dl)):
+            if d is None or (isinstance(d, float) and np.isnan(d)):
+                continue
+            keep_lines = t.split("\n")
+            dset = set(int(x) for x in d.split(","))
+            clean[i] = "\n".join(
+                l for j, l in enumerate(keep_lines) if j not in dset
+            )
+            n_dropped[i] = len(dset)
+        return pd.DataFrame(
+            {key: b[key].to_numpy(), "clean": clean, "n_dropped": n_dropped}
+        )
+
+    return joined.map_batches(reassemble, batch_format="pandas")

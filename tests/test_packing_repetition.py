@@ -125,3 +125,53 @@ def test_contamination_brute_force(ray_session):
     assert np.allclose(out["contam_frac"], ref["contam_frac"], atol=1e-6)
     # at least one real hit so the test has teeth
     assert out["n_hits"].sum() > 0
+
+
+def test_line_dedup_brute_force(ray_session):
+    from searty_ray.stages.dedup import line_dedup
+
+    rng = np.random.default_rng(17)
+    lines_pool = [
+        "the quick brown fox",
+        "jumps over the lazy dog",
+        "a b",  # below min_len — never deduped
+        "shared boilerplate header line",
+        "unique-%d tail",
+    ]
+    texts = []
+    for i in range(60):
+        n = rng.integers(1, 7)
+        ls = []
+        for _ in range(n):
+            pick = rng.integers(0, len(lines_pool))
+            l = lines_pool[pick]
+            ls.append(l % i if "%d" in l else l)
+        texts.append("\n".join(ls))
+    texts[3] = ""  # empty doc
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+
+    out = (
+        line_dedup(ray.data.from_pandas(df).repartition(5), min_len=5,
+                   num_partitions=8, join_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # brute-force reference: global first-occurrence wins
+    seen = set()
+    exp_clean, exp_drop = [], []
+    for _, row in df.iterrows():
+        kept = []
+        dropped = 0
+        for line in row["text"].split("\n"):
+            if len(line) < 5:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+            else:
+                dropped += 1
+        exp_clean.append("\n".join(kept))
+        exp_drop.append(dropped)
+    assert out["clean"].tolist() == exp_clean
+    assert out["n_dropped"].tolist() == exp_drop
+    assert out["n_dropped"].sum() > 0  # the test corpus must exercise drops

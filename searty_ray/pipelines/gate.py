@@ -1789,6 +1789,94 @@ ORDER BY doc_id
 SQL_SAMPLE_WEIGHTED = _sql_sample_weighted()
 
 
+UNIGRAM_VOCAB_K = 40
+
+
+def q_unigram_bpw(sf_dir: str):
+    """CCNet-shape perplexity filter signal (textstats.unigram_bits_per_word):
+    pass 1 fits the global top-K unigram model with combiner partials; pass 2
+    broadcasts it and scores every doc as bits-per-word.  K small enough that
+    real OOV backoff happens at gate scale."""
+    out = (
+        textstats.unigram_bits_per_word(
+            _docs(sf_dir, ["doc_id", "text"]), vocab_k=UNIGRAM_VOCAB_K
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_words": "int64"})
+
+
+SQL_UNIGRAM_BPW = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+wh AS (SELECT doc_id, ({_hash_sql('word')})::HUGEINT AS h FROM w),
+wc AS (SELECT h, count(*) AS c FROM wh GROUP BY h),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM wc),
+vocab AS (SELECT h, c FROM wc ORDER BY c DESC, h ASC LIMIT {UNIGRAM_VOCAB_K}),
+scored AS (
+  SELECT wh.doc_id,
+         log2((SELECT n FROM tot)) - log2(coalesce(v.c, 1)::DOUBLE) AS bits
+  FROM wh LEFT JOIN vocab v USING (h)
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, avg(bits) AS bpw FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       round(coalesce(a.bpw, 0), 4) AS bits_per_word
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+MIX_WEIGHTS = {"en": 0.5, "fr": 0.25, "es": 0.125, "de": 0.0625, "zh": 0.0625}
+
+
+def q_mix_sources(sf_dir: str):
+    """Training-mix reweighting (sample.mix_sources): per-language targets
+    realized exactly via integer order statistics over the deterministic
+    hash rank — combiner-first counts + the mergeable top-k kernel."""
+    from ..stages.sample import mix_sources
+
+    out = mix_sources(
+        _docs(sf_dir, ["doc_id", "lang"]), MIX_WEIGHTS, group="lang"
+    ).to_pandas()
+    out = out.astype({"doc_id": "int64", "rank": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_mix_sources() -> str:
+    from ..stages.sample import sql_key_hash
+
+    wvals = ", ".join(f"('{g}', {w})" for g, w in MIX_WEIGHTS.items())
+    langs = ", ".join(f"'{g}'" for g in MIX_WEIGHTS)
+    return f"""
+WITH w(grp, wt) AS (VALUES {wvals}),
+cnt AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY lang),
+t AS (
+  SELECT min(floor(coalesce(cnt.n, 0) / w.wt))::BIGINT AS T
+  FROM w LEFT JOIN cnt USING (grp)
+),
+keepn AS (SELECT grp, floor((SELECT T FROM t) * wt)::BIGINT AS k FROM w),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {sql_key_hash('doc_id')}, doc_id) AS rn
+  FROM documents WHERE lang IN ({langs})
+)
+SELECT doc_id, lang, rn AS "rank"
+FROM ranked JOIN keepn ON keepn.grp = ranked.lang
+WHERE rn <= keepn.k
+ORDER BY doc_id
+"""
+
+
+SQL_MIX_SOURCES = _sql_mix_sources()
+
+
 STRATIFIED_N = 50
 
 
@@ -3510,6 +3598,8 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
+    "mix_sources": q_mix_sources,
+    "unigram_bpw": q_unigram_bpw,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
@@ -3606,6 +3696,8 @@ ORACLE_SQL = {
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "split_assign": SQL_SPLIT_ASSIGN,
     "events_stratified": _sql_events_stratified(),
+    "mix_sources": SQL_MIX_SOURCES,
+    "unigram_bpw": SQL_UNIGRAM_BPW,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,

@@ -149,3 +149,77 @@ def weighted_sample(
         return batch.filter(pa.array(h < p * float(_U64)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_sources(
+    ds: ray.data.Dataset,
+    weights: dict[str, float],
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Training-data MIX reweighting: downsample each source/domain so the
+    kept rows realize the target proportions ``weights`` exactly, keeping as
+    much data as possible (the data-mixing step of a pretraining pipeline).
+
+    Math: with per-group counts ``n_g`` and targets ``w_g``, the largest
+    total satisfying every group is ``T = min_g floor(n_g / w_g)``; each
+    group keeps its ``floor(T · w_g)`` smallest ``mix64(key ^ salt)`` ranks
+    (deterministic, layout-stable, without replacement).  Using integer
+    order statistics — not float rate thresholds — keeps the DuckDB mirror
+    bit-exact; use exact-binary weights (0.5, 0.25, …) so ``floor`` never
+    sits on a float boundary.  Groups not in ``weights`` are dropped; a
+    declared group with zero rows makes the mix unsatisfiable (T = 0).
+
+    Scale shape: pass 1 is a combiner-first per-group count (one tiny row
+    per group per batch to the driver); pass 2 reuses the mergeable top-k
+    kernel — each batch ships at most max_k candidate rows per group, never
+    the group.  → (key, group, rank) rows, rank 1-based in hash order.
+    """
+    import math
+
+    import pandas as pd
+
+    from .analytics import topk_per_group
+
+    names = list(weights)
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(group, sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (
+        ds.map_batches(cnt_partial, batch_format="pandas").to_pandas()
+    )
+    counts = parts.groupby(group)["n"].sum().to_dict()
+    T = min(math.floor(counts.get(g, 0) / weights[g]) for g in names)
+    n_keep = {g: math.floor(T * weights[g]) for g in names}
+    max_k = max(n_keep.values(), default=0)
+    if max_k == 0:
+        names = []  # unsatisfiable mix → empty result below
+
+    def rank_col(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch[group].isin(names)].copy()
+        ids = out[key].to_numpy().astype(np.int64).view(np.uint64)
+        out["__rank"] = mix64(ids ^ np.uint64(salt))
+        return out
+
+    kwargs = {} if num_partitions is None else {"num_partitions": num_partitions}
+    ranked = topk_per_group(
+        ds.map_batches(rank_col, batch_format="pandas"),
+        group=group,
+        order="__rank",
+        k=max(max_k, 1),
+        tie_col=key,
+        descending=False,
+        **kwargs,
+    )
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        cut = b[group].map(n_keep).fillna(0).to_numpy(dtype=np.int64)
+        out = b[b["rank"].to_numpy() <= cut]
+        return out.drop(columns="__rank")
+
+    return ranked.map_batches(trim, batch_format="pandas")

@@ -554,3 +554,99 @@ def contamination_check(
         )
 
     return docs.map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring (the CCNet perplexity-filter shape with a deterministic
+# stand-in model): pass 1 fits the "model" — global top-K unigram counts —
+# with combiner-first partial counts; pass 2 broadcasts it and scores every
+# document as bits-per-word (−mean log2 P(word)), OOV backing off to count 1.
+# Swap pass 1 for a real LM checkpoint load and pass 2's kernel for its
+# scorer; the Ray plumbing (two-pass global stats → ray.put → streaming
+# scoring map) is the production shape either way.
+# ---------------------------------------------------------------------------
+
+
+def unigram_bits_per_word(
+    docs: "ray.data.Dataset",
+    *,
+    vocab_k: int = 4096,
+    key: str = "doc_id",
+    text: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """→ (doc_id, n_words, bits_per_word): higher = less like the corpus
+    (the perplexity-style quality signal).  Vocabulary = the global top-K
+    words by count (ties → smaller hash), counted with one narrow shuffle of
+    per-batch (hash, count) partials; the scoring pass streams with the
+    vocab broadcast once via ``ray.put``.  Hash identity throughout — the
+    DuckDB oracle mirrors the same splitmix64 primitive bit-exactly.
+
+    Partitioning contract: one hash partition's distinct words fit a worker
+    (vocabulary scale / num_partitions); the broadcast vocab is K rows.
+    """
+    import ray as _ray
+
+    from .dedup import _batch_word_hashes
+
+    P = np.uint64(num_partitions)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _nw = _batch_word_hashes(b[text].tolist())
+        h, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"h": h, "c": c.astype(np.int64), "__hp": (h % P).astype(np.int64)}
+        )
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", sort=False, as_index=False)["c"].sum()
+        total = int(s["c"].sum())  # partition total over ALL its words
+        s = s.sort_values(["c", "h"], ascending=[False, True], kind="mergesort")
+        top = s.head(vocab_k).copy()
+        top["__total"] = np.int64(0)
+        sent = pd.DataFrame(
+            {"h": np.array([0], dtype=np.uint64), "c": np.array([0], dtype=np.int64),
+             "__total": np.array([total], dtype=np.int64)}
+        )
+        return pd.concat([top, sent], ignore_index=True)
+
+    cand = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby("__hp")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()  # ≤ (K + 1) rows per partition — model-scale, not corpus
+    )
+    n_total = int(cand["__total"].sum())
+    words = cand[cand["__total"] == 0]
+    words = words.sort_values(["c", "h"], ascending=[False, True], kind="mergesort")
+    vocab = words.head(vocab_k)
+    order = np.argsort(vocab["h"].to_numpy().astype(np.uint64))
+    vh = vocab["h"].to_numpy().astype(np.uint64)[order]
+    vc = vocab["c"].to_numpy().astype(np.float64)[order]
+    model_ref = _ray.put((vh, vc, float(n_total)))
+    _cache: dict = {}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = _ray.get(model_ref)
+        vh_l, vc_l, n_l = _cache["m"]
+        flat, nw = _batch_word_hashes(b[text].tolist())
+        if len(vh_l) and len(flat):
+            pos = np.searchsorted(vh_l, flat)
+            ok = (pos < len(vh_l)) & (vh_l[np.minimum(pos, len(vh_l) - 1)] == flat)
+            c = np.where(ok, vc_l[np.minimum(pos, len(vh_l) - 1)], 1.0)
+        else:
+            c = np.ones(len(flat))
+        bits = np.log2(n_l) - np.log2(c)  # −log2(c/N), all ≥ 0
+        docrep = np.repeat(np.arange(len(b)), nw)
+        sums = np.bincount(docrep, weights=bits, minlength=len(b))
+        denom = np.maximum(nw, 1)
+        return pd.DataFrame(
+            {
+                key: b[key].to_numpy(),
+                "n_words": nw,
+                "bits_per_word": np.floor(sums / denom * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -175,3 +175,66 @@ def test_line_dedup_brute_force(ray_session):
     assert out["clean"].tolist() == exp_clean
     assert out["n_dropped"].tolist() == exp_drop
     assert out["n_dropped"].sum() > 0  # the test corpus must exercise drops
+
+
+def test_mix_sources_realizes_exact_proportions(ray_session):
+    from searty_ray.stages.sample import mix_sources
+
+    rng = np.random.default_rng(23)
+    n = 800
+    langs = rng.choice(["en", "fr", "de"], n, p=[0.7, 0.2, 0.1])
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "lang": langs,
+                       "junk": rng.random(n)})
+    w = {"en": 0.5, "fr": 0.25, "de": 0.25}
+    out = (
+        mix_sources(ray.data.from_pandas(df).repartition(6), w, group="lang")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import math
+    counts = df["lang"].value_counts().to_dict()
+    T = min(math.floor(counts[g] / w[g]) for g in w)
+    kept = out["lang"].value_counts().to_dict()
+    for g in w:
+        assert kept.get(g, 0) == math.floor(T * w[g])
+    # deterministic across parallelism
+    out2 = (
+        mix_sources(ray.data.from_pandas(df).repartition(1), w, group="lang")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    # unsatisfiable mix (declared group absent) -> empty
+    out3 = mix_sources(
+        ray.data.from_pandas(df), {"en": 0.5, "xx": 0.5}, group="lang"
+    ).to_pandas()
+    assert len(out3) == 0
+
+
+def test_unigram_bits_per_word_brute_force(ray_session):
+    from collections import Counter
+    import math
+
+    from searty_ray.stages.textstats import unigram_bits_per_word
+
+    df = _docs(n=70, seed=29)
+    K = 5  # small vocab → real OOV backoff
+    out = (
+        unigram_bits_per_word(ray.data.from_pandas(df).repartition(4), vocab_k=K)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    from searty_ray.functions.hashing import hash_str_u64
+
+    allw = [w for t in df["text"] for w in ascii_words(t)]
+    wc = Counter(allw)
+    n = len(allw)
+    # top-K by count desc, tie-break = word hash asc (the engine's rule)
+    vocab = dict(
+        sorted(wc.items(), key=lambda kv: (-kv[1], hash_str_u64(kv[0])))[:K]
+    )
+    for _, row in out.iterrows():
+        words = ascii_words(df.loc[df["doc_id"] == row["doc_id"], "text"].iloc[0])
+        assert row["n_words"] == len(words)
+        if not words:
+            assert row["bits_per_word"] == 0.0
+            continue
+        bits = [math.log2(n) - math.log2(vocab.get(w, 1)) for w in words]
+        assert abs(row["bits_per_word"] - sum(bits) / len(bits)) < 1e-3

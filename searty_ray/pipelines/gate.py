@@ -1639,6 +1639,58 @@ FROM o ORDER BY doc_id
 """
 
 
+def q_assemble_sequences(sf_dir: str):
+    """Materialized packed training sequences (packing.assemble_sequences):
+    corpus tokens in doc order cut into budget-sized sequences; fragments
+    co-locate via one seq_id exchange and join ordered."""
+    from ..stages.packing import assemble_sequences
+
+    out = (
+        assemble_sequences(
+            _docs(sf_dir, ["doc_id", "text"]),
+            budget=PACK_BUDGET,
+            bucket_span=PACK_BUCKET_SPAN,
+        )
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"seq_id": "int64", "n_tokens": "int64"})
+
+
+SQL_ASSEMBLE_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+o AS (
+  SELECT doc_id, words, len(words)::BIGINT AS n_tokens,
+         (sum(len(words)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(words))::BIGINT AS toff
+  FROM t
+),
+frag AS (
+  SELECT doc_id, words, n_tokens, toff,
+         unnest(range(toff // {PACK_BUDGET},
+                      (toff + n_tokens - 1) // {PACK_BUDGET} + 1)) AS seq_id
+  FROM o WHERE n_tokens > 0
+),
+cut AS (
+  SELECT seq_id,
+         greatest(seq_id * {PACK_BUDGET}, toff) AS a,
+         least((seq_id + 1) * {PACK_BUDGET}, toff + n_tokens) AS b,
+         array_to_string(list_slice(words,
+           (greatest(seq_id * {PACK_BUDGET}, toff) - toff + 1)::BIGINT,
+           (least((seq_id + 1) * {PACK_BUDGET}, toff + n_tokens) - toff)::BIGINT), ' ') AS frag
+  FROM frag
+)
+SELECT seq_id::BIGINT AS seq_id,
+       sum(b - a)::BIGINT AS n_tokens,
+       string_agg(frag, ' ' ORDER BY a) AS text
+FROM cut GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 CONTAM_BENCH_RATE = 0.2
 
 
@@ -3593,6 +3645,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
     "pack_sequences": q_pack_sequences,
+    "assemble_sequences": q_assemble_sequences,
     "contamination": q_contamination,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_weighted": q_sample_weighted,
@@ -3691,6 +3744,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "doc_repetition": SQL_DOC_REPETITION,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "assemble_sequences": SQL_ASSEMBLE_SEQUENCES,
     "contamination": SQL_CONTAMINATION,
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,

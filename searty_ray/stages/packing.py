@@ -102,3 +102,109 @@ def pack_sequences(
         )
 
     return counts.groupby("__bkt").map_groups(within_bucket, batch_format="pandas")
+
+
+def assemble_sequences(
+    docs: ray.data.Dataset,
+    budget: int = 2048,
+    *,
+    key: str = "doc_id",
+    text: str = "text",
+    bucket_span: int = 4096,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Materialize the PACKED training sequences themselves: the corpus's
+    whitespace tokens, concatenated in global ``key`` order and cut into
+    ``budget``-token sequences (the final sequence may be short) →
+    (seq_id, n_tokens, text) with fragments re-joined by single spaces.
+
+    Pipeline: the same two-level prefix scan as :func:`pack_sequences`
+    computes per-bucket offsets; a per-bucket pass slices each doc's words
+    across its sequence boundaries and emits FRAGMENT rows (seq_id,
+    tok_offset, n_tokens, frag); one hash exchange on seq_id co-locates a
+    sequence's fragments; assembly is an ordered per-sequence join.
+    Content moves exactly once (as fragments).  Per-fragment string joins
+    are inherent string assembly (the line_dedup reassembly precedent);
+    everything positional is numpy.
+    """
+    import ray as _ray
+
+    span = np.int64(bucket_span)
+    B = np.int64(budget)
+    P = np.int64(num_partitions)
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_tokens": batch[text].str.count(WORD_RE).astype("int64"),
+                "__bkt": ids // span,
+            }
+        )
+
+    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("__bkt", sort=False, as_index=False)["n_tokens"].sum()
+
+    partials = (
+        docs.map_batches(count, batch_format="pandas")
+        .map_batches(bucket_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    sums = partials.groupby("__bkt", sort=True)["n_tokens"].sum().astype("int64")
+    seeds = (sums.cumsum() - sums).to_dict()
+    seeds_ref = _ray.put(seeds)
+    _cache: dict = {}
+
+    def tag_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, text]].copy()
+        out["__bkt"] = out[key].to_numpy().astype(np.int64) // span
+        return out
+
+    def fragments(g: pd.DataFrame) -> pd.DataFrame:
+        if "seeds" not in _cache:
+            _cache["seeds"] = _ray.get(seeds_ref)
+        g = g.sort_values(key, kind="mergesort")
+        words = g[text].str.findall(WORD_RE)
+        n = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        seed = np.int64(_cache["seeds"][int(g["__bkt"].iloc[0])])
+        off = np.cumsum(n) - n + seed
+        f = off // B
+        l = (off + np.maximum(n, 1) - 1) // B
+        spans = np.where(n > 0, l - f + 1, 0)
+        total = int(spans.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"seq_id": np.empty(0, np.int64), "tok_offset": np.empty(0, np.int64),
+                 "n_tokens": np.empty(0, np.int64), "frag": np.empty(0, object),
+                 "__sp": np.empty(0, np.int64)}
+            )
+        docrep = np.repeat(np.arange(len(g)), spans)
+        k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(spans) - spans, spans)
+        s = f[docrep] + k
+        a = np.maximum(s * B, off[docrep])
+        bnd = np.minimum((s + 1) * B, off[docrep] + n[docrep])
+        wl = words.to_numpy()
+        od = off[docrep]
+        frag = [
+            " ".join(wl[d][int(aa - o): int(bb - o)])
+            for d, aa, bb, o in zip(docrep, a, bnd, od)
+        ]
+        return pd.DataFrame(
+            {"seq_id": s, "tok_offset": a, "n_tokens": bnd - a, "frag": frag,
+             "__sp": s % P}
+        )
+
+    frags = (
+        docs.map_batches(tag_bucket, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(fragments, batch_format="pandas")
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["seq_id", "tok_offset"], kind="mergesort")
+        gb = s.groupby("seq_id", sort=False)
+        out = gb.agg(n_tokens=("n_tokens", "sum"), text=("frag", " ".join)).reset_index()
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    return frags.groupby("__sp").map_groups(assemble, batch_format="pandas")

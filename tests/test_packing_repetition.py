@@ -238,3 +238,32 @@ def test_unigram_bits_per_word_brute_force(ray_session):
             continue
         bits = [math.log2(n) - math.log2(vocab.get(w, 1)) for w in words]
         assert abs(row["bits_per_word"] - sum(bits) / len(bits)) < 1e-3
+
+
+def test_assemble_sequences_round_trip(ray_session):
+    from searty_ray.stages.packing import assemble_sequences
+
+    df = _docs(n=85, seed=31)
+    B = 13
+    out = (
+        assemble_sequences(ray.data.from_pandas(df).repartition(6), budget=B,
+                           bucket_span=16)
+        .to_pandas().sort_values("seq_id").reset_index(drop=True)
+    )
+    allw = [w for t in df["text"] for w in ascii_words(t)]
+    exp_n = len(allw)
+    # sequences are dense 0..S-1, budget-sized except the last
+    S = (exp_n + B - 1) // B
+    assert out["seq_id"].tolist() == list(range(S))
+    assert out["n_tokens"].iloc[:-1].eq(B).all()
+    assert out["n_tokens"].sum() == exp_n
+    # the token stream round-trips exactly
+    stream = " ".join(out["text"]).split(" ")
+    assert stream == allw
+    # parallelism invariance
+    out2 = (
+        assemble_sequences(ray.data.from_pandas(df).repartition(1), budget=B,
+                           bucket_span=16)
+        .to_pandas().sort_values("seq_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -298,6 +298,21 @@ def main() -> None:
     q_shipping_priority(SF_DIR)
     timings["join_topk"] = time.monotonic() - t0
 
+    # corpus-wide line dedup over the derived code corpus (narrow decision
+    # shuffle + one reassembly hash join — content moves once)
+    t0 = time.monotonic()
+    dedup.line_dedup(
+        _cfd(SF_DIR).select_columns(["doc_id", "content"]), text="content"
+    ).count()
+    timings["line_dedup"] = time.monotonic() - t0
+
+    # sequence packing end-to-end: two-level prefix scan + fragment exchange
+    from searty_ray.stages.packing import assemble_sequences
+
+    t0 = time.monotonic()
+    assemble_sequences(docs, budget=2048).count()
+    timings["pack_assemble"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -56,9 +56,9 @@ def build_query_set(vocab: list[str], n_ranked: int = 60, n_phrase: int = 40) ->
     return rows
 
 
-def _session_tree_cpu_seconds() -> float:
-    """Total CPU seconds consumed by this process and every descendant
-    (live via utime+stime, reaped via cutime+cstime), from /proc."""
+def _session_tree_cpu_snapshot() -> dict[int, float]:
+    """Per-PID CPU seconds (live utime+stime plus reaped cutime+cstime) for
+    this process and every /proc descendant."""
     hz = os.sysconf("SC_CLK_TCK")
     stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, ticks)
     for d in os.listdir("/proc"):
@@ -78,14 +78,30 @@ def _session_tree_cpu_seconds() -> float:
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in stats.items():
         children.setdefault(ppid, []).append(pid)
-    total = 0.0
+    out: dict[int, float] = {}
     stack = [me]
     while stack:
         pid = stack.pop()
         if pid in stats:
-            total += stats[pid][1]
+            out[pid] = stats[pid][1] / hz
             stack.extend(children.get(pid, []))
-    return total / hz
+    return out
+
+
+def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
+    """CPU seconds the session tree spent between two snapshots.
+
+    The plain aggregate (Σafter − Σbefore) is exact while every exit is
+    reaped INSIDE the tree (the child's lifetime lands in its parent's
+    cutime), but goes NEGATIVE when a pid counted before vanishes and its
+    reaping happens outside the measured tree (the r3 'cores_used null'
+    artifact).  The per-PID floor — survivors' growth plus newcomers' whole
+    ticks, vanished pids contributing zero — can never go negative, so the
+    max of the two is the best defensible estimate."""
+    aggregate = sum(after.values()) - sum(before.values())
+    floor = sum(v - before.get(pid, 0.0) for pid, v in after.items() if pid in before)
+    floor += sum(v for pid, v in after.items() if pid not in before)
+    return max(aggregate, floor, 0.0)
 
 
 def main() -> None:
@@ -165,17 +181,14 @@ def main() -> None:
     # reaped children) divided by wall.  Unlike machine-wide /proc/stat
     # sampling this is correct under sched-affinity isolation and ignores
     # co-tenant load.
-    cpu_before = _session_tree_cpu_seconds()
+    cpu_before = _session_tree_cpu_snapshot()
     t0 = time.monotonic()
     corpus = corpus_from_documents(SF_DIR, replicate=REPLICATE, override_num_blocks=NUM_CPUS * 2)
     manifest = build_index(corpus, INDEX_DIR)
     timings["index_build"] = time.monotonic() - t0
-    cpu_delta = _session_tree_cpu_seconds() - cpu_before
-    # a descendant reparented/reaped between snapshots drops its ticks out
-    # of the tree and can drive the delta negative — that's an accounting
-    # artifact, not a measurement; report null rather than a bogus number
-    # (scaling mode falls back to the nominal cpu count on null, and must
-    # never see a negative value — it would corrupt normalized efficiency)
+    # per-PID-floored delta (_cpu_delta): immune to the vanished-descendant
+    # reparenting artifact that used to drive the aggregate negative
+    cpu_delta = _cpu_delta(cpu_before, _session_tree_cpu_snapshot())
     cores_used = round(cpu_delta / timings["index_build"], 2) if cpu_delta > 0 else None
     n_files = manifest.n_docs
     n_bytes = manifest.total_tokens  # ≈ content bytes (ascii corpus)

@@ -95,13 +95,18 @@ def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
     reaped INSIDE the tree (the child's lifetime lands in its parent's
     cutime), but goes NEGATIVE when a pid counted before vanishes and its
     reaping happens outside the measured tree (the r3 'cores_used null'
-    artifact).  The per-PID floor — survivors' growth plus newcomers' whole
-    ticks, vanished pids contributing zero — can never go negative, so the
-    max of the two is the best defensible estimate."""
+    artifact).  Identity: floor − aggregate = Σ before[vanished] ≥ 0, so the
+    two can't be max()ed — the floor OVERCOUNTS by a reaped child's
+    pre-snapshot lifetime whenever reaping stays in-tree (parent cutime
+    jumps by the whole lifetime while the floor never subtracted the
+    child's before-ticks).  Prefer the exact aggregate; fall back to the
+    never-negative floor only when the aggregate exhibits the artifact."""
     aggregate = sum(after.values()) - sum(before.values())
+    if aggregate > 0:
+        return aggregate
     floor = sum(v - before.get(pid, 0.0) for pid, v in after.items() if pid in before)
     floor += sum(v for pid, v in after.items() if pid not in before)
-    return max(aggregate, floor, 0.0)
+    return max(floor, 0.0)
 
 
 def main() -> None:

@@ -1896,6 +1896,8 @@ def q_mix_sources(sf_dir: str):
     out = mix_sources(
         _docs(sf_dir, ["doc_id", "lang"]), MIX_WEIGHTS, group="lang"
     ).to_pandas()
+    # Ray drops the schema of fully-empty datasets (unsatisfiable mix)
+    out = out.reindex(columns=["doc_id", "lang", "rank"])
     out = out.astype({"doc_id": "int64", "rank": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 

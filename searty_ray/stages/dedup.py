@@ -799,6 +799,22 @@ def line_dedup(
         .map_groups(per_doc_list, batch_format="pandas")
     )
 
+    # materialize the drop-list side: it is the join's build side anyway
+    # (one row per AFFECTED doc — spills via the object store at scale), a
+    # free count() decides the no-duplicates shortcut, and a fully-empty
+    # Ray dataset loses its schema and crashes the native join otherwise
+    drop_lists = drop_lists.materialize()
+    if drop_lists.count() == 0:
+        def passthrough(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {key: b[key].to_numpy(), "clean": b[text].to_numpy(),
+                 "n_dropped": np.zeros(len(b), dtype=np.int64)}
+            )
+
+        return docs.select_columns([key, text]).map_batches(
+            passthrough, batch_format="pandas"
+        )
+
     # join_partitions is SEPARATE from the narrow-shuffle partition count:
     # Ray's native join runs one aggregator ACTOR per partition — they must
     # fit the cluster's CPUs alongside the upstream stages or the pipeline

@@ -37,6 +37,39 @@ import ray.data
 from ..functions.words import WORD_RE
 
 
+def _bucket_seed_offsets(docs, key: str, text: str, span: np.int64):
+    """Shared level-1 scan: per-bucket EXCLUSIVE token-prefix offsets.
+
+    One narrow pass emits per-batch bucket partials (combiner — ≤ one row
+    per bucket per batch reaches the driver); the driver prefix-sums the
+    small bucket table and broadcasts it.  Returns the ``ray.put`` ref of
+    the {bucket: offset} dict ({} for an empty corpus — Ray drops the
+    schema of fully-empty datasets, the documented gotcha)."""
+    import ray as _ray
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[key].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_tokens": batch[text].str.count(WORD_RE).astype("int64"),
+                "__bkt": ids // span,
+            }
+        )
+
+    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("__bkt", sort=False, as_index=False)["n_tokens"].sum()
+
+    partials = (
+        docs.map_batches(count, batch_format="pandas")
+        .map_batches(bucket_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    if "__bkt" not in partials.columns:  # empty corpus → schema-less frame
+        return _ray.put({})
+    sums = partials.groupby("__bkt", sort=True)["n_tokens"].sum().astype("int64")
+    return _ray.put((sums.cumsum() - sums).to_dict())
+
+
 def pack_sequences(
     docs: ray.data.Dataset,
     budget: int = 2048,
@@ -67,17 +100,7 @@ def pack_sequences(
         )
 
     counts = docs.map_batches(count, batch_format="pandas")
-
-    # combiner partials: ≤ one row per bucket per BATCH reaches the driver
-    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("__bkt", sort=False, as_index=False)["n_tokens"].sum()
-
-    partials = counts.map_batches(bucket_partials, batch_format="pandas").to_pandas()
-    sums = (
-        partials.groupby("__bkt", sort=True)["n_tokens"].sum().astype("int64")
-    )
-    seeds = (sums.cumsum() - sums).to_dict()  # exclusive prefix per bucket
-    seeds_ref = _ray.put(seeds)
+    seeds_ref = _bucket_seed_offsets(docs, key, text, span)
     _cache: dict = {}
 
     b = np.int64(budget)
@@ -133,26 +156,7 @@ def assemble_sequences(
     B = np.int64(budget)
     P = np.int64(num_partitions)
 
-    def count(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[key].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {
-                "n_tokens": batch[text].str.count(WORD_RE).astype("int64"),
-                "__bkt": ids // span,
-            }
-        )
-
-    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("__bkt", sort=False, as_index=False)["n_tokens"].sum()
-
-    partials = (
-        docs.map_batches(count, batch_format="pandas")
-        .map_batches(bucket_partials, batch_format="pandas")
-        .to_pandas()
-    )
-    sums = partials.groupby("__bkt", sort=True)["n_tokens"].sum().astype("int64")
-    seeds = (sums.cumsum() - sums).to_dict()
-    seeds_ref = _ray.put(seeds)
+    seeds_ref = _bucket_seed_offsets(docs, key, text, span)
     _cache: dict = {}
 
     def tag_bucket(batch: pd.DataFrame) -> pd.DataFrame:

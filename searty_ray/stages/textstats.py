@@ -527,7 +527,10 @@ def contamination_check(
         return pd.DataFrame({"h": np.unique(flat).view(np.int64)})
 
     parts = docs.map_batches(bench_grams, batch_format="pandas").to_pandas()
-    bench_set = np.unique(parts["h"].to_numpy().view(np.uint64))
+    if "h" not in parts.columns:  # empty benchmark split → schema-less frame
+        bench_set = np.empty(0, dtype=np.uint64)
+    else:
+        bench_set = np.unique(parts["h"].to_numpy().view(np.uint64))
     set_ref = _ray.put(bench_set)
     _cache: dict = {}
 

@@ -267,3 +267,37 @@ def test_assemble_sequences_round_trip(ray_session):
         .to_pandas().sort_values("seq_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_empty_and_degenerate_inputs(ray_session):
+    """Review-pass regressions: empty corpus, empty benchmark split, and a
+    duplicate-free corpus must degrade gracefully (Ray drops the schema of
+    fully-empty datasets — the documented gotcha)."""
+    from searty_ray.stages.dedup import line_dedup
+    from searty_ray.stages.packing import assemble_sequences
+
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64), "text": np.empty(0, object)})
+    ds_empty = ray.data.from_pandas(empty)
+    assert len(pack_sequences(ds_empty, budget=8, bucket_span=4).to_pandas()) == 0
+    assert len(assemble_sequences(ds_empty, budget=8, bucket_span=4).to_pandas()) == 0
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64),
+         "text": [f"totally unique line number {i}" for i in range(6)]}
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    # no qualifying duplicates anywhere → every doc unchanged, n_dropped 0
+    out = (
+        line_dedup(ds, min_len=5, num_partitions=4, join_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["clean"].tolist() == df["text"].tolist()
+    assert (out["n_dropped"] == 0).all()
+
+    # benchmark split empty (rate ~ 0) → all docs are training docs, 0 hits
+    out2 = (
+        textstats.contamination_check(ds, bench_rate=1e-12, w=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(out2) == 6 and (out2["n_hits"] == 0).all()

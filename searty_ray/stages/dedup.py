@@ -737,6 +737,11 @@ def line_dedup(
     shorter than ``min_len`` characters never participate (blank/short lines
     are structure, not content).  Line identity = the engine's splitmix64
     chunk-fold byte hash, mirrored bit-exactly by the gate's SQL oracle.
+
+    The input is consumed TWICE (decision pass + reassembly join left
+    side): when ``docs`` is itself a derived/computed dataset, materialize
+    it first — measured at the 200k-file drill: 7.6 s on a materialized
+    corpus vs 8.7-13.2 s lazy (the derivation re-runs per consumer).
     """
     from .joins import hash_join
 

@@ -98,6 +98,17 @@ class TermPostings:
         return decode_pos_blob(sub, tf_sel)
 
 
+@dataclass
+class RankedMeta:
+    """Per-chunk ranked metadata of one term — block maxima only, no
+    posting bytes.  Feeds the pruned BM25 path's chunk selection."""
+
+    df: int  # total document frequency (Σ chunk_df)
+    chunks: np.ndarray  # chunk ids, ascending
+    chunk_df: np.ndarray  # postings per chunk
+    chunk_ub_core: np.ndarray  # per-chunk max idf-free score core (upper bound)
+
+
 def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one index array (no Python loop)."""
     total = int(lens.sum())
@@ -230,6 +241,10 @@ class IndexReader:
         self._meta_ids: np.ndarray | None = None
         self._meta_filenames: np.ndarray | None = None
         self._cache: OrderedDict[int, TermPostings | None] = OrderedDict()
+        self._rmeta_cache: OrderedDict[int, RankedMeta | None] = OrderedDict()
+        self._chunk_cache: OrderedDict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
         self._cache_cap = cache_terms
         self._part_ds: dict[int, object] = {}  # partition → pads.dataset handle
         self._content_store: DocRangeMeta | None = None
@@ -486,6 +501,205 @@ class IndexReader:
             self._cache[key] = tp
             if len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
+        return out
+
+    def has_cached_postings(self, key: int) -> bool:
+        """True when the term's postings are already decoded in the LRU
+        (doc_ids/tfs resident — positions optional)."""
+        tp = self._cache.get(int(key))
+        return tp is not None
+
+    def lookup_ranked_meta(self, term_keys: np.ndarray) -> dict[int, "RankedMeta | None"]:
+        """Per-chunk ranked METADATA for the given terms — no posting bytes.
+
+        Reads only (term_key, chunk, df, block_max_score): for a hot term
+        this is O(df / BLOCK_SIZE) floats instead of O(df) varint bytes, so
+        the pruned ranked path can pick candidate chunks before any posting
+        decode.  Cached per reader (tiny rows)."""
+        out: dict[int, RankedMeta | None] = {}
+        missing: list[int] = []
+        for key in (int(k) for k in term_keys):
+            if key in self._rmeta_cache:
+                self._rmeta_cache.move_to_end(key)
+                out[key] = self._rmeta_cache[key]
+            else:
+                missing.append(key)
+        if not missing:
+            return out
+        m = self.manifest
+        by_part: dict[int, set[int]] = {}
+        for key in missing:
+            p = term_part(np.uint64(key), m.num_parts)
+            by_part.setdefault(int(p), set()).add(key)
+
+        def read_meta(item: tuple[int, set[int]]) -> dict[int, RankedMeta]:
+            part, keys = item
+            ds = self._part_ds.get(part)
+            if ds is None:
+                part_dir = os.path.join(self.seg_root, f"part={part:05d}")
+                if not os.path.isdir(part_dir):
+                    return {}
+                ds = self._part_ds[part] = pads.dataset(part_dir)
+            t = ds.to_table(
+                filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
+                columns=["term_key", "chunk", "df", "block_max_score"],
+            ).combine_chunks()
+            if len(t) == 0:
+                return {}
+            tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            chunk = t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bc = t.column("block_max_score").chunk(0)
+            bc_off = np.asarray(bc.offsets)
+            bc_vals = bc.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # per-row max core (rows are (term, chunk) — one reduceat over
+            # the flat block values; empty rows impossible: df ≥ 1 per row)
+            row_max = np.maximum.reduceat(bc_vals, bc_off[:-1])
+            order = np.lexsort((chunk, tk))
+            tk_s = tk[order]
+            new_t = np.empty(len(tk_s), dtype=bool)
+            new_t[0] = True
+            new_t[1:] = tk_s[1:] != tk_s[:-1]
+            g_start = np.nonzero(new_t)[0]
+            g_end = np.append(g_start[1:], len(tk_s))
+            found: dict[int, RankedMeta] = {}
+            for gs, ge in zip(g_start, g_end):
+                rows = order[gs:ge]
+                found[int(tk_s[gs])] = RankedMeta(
+                    df=int(df[rows].sum()),
+                    chunks=chunk[rows],
+                    chunk_df=df[rows],
+                    chunk_ub_core=row_max[rows],
+                )
+            return found
+
+        found: dict[int, RankedMeta] = {}
+        items = sorted(by_part.items())
+        if len(items) > 1:
+            for d in self.pool.map(read_meta, items):
+                found.update(d)
+        else:
+            found.update(read_meta(items[0]))
+        for key in missing:
+            out[key] = rm = found.get(key)
+            self._rmeta_cache[key] = rm
+            if len(self._rmeta_cache) > self._cache_cap:
+                self._rmeta_cache.popitem(last=False)
+        return out
+
+    #: (term, chunk) decoded-slice LRU entries — bounds repeat-query decode
+    #: for the pruned ranked path without ever letting a PARTIAL read
+    #: satisfy a whole-term ``lookup``
+    _CHUNK_CACHE_CAP = 8192
+
+    def lookup_doc_chunks(
+        self, term_keys: list[int], chunks: np.ndarray
+    ) -> dict[int, TermPostings | None]:
+        """Decode postings of the given terms RESTRICTED to the given doc-range
+        chunks (the pruned ranked path's selective read).  Chunks are global
+        doc ranges (doc_id // chunk_span), so a doc's postings for every term
+        live in the same chunk — chunk-wise scoring is complete per doc.
+
+        Caching is per (term, chunk) in a separate LRU (absent combinations
+        cache as empty slices), so repeated hot-term queries decode each
+        chunk once; the whole-term LRU stays untouched — a partial read must
+        never satisfy a later ``lookup``."""
+        m = self.manifest
+        span = m.chunk_span
+        chunk_arr = np.unique(np.asarray(chunks, dtype=np.int64))
+        keys = [int(k) for k in term_keys]
+        # resolve cached slices; collect the (term → missing chunks) map
+        cached: dict[int, list[tuple[int, tuple[np.ndarray, np.ndarray]]]] = {}
+        miss_chunks: set[int] = set()
+        miss_keys: set[int] = set()
+        for key in keys:
+            # a whole-term cache hit serves every chunk by slicing (zero decode)
+            tp_full = self._cache.get(key)
+            for c in (int(x) for x in chunk_arr):
+                ck = (key, c)
+                ent = self._chunk_cache.get(ck)
+                if ent is None and tp_full is not None:
+                    lo = int(np.searchsorted(tp_full.doc_ids, c * span))
+                    hi = int(np.searchsorted(tp_full.doc_ids, (c + 1) * span))
+                    ent = (tp_full.doc_ids[lo:hi], tp_full.tfs[lo:hi])
+                    self._chunk_cache[ck] = ent
+                if ent is not None:
+                    self._chunk_cache.move_to_end(ck)
+                    cached.setdefault(key, []).append((c, ent))
+                else:
+                    miss_chunks.add(c)
+                    miss_keys.add(key)
+
+        if miss_keys:
+            by_part: dict[int, set[int]] = {}
+            for key in miss_keys:
+                p = term_part(np.uint64(key), m.num_parts)
+                by_part.setdefault(int(p), set()).add(key)
+            chunk_list = sorted(miss_chunks)
+            cols = ["term_key", "chunk", "df", "cf", "meta_blob", "block_last_doc", "block_max_score"]
+
+            def read_chunks(item: tuple[int, set[int]]) -> dict[int, TermPostings]:
+                part, pkeys = item
+                ds = self._part_ds.get(part)
+                if ds is None:
+                    part_dir = os.path.join(self.seg_root, f"part={part:05d}")
+                    if not os.path.isdir(part_dir):
+                        return {}
+                    ds = self._part_ds[part] = pads.dataset(part_dir)
+                t = ds.to_table(
+                    filter=pads.field("term_key").isin([np.uint64(k) for k in pkeys])
+                    & pads.field("chunk").isin(chunk_list),
+                    columns=cols,
+                ).combine_chunks()
+                return self._decode_partition(t, with_positions=False) if len(t) else {}
+
+            found: dict[int, TermPostings] = {}
+            items = sorted(by_part.items())
+            if len(items) > 1:
+                for d in self.pool.map(read_chunks, items):
+                    found.update(d)
+            else:
+                found.update(read_chunks(items[0]))
+            # split each decoded term into per-chunk slices and cache them
+            # (requested-but-absent combinations cache as empty — negative
+            # entries stop the re-read on the next hot query)
+            empty_ids = np.empty(0, dtype=np.int64)
+            empty_tfs = np.empty(0, dtype=np.int32)
+            for key in miss_keys:
+                tp = found.get(key)
+                for c in chunk_list:
+                    ck = (key, c)
+                    if ck in self._chunk_cache:
+                        continue  # already resolved above for another term
+                    if tp is None:
+                        ent = (empty_ids, empty_tfs)
+                    else:
+                        lo = int(np.searchsorted(tp.doc_ids, c * span))
+                        hi = int(np.searchsorted(tp.doc_ids, (c + 1) * span))
+                        ent = (tp.doc_ids[lo:hi], tp.tfs[lo:hi])
+                    self._chunk_cache[ck] = ent
+                    cached.setdefault(key, []).append((c, ent))
+            while len(self._chunk_cache) > self._CHUNK_CACHE_CAP:
+                self._chunk_cache.popitem(last=False)
+
+        out: dict[int, TermPostings | None] = {}
+        for key in keys:
+            slices = sorted(cached.get(key, []))  # chunk-ascending → doc-ascending
+            parts_ids = [e[0] for _, e in slices if len(e[0])]
+            if not parts_ids:
+                out[key] = None
+                continue
+            doc_ids = parts_ids[0] if len(parts_ids) == 1 else np.concatenate(parts_ids)
+            tfs_parts = [e[1] for _, e in slices if len(e[1])]
+            tfs = tfs_parts[0] if len(tfs_parts) == 1 else np.concatenate(tfs_parts)
+            out[key] = TermPostings(
+                df=len(doc_ids),
+                cf=0,  # unused by ranked scoring
+                doc_ids=doc_ids,
+                tfs=tfs,
+                block_last_doc=np.empty(0, dtype=np.int64),
+                block_core=np.empty(0, dtype=np.float64),
+            )
         return out
 
     def _decode_partition(self, t: pa.Table, with_positions: bool = True) -> dict[int, TermPostings]:
@@ -849,7 +1063,32 @@ class BM25Searcher:
             )
         return cursors
 
-    def topk(self, query: str, k: int) -> pa.Table:
+    #: pruned-path trigger: total UNCACHED df above which the chunk-pruned
+    #: two-phase read beats decoding every posting (hot-term territory —
+    #: below it the exhaustive path's single read is cheaper than two)
+    PRUNE_MIN_DF = 1 << 17
+
+    def topk(self, query: str, k: int, mode: str = "auto") -> pa.Table:
+        """Exact BM25 top-k by (-score, doc_id).
+
+        ``mode="auto"`` (default): exhaustive DAAT for cheap/cached terms;
+        the block-max chunk-pruned path (:meth:`topk_pruned`) when the
+        uncached posting volume crosses ``PRUNE_MIN_DF``.  Both paths are
+        exact — rank-identical by construction (pinned by pytest)."""
+        if mode == "pruned":
+            return self.topk_pruned(query, k)
+        if mode == "auto":
+            keys, _ = tokenize_query(query)
+            if len(keys) == 0:
+                return _topk_empty()
+            uncached = [kk for kk in keys if not self.reader.has_cached_postings(int(kk))]
+            if uncached:
+                metas = self.reader.lookup_ranked_meta(np.asarray(uncached, dtype=np.uint64))
+                if sum(m.df for m in metas.values() if m is not None) >= self.PRUNE_MIN_DF:
+                    return self.topk_pruned(query, k)
+        return self._topk_exhaustive(query, k)
+
+    def _topk_exhaustive(self, query: str, k: int) -> pa.Table:
         """Exhaustive DAAT: vectorized per-term accumulation in ascending-term
         order.  With dense doc ids (sort-mode assignment) scores accumulate
         into a doc-indexed array — no unique/searchsorted per term."""
@@ -875,6 +1114,104 @@ class BM25Searcher:
             scores[idx] += c.idf * bm25.tf_norm(c.tfs, dl[idx], m.avgdl)
         top = bm25.topk_order(scores, candidates, k)
         return _topk_table(candidates[top], scores[top])
+
+    #: target decoded postings per pruned-path read batch — amortizes the
+    #: per-read parquet overhead while keeping early-exit granularity
+    PRUNE_BATCH_POSTINGS = 1 << 19
+
+    def topk_pruned(self, query: str, k: int) -> pa.Table:
+        """Vectorized block-max chunk pruning (VERDICT r3 item 4).
+
+        Phase 1 reads per-chunk METADATA only (block maxima — O(df/BLOCK)
+        floats, no posting bytes) and computes, per doc-range chunk, an
+        upper bound of any doc's score: Σ_terms idf·max(block core in
+        chunk).  Chunks are global doc ranges, so one doc's postings for
+        every term share a chunk — chunk-wise scoring is complete per doc.
+
+        Phase 2 decodes chunks in DESCENDING bound order (batched reads of
+        ``PRUNE_BATCH_POSTINGS`` estimated postings), scoring each batch
+        with the same vectorized DAAT kernel and keeping a running top-k.
+        It stops as soon as the k-th best score STRICTLY exceeds the next
+        chunk's bound — remaining docs score ≤ bound < k-th, so they can't
+        enter the result even on ties ((-score, doc_id) order).  Exact by
+        the encode-time invariant that block_core is a float-safe upper
+        bound of every doc's idf-free contribution (encode_stage.py:342).
+
+        No per-doc Python: bounds, ordering and scoring are all numpy; the
+        per-BATCH loop runs O(selected_chunks / batch) times.  Worst case
+        (uniform score distribution) decodes everything the exhaustive path
+        decodes, in two reads instead of one."""
+        keys, _ = tokenize_query(query)
+        m = self.reader.manifest
+        if len(keys) == 0:
+            return _topk_empty()
+        self.reader.prefetch_sidecars(norms=True)
+        metas = self.reader.lookup_ranked_meta(keys)
+        terms = [(int(kk), metas[int(kk)]) for kk in keys if metas[int(kk)] is not None]
+        if not terms:
+            return _topk_empty()
+        idf = {kk: bm25.idf(m.n_docs, meta.df) for kk, meta in terms}
+        all_chunks = np.unique(np.concatenate([meta.chunks for _, meta in terms]))
+        ub = np.zeros(len(all_chunks), dtype=np.float64)
+        est_df = np.zeros(len(all_chunks), dtype=np.int64)
+        for kk, meta in terms:
+            pos = np.searchsorted(all_chunks, meta.chunks)
+            ub[pos] += idf[kk] * meta.chunk_ub_core
+            est_df[pos] += meta.chunk_df
+        order = np.argsort(-ub, kind="stable")
+        term_keys = [kk for kk, _ in terms]
+        # dense fast path (mirrors the exhaustive scorer): whole-corpus norms
+        # resident, per-batch accumulation into a doc-indexed array — no
+        # unique/searchsorted per term
+        dense = m.max_doc_id + 1 == m.n_docs and self.reader.range_meta is None
+        if dense:
+            self.reader._load_norms()
+            dl_all = self.reader._norm_len
+        best_docs = np.empty(0, dtype=np.int64)
+        best_scores = np.empty(0, dtype=np.float64)
+        threshold = -np.inf
+        i = 0
+        while i < len(order):
+            if len(best_docs) >= k and threshold > ub[order[i]]:
+                break
+            j, acc = i, 0
+            while j < len(order) and (j == i or acc < self.PRUNE_BATCH_POSTINGS):
+                acc += int(est_df[order[j]])
+                j += 1
+            batch_chunks = all_chunks[order[i:j]]
+            tps = self.reader.lookup_doc_chunks(term_keys, batch_chunks)
+            arrs = [
+                (kk, tp) for kk, tp in tps.items() if tp is not None and len(tp.doc_ids)
+            ]
+            if arrs:
+                # batch-local exact top-k first: a doc lives in exactly ONE
+                # chunk (hence one batch), so any doc outside its batch's
+                # top-k is dominated by ≥k batch-mates — the global merge
+                # only ever sees ≤ 2k rows
+                if dense:
+                    scores_d = np.zeros(m.n_docs, dtype=np.float64)
+                    for kk, tp in arrs:  # ascending-term sum order
+                        scores_d[tp.doc_ids] += idf[kk] * bm25.tf_norm(
+                            tp.tfs, dl_all[tp.doc_ids], m.avgdl
+                        )
+                    docs_b, sc_b = bm25.topk_dense(scores_d, k)
+                else:
+                    candidates = np.unique(np.concatenate([tp.doc_ids for _, tp in arrs]))
+                    dl = self.reader.doc_len(candidates).astype(np.float64)
+                    scores = np.zeros(len(candidates), dtype=np.float64)
+                    for kk, tp in arrs:  # ascending-term sum order
+                        pos2 = np.searchsorted(candidates, tp.doc_ids)
+                        scores[pos2] += idf[kk] * bm25.tf_norm(tp.tfs, dl[pos2], m.avgdl)
+                    top_b = bm25.topk_order(scores, candidates, k)
+                    docs_b, sc_b = candidates[top_b], scores[top_b]
+                docs_all = np.concatenate([best_docs, docs_b])
+                sc_all = np.concatenate([best_scores, sc_b])
+                top = bm25.topk_order(sc_all, docs_all, k)
+                best_docs, best_scores = docs_all[top], sc_all[top]
+                if len(best_docs) >= k:
+                    threshold = float(best_scores[-1])
+            i = j
+        return _topk_table(best_docs, best_scores)
 
     def topk_wand(self, query: str, k: int) -> pa.Table:
         cursors = self._cursors(query)

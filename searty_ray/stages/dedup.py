@@ -10,9 +10,10 @@ Scale shapes:
 * minhash_lsh — word 3-shingles → 64 multiply-shift minhash perms → band rows
                 (band, v0..v3, doc_id) → ONE groupby over 64 coarse bucket
                 partitions (per-bucket pair emission is C-speed pandas inside
-                each) → exact-Jaccard verify as a SECOND Ray stage
-                (broadcast candidate shingle sets).  Nothing larger than the
-                candidate set ever touches the driver.
+                each) → DISTRIBUTED exact-Jaccard verify: candidate shingle
+                lists attach to pair rows via hash joins (semi-join selects
+                candidate docs; no driver-held candidate set, no broadcast).
+                Only the final verified pairs touch the driver.
 * simhash     — 64-bit simhash per doc (vectorized batch kernel); candidates
                 = equal value in any of 4 16-bit bands, which by pigeonhole
                 has recall 1 for hamming ≤ 3; verified by true hamming in a
@@ -395,98 +396,110 @@ def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-class _JaccardVerify:
-    """Second-stage verifier: exact Jaccard over broadcast shingle sets.
-
-    The broadcast dict covers only CANDIDATE docs (O(candidates), not the
-    corpus); per-pair intersection is C-speed ``intersect1d`` on sorted
-    unique arrays.  Holds the ObjectRef and resolves it lazily on the
-    worker, so the instance runs as a stateless TASK (no actor-pool
-    spin-up) while the dict still ships via the object store once."""
-
-    def __init__(self, sh_ref, threshold: float):
-        self.sh_ref = sh_ref
-        self.t = threshold
-        self.sh: dict | None = None
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.sh is None:
-            self.sh = (
-                ray.get(self.sh_ref) if isinstance(self.sh_ref, ray.ObjectRef) else self.sh_ref
-            )
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["doc_id_a"], batch["doc_id_b"]):
-            sa, sb = self.sh.get(int(a)), self.sh.get(int(b))
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= self.t:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(round(j, 6))
-        return pd.DataFrame(
-            {
-                "doc_id_a": pd.Series(out_a, dtype="int64"),
-                "doc_id_b": pd.Series(out_b, dtype="int64"),
-                "jaccard": pd.Series(out_j, dtype="float64"),
-            }
-        )
+def _melt_pair_ids(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch distinct doc ids appearing in either pair column (a
+    combiner for the semi-join's distinct-keys reduction)."""
+    u = np.unique(np.concatenate([b["doc_id_a"].to_numpy(), b["doc_id_b"].to_numpy()]))
+    return pd.DataFrame({"doc_id": u.astype(np.int64)})
 
 
-def _fetch_shingles(
-    docs: ray.data.Dataset, ids: list[int], source_path: str | None = None
-) -> dict[int, np.ndarray]:
-    """Selective semi-join: shingle-hash sets for the candidate ids only.
+def _tag_pair_pk(b: pd.DataFrame) -> pd.DataFrame:
+    h = mix64(
+        b["doc_id_a"].to_numpy().astype(np.uint64)
+        ^ mix64(b["doc_id_b"].to_numpy().astype(np.uint64))
+    )
+    b = b.copy()
+    b["__pk"] = (h % np.uint64(N_BUCKET_PARTS)).astype(np.int32)
+    return b
 
-    With ``source_path`` (a parquet-backed corpus) the read itself is
-    selective: a ``doc_id isin`` predicate is pushed into the parquet scan,
-    so row-group statistics prune everything that holds no candidate — at
-    100 TB this touches O(candidate row groups), not the corpus.  Without a
-    path it falls back to streaming the Dataset (filter in workers).  Either
-    way shingling runs distributed and the returned dict is
-    O(candidate docs)."""
-    id_set = set(int(i) for i in ids)
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["doc_id"].isin(id_set)]
-        flat, counts = _batch_shingle_hashes(b["text"].tolist())
-        parts = np.split(flat, np.cumsum(counts)[:-1]) if len(counts) else []
-        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sh": parts})
+def _dedupe_pair_part(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop_duplicates(subset=["doc_id_a", "doc_id_b"])[["doc_id_a", "doc_id_b"]]
 
-    if source_path is not None:
-        import pyarrow.dataset as pads
 
-        docs = ray.data.read_parquet(
-            source_path,
-            columns=["doc_id", "text"],
-            filter=pads.field("doc_id").isin(ids),
-        )
-    else:
-        docs = docs.select_columns(["doc_id", "text"])
+def _shingle_rows(b: pd.DataFrame) -> "pa.Table":
+    """(doc_id, text) batch → arrow (doc_id, sh: large_binary) rows.
 
-    out: dict[int, np.ndarray] = {}
-    picked = docs.map_batches(pick, batch_format="pandas")
-    for b in picked.iter_batches(batch_format="pandas"):
-        for d, s in zip(b["doc_id"], b["sh"]):
-            out[int(d)] = np.asarray(s, dtype=np.uint64)
-    return out
+    The per-doc shingle-hash set travels as its raw little-endian uint64
+    BYTES (``large_binary``) because Acero's hash join — what Ray's native
+    ``Dataset.join`` runs per partition — rejects list-typed payload
+    columns; binary round-trips zero-copy on both sides (``.tobytes`` here,
+    ``np.frombuffer`` in the verify kernel).  Sets are distinct-ascending
+    (``_batch_shingle_hashes`` invariant), so the verify kernel's
+    ``assume_unique`` set ops apply directly."""
+    import pyarrow as pa
+
+    flat, counts = _batch_shingle_hashes(b["text"].tolist())
+    offs = (np.concatenate(([0], np.cumsum(counts))) * 8).astype(np.int64)
+    sh = pa.Array.from_buffers(
+        pa.large_binary(),
+        len(counts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64), type=pa.int64()),
+            "sh": sh,
+        }
+    )
+
+
+def _verify_joined_pairs(b: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact Jaccard over joined per-pair shingle lists.  Pair-scale rows;
+    per-pair intersection is C-speed ``intersect1d`` on sorted-unique
+    arrays (the only per-row Python in the pipeline, bounded by the
+    candidate-pair count, never the corpus)."""
+    out_a, out_b, out_j = [], [], []
+    for a, bid, sa, sb in zip(b["doc_id_a"], b["doc_id_b"], b["sh_a"], b["sh_b"]):
+        sa = np.frombuffer(sa, dtype=np.uint64)
+        sb = np.frombuffer(sb, dtype=np.uint64)
+        if len(sa) == 0 or len(sb) == 0:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(bid))
+            out_j.append(round(j, 6))
+    return pd.DataFrame(
+        {
+            "doc_id_a": pd.Series(out_a, dtype="int64"),
+            "doc_id_b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64"),
+        }
+    )
 
 
 def minhash_lsh_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.5, source_path: str | None = None
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    source_path: str | None = None,
+    join_partitions: int = 16,
 ) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — fully
+    distributed: the driver only ever holds the final verified pairs.
 
     documents → band rows → bucket groupby → capped candidate pairs →
-    distributed pair dedupe → Ray verify stage.  The driver only ever holds
-    the candidate id list and the final verified pairs.
+    distributed pair dedupe (narrow (a, b) shuffle) → candidate shingle
+    table via semi-join (corpus streams through ONE left_semi hash join;
+    only candidate docs are shingled) → two hash joins attach per-pair
+    shingle lists → exact-Jaccard verify stage.
     → pandas (doc_id_a, doc_id_b, jaccard) sorted.
 
-    ``source_path``: optional parquet path of the same corpus — lets the
-    verify stage re-read candidate docs selectively (doc_id predicate →
-    row-group pruning) instead of re-streaming the whole Dataset.
+    PARTITIONING: pair dedupe reuses the 64 coarse bucket partitions;
+    the three hash joins use ``join_partitions`` aggregators (kept well
+    under the CPU count — a 64-aggregator join deadlocks an 8-cpu session,
+    measured for line_dedup).  At 100 TB the corpus-side semi-join is the
+    one corpus-scale exchange; everything after moves candidate-pair rows
+    only.  No driver-side candidate set: verify state lives in the joins
+    (replaces the r3 ``ray.put``-one-dict design — VERDICT r3 item 3).
+
+    ``source_path``: optional parquet path of the same corpus — the verify
+    side re-reads (doc_id, text) from parquet (column-pruned scan) instead
+    of re-streaming the input Dataset's lineage.
     """
+    from .joins import hash_join, semi_join
+
     # instance (not class) → stateless TASK mode: the stage holds no state
     # (permutation constants are module globals), so skipping the actor-pool
     # spin-up saves seconds on short inputs and loses nothing at scale
@@ -494,38 +507,73 @@ def minhash_lsh_pairs(
         MinHashStage(), batch_format="pandas", batch_size=256
     )
     # ONE shuffle (groupby over 64 coarse bucket partitions; per-bucket work
-    # is vectorized inside each partition).  A pair found by several bands
-    # is verified redundantly (≤ N_BANDS×, vectorized) — cheaper than a
-    # second all-to-all just to dedupe candidate ids; the small verified
-    # output is deduped on the driver.
+    # is vectorized inside each partition), then a narrow (a, b) shuffle
+    # dedupes band-redundant pairs BEFORE shingle payload attaches (a pair
+    # found by several bands would otherwise carry its lists ≤ N_BANDS×
+    # through the verify joins).
     cand = (
         bands.map_batches(_add_bucket_part, batch_format="pandas")
         .groupby("bpart")
         .map_groups(_bucket_pairs, batch_format="pandas")
     ).materialize()
+    empty = pd.DataFrame(
+        {
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if cand.count() == 0:
+        return empty
+    pairs = (
+        cand.map_batches(_tag_pair_pk, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(_dedupe_pair_part, batch_format="pandas")
+    )
 
-    def _batch_ids(b: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(np.concatenate([b["doc_id_a"].to_numpy(), b["doc_id_b"].to_numpy()]))
-        return pd.DataFrame({"doc_id": u})
+    if source_path is not None:
+        corpus = ray.data.read_parquet(source_path, columns=["doc_id", "text"])
+    else:
+        corpus = docs.select_columns(["doc_id", "text"])
+    # candidate shingle table: corpus ⋉ candidate-ids (per-batch-distinct
+    # combiner feeds semi_join's distinct-keys reduction), then shingle the
+    # surviving candidate docs only
+    cand_ids = cand.map_batches(_melt_pair_ids, batch_format="pandas")
+    # materialize between joins: each execute() then drives at most ONE
+    # hash-join aggregator pool — three concurrently-instantiated pools
+    # deadlock a small session (measured at 4 cpus; the line_dedup
+    # join_partitions note is the same constraint).  The shingle table is
+    # candidate-scale (object-store residency, never driver), and feeding
+    # two joins from one materialized table also halves the semi-join work.
+    sh = (
+        semi_join(corpus, cand_ids, on="doc_id", num_partitions=join_partitions)
+        .map_batches(_shingle_rows, batch_format="pandas")
+        .materialize()
+    )
 
-    # ONE pass collects both columns' unique ids (instead of two unique()
-    # executions); per-batch uniques are tiny, the driver unions them
-    ids = sorted(
-        {int(i) for b in cand.map_batches(_batch_ids, batch_format="pandas")
-                            .iter_batches(batch_format="pandas")
-         for i in b["doc_id"]}
-    )  # unique ids only — O(candidate docs) on the driver
-    if not ids:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                             "doc_id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    sh_ref = ray.put(_fetch_shingles(docs, ids, source_path=source_path))
-    verified = cand.map_batches(
-        _JaccardVerify(sh_ref, threshold), batch_format="pandas"
+    def _suffixed(side: str):
+        def rename(t: "pa.Table") -> "pa.Table":
+            return t.rename_columns(
+                [f"{c}_{side}" if c in ("doc_id", "sh") else c for c in t.column_names]
+            )
+
+        return rename
+
+    sh_a = sh.map_batches(_suffixed("a"), batch_format="pyarrow")
+    sh_b = sh.map_batches(_suffixed("b"), batch_format="pyarrow")
+    j1 = hash_join(
+        pairs, sh_a, on="doc_id_a", num_partitions=join_partitions
+    ).materialize()  # one join pool per execution (see sh materialize note)
+    joined = hash_join(j1, sh_b, on="doc_id_b", num_partitions=join_partitions)
+    verified = joined.map_batches(
+        _verify_joined_pairs,
+        batch_format="pandas",
+        fn_kwargs={"threshold": threshold},
     ).to_pandas()  # verified near-dup pairs: the (small) final result
+    if verified.empty:  # fully-empty datasets lose their schema (NOTES)
+        return empty
     return (
-        verified.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
-        .sort_values(["doc_id_a", "doc_id_b"])
+        verified.sort_values(["doc_id_a", "doc_id_b"])
         .reset_index(drop=True)
     )
 

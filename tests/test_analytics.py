@@ -394,6 +394,52 @@ def test_tfidf_topk_matches_bruteforce(ray_session):
     assert "common" not in set(got[got["rank"] == 1]["word"])
 
 
+def test_tfidf_join_mode_matches_broadcast_and_keeps_vocab_off_driver(
+    ray_session, monkeypatch
+):
+    """The join path (default) must equal the broadcast path on a corpus
+    whose vocabulary is much wider than any one document, and must never
+    pull the vocabulary df table onto the driver (the broadcast path's
+    one to_pandas is exactly what the join path exists to remove)."""
+    from searty_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(7)
+    # 300 docs × 30 words drawn from a 5000-word open vocabulary: the df
+    # table (≈4.3k distinct words) is larger than any doc or batch
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(300)],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    want = (
+        tfidf_topk(ds, k=3, mode="broadcast", concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # join mode: no Dataset.to_pandas may fire anywhere inside the operator
+    # (consumption happens lazily here via iter_batches, not to_pandas)
+    orig = ray.data.Dataset.to_pandas
+
+    def no_driver_pandas(self, *a, **k):
+        raise AssertionError("tfidf join mode materialized a Dataset on the driver")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", no_driver_pandas)
+    out = tfidf_topk(ds, k=3, mode="join")
+    got_batches = list(out.iter_batches(batch_format="pandas"))
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", orig)
+    got = (
+        pd.concat(got_batches, ignore_index=True)
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_prep_corpus_to_parquet_split_layout(ray_session, tmp_path):
     """Split-partitioned output: hive dirs per split, rows round-trip, and
     a completed run short-circuits on resume."""

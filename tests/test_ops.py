@@ -303,8 +303,24 @@ def test_similarity_ops_driver_memory_contract(ray_session, monkeypatch):
         return out
 
     monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    # the minhash verify is fully distributed (joins attach shingle lists):
+    # the driver must never iterate candidate ids — the ONLY permitted
+    # consumption point is the final verified-pairs to_pandas (which calls
+    # iter_batches once internally), so exactly ONE iter_batches may fire
+    orig_iter = ray.data.Dataset.iter_batches
+    iter_calls: list[int] = []
 
+    def iter_spy(self, *a, **k):
+        iter_calls.append(1)
+        return orig_iter(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", iter_spy)
     out = dedup.minhash_lsh_pairs(ds.select_columns(["doc_id", "text"]), threshold=0.5)
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", orig_iter)
+    assert len(iter_calls) == 1, (
+        f"driver iterated a Dataset {len(iter_calls)} times during minhash "
+        "verify — candidate ids must stay distributed"
+    )
     assert (0, 5000) in set(zip(out["doc_id_a"], out["doc_id_b"]))
     out2 = dedup.simhash_near_dups(ds.select_columns(["doc_id", "text"]), max_hamming=3)
     assert (0, 5000) in set(zip(out2["doc_id_a"], out2["doc_id_b"]))

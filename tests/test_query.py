@@ -49,9 +49,11 @@ def test_bm25_rank_identical(reader, fixture_oracle, query, k):
     bm = BM25Searcher(reader)
     eng = [(r["doc_id"], r["score"]) for r in bm.topk(query, k).to_pylist()]
     wnd = [(r["doc_id"], r["score"]) for r in bm.topk_wand(query, k).to_pylist()]
+    prn = [(r["doc_id"], r["score"]) for r in bm.topk_pruned(query, k).to_pylist()]
     ora = fixture_oracle.bm25_topk(query, k)
     assert eng == ora  # exact float64 equality: shared scoring, same sum order
     assert wnd == eng  # block-max WAND is exact
+    assert prn == eng  # chunk-pruned block-max path is exact too
 
 
 def test_symbol_search(reader):

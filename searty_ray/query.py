@@ -104,6 +104,7 @@ class RankedMeta:
     posting bytes.  Feeds the pruned BM25 path's chunk selection."""
 
     df: int  # total document frequency (Σ chunk_df)
+    cf: int  # total collection frequency (for cache promotion)
     chunks: np.ndarray  # chunk ids, ascending
     chunk_df: np.ndarray  # postings per chunk
     chunk_ub_core: np.ndarray  # per-chunk max idf-free score core (upper bound)
@@ -542,13 +543,14 @@ class IndexReader:
                 ds = self._part_ds[part] = pads.dataset(part_dir)
             t = ds.to_table(
                 filter=pads.field("term_key").isin([np.uint64(k) for k in keys]),
-                columns=["term_key", "chunk", "df", "block_max_score"],
+                columns=["term_key", "chunk", "df", "cf", "block_max_score"],
             ).combine_chunks()
             if len(t) == 0:
                 return {}
             tk = t["term_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             chunk = t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
             df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cf = t["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
             bc = t.column("block_max_score").chunk(0)
             bc_off = np.asarray(bc.offsets)
             bc_vals = bc.values.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -567,6 +569,7 @@ class IndexReader:
                 rows = order[gs:ge]
                 found[int(tk_s[gs])] = RankedMeta(
                     df=int(df[rows].sum()),
+                    cf=int(cf[rows].sum()),
                     chunks=chunk[rows],
                     chunk_df=df[rows],
                     chunk_ub_core=row_max[rows],
@@ -609,11 +612,13 @@ class IndexReader:
         chunk_arr = np.unique(np.asarray(chunks, dtype=np.int64))
         keys = [int(k) for k in term_keys]
         # resolve cached slices; collect the (term → missing chunks) map
-        cached: dict[int, list[tuple[int, tuple[np.ndarray, np.ndarray]]]] = {}
+        cached: dict[int, list[tuple[int, tuple]]] = {}
         miss_chunks: set[int] = set()
         miss_keys: set[int] = set()
         for key in keys:
-            # a whole-term cache hit serves every chunk by slicing (zero decode)
+            # a whole-term cache hit serves every chunk by slicing (zero
+            # decode); blocks never span chunks (encode is per (term, chunk)
+            # row), so the block slice is the value range within the chunk
             tp_full = self._cache.get(key)
             for c in (int(x) for x in chunk_arr):
                 ck = (key, c)
@@ -621,7 +626,14 @@ class IndexReader:
                 if ent is None and tp_full is not None:
                     lo = int(np.searchsorted(tp_full.doc_ids, c * span))
                     hi = int(np.searchsorted(tp_full.doc_ids, (c + 1) * span))
-                    ent = (tp_full.doc_ids[lo:hi], tp_full.tfs[lo:hi])
+                    blo = int(np.searchsorted(tp_full.block_last_doc, c * span))
+                    bhi = int(np.searchsorted(tp_full.block_last_doc, (c + 1) * span))
+                    ent = (
+                        tp_full.doc_ids[lo:hi],
+                        tp_full.tfs[lo:hi],
+                        tp_full.block_last_doc[blo:bhi],
+                        tp_full.block_core[blo:bhi],
+                    )
                     self._chunk_cache[ck] = ent
                 if ent is not None:
                     self._chunk_cache.move_to_end(ck)
@@ -663,8 +675,12 @@ class IndexReader:
             # split each decoded term into per-chunk slices and cache them
             # (requested-but-absent combinations cache as empty — negative
             # entries stop the re-read on the next hot query)
-            empty_ids = np.empty(0, dtype=np.int64)
-            empty_tfs = np.empty(0, dtype=np.int32)
+            empty_ent = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int32),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
             for key in miss_keys:
                 tp = found.get(key)
                 for c in chunk_list:
@@ -672,11 +688,18 @@ class IndexReader:
                     if ck in self._chunk_cache:
                         continue  # already resolved above for another term
                     if tp is None:
-                        ent = (empty_ids, empty_tfs)
+                        ent = empty_ent
                     else:
                         lo = int(np.searchsorted(tp.doc_ids, c * span))
                         hi = int(np.searchsorted(tp.doc_ids, (c + 1) * span))
-                        ent = (tp.doc_ids[lo:hi], tp.tfs[lo:hi])
+                        blo = int(np.searchsorted(tp.block_last_doc, c * span))
+                        bhi = int(np.searchsorted(tp.block_last_doc, (c + 1) * span))
+                        ent = (
+                            tp.doc_ids[lo:hi],
+                            tp.tfs[lo:hi],
+                            tp.block_last_doc[blo:bhi],
+                            tp.block_core[blo:bhi],
+                        )
                     self._chunk_cache[ck] = ent
                     cached.setdefault(key, []).append((c, ent))
             while len(self._chunk_cache) > self._CHUNK_CACHE_CAP:
@@ -684,23 +707,38 @@ class IndexReader:
 
         out: dict[int, TermPostings | None] = {}
         for key in keys:
-            slices = sorted(cached.get(key, []))  # chunk-ascending → doc-ascending
-            parts_ids = [e[0] for _, e in slices if len(e[0])]
-            if not parts_ids:
+            slices = [e for _, e in sorted(cached.get(key, []), key=lambda x: x[0])]
+            parts_ids = [e[0] for e in slices if len(e[0])]
+            if not parts_ids:  # chunk-ascending → doc-ascending
                 out[key] = None
                 continue
             doc_ids = parts_ids[0] if len(parts_ids) == 1 else np.concatenate(parts_ids)
-            tfs_parts = [e[1] for _, e in slices if len(e[1])]
-            tfs = tfs_parts[0] if len(tfs_parts) == 1 else np.concatenate(tfs_parts)
+            tfs = np.concatenate([e[1] for e in slices if len(e[1])])
             out[key] = TermPostings(
                 df=len(doc_ids),
-                cf=0,  # unused by ranked scoring
+                cf=0,  # partial view — promotion overrides with the true cf
                 doc_ids=doc_ids,
                 tfs=tfs,
-                block_last_doc=np.empty(0, dtype=np.int64),
-                block_core=np.empty(0, dtype=np.float64),
+                block_last_doc=np.concatenate([e[2] for e in slices]),
+                block_core=np.concatenate([e[3] for e in slices]),
             )
         return out
+
+    def promote_postings(self, key: int, tp: TermPostings) -> None:
+        """Install a fully-assembled position-free posting list into the
+        whole-term LRU (the pruned ranked path calls this when it ended up
+        decoding EVERY chunk of a term anyway — repeats then take the
+        warm exhaustive path).  Never downgrades an entry that already
+        holds positions; ``lookup`` upgrades position-free entries on the
+        first phrase access, so correctness is unaffected."""
+        key = int(key)
+        cur = self._cache.get(key)
+        if cur is not None and cur.pos_blob is not None:
+            return
+        self._cache[key] = tp
+        self._cache.move_to_end(key)
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
 
     def _decode_partition(self, t: pa.Table, with_positions: bool = True) -> dict[int, TermPostings]:
         """Columnar decode of one filtered partition read → TermPostings.
@@ -1064,9 +1102,14 @@ class BM25Searcher:
         return cursors
 
     #: pruned-path trigger: total UNCACHED df above which the chunk-pruned
-    #: two-phase read beats decoding every posting (hot-term territory —
-    #: below it the exhaustive path's single read is cheaper than two)
-    PRUNE_MIN_DF = 1 << 17
+    #: two-phase read is worth attempting.  Deliberately high: below it the
+    #: exhaustive path's ONE filtered read + term-LRU reuse beats the pruned
+    #: path's metadata read + per-batch chunk reads (measured at 200k docs:
+    #: 2× on the bench's repeated-vocab ranked batch; at 600k docs uniform
+    #: synthetic data gives the bound sort nothing to skip).  Above it the
+    #: full decode itself is the wall and chunk skipping + batch-local
+    #: top-k win whenever real corpora give the per-chunk maxima any skew.
+    PRUNE_MIN_DF = 1 << 22
 
     def topk(self, query: str, k: int, mode: str = "auto") -> pa.Table:
         """Exact BM25 top-k by (-score, doc_id).
@@ -1211,6 +1254,19 @@ class BM25Searcher:
                 if len(best_docs) >= k:
                     threshold = float(best_scores[-1])
             i = j
+        if i >= len(order):
+            # no early exit — every chunk of every term was decoded, i.e. the
+            # pruned run paid the full-list cost anyway.  Assemble whole-term
+            # entries from the (term, chunk) cache (pure concatenation) and
+            # promote them, so REPEATS of this query take the warm exhaustive
+            # path instead of re-walking the chunks (measured 2.2× on the
+            # bench's repeated-vocab ranked batch).
+            full = self.reader.lookup_doc_chunks(term_keys, all_chunks)
+            for kk, meta in terms:
+                tp = full.get(kk)
+                if tp is not None and tp.df == meta.df:
+                    tp.cf = meta.cf
+                    self.reader.promote_postings(kk, tp)
         return _topk_table(best_docs, best_scores)
 
     def topk_wand(self, query: str, k: int) -> pa.Table:

@@ -158,6 +158,59 @@ def test_sharded_meta_reader_partial_residency(ray_session, tmp_path):
     )
 
 
+def test_pruned_bm25_skips_chunks_on_skew(ray_session, tmp_path):
+    """On a score-skewed corpus the pruned path must (a) return exactly the
+    exhaustive ranking and (b) STOP decoding once the k-th score beats the
+    next chunk bound — the block-max contract.  One chunk holds massively
+    hot documents; every other chunk holds the term once per doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from searty_ray.pipelines.build import build_index
+
+    rows = []
+    for i in range(128):
+        hot = i < 8  # sorted-path doc ids: a0000.. sort first → chunk 0
+        body = ("zzzz " * 60) if hot else "zzzz "
+        rows.append(
+            {
+                "repo": "r",
+                "path": f"a{i:04d}.lisp",
+                "commit": "c",
+                "lang": "lisp",
+                "content": body + f"filler text number {i} common words here",
+            }
+        )
+    corpus = pa.Table.from_pylist(rows)
+    d = str(tmp_path / "ix_skew")
+    build_index(ray.data.from_arrow(corpus), d, num_parts=4, chunk_span=8)
+
+    r = IndexReader(d)
+    bm = BM25Searcher(r)
+    bm.PRUNE_BATCH_POSTINGS = 1  # one chunk per read batch → fine-grained exit
+    requested: list[int] = []
+    orig = r.lookup_doc_chunks
+
+    def spy(keys, chunks):
+        requested.extend(int(c) for c in chunks)
+        return orig(keys, chunks)
+
+    r.lookup_doc_chunks = spy
+    got = bm.topk_pruned("zzzz", 5)  # pruned FIRST: cache untouched by DAAT
+    n_chunks = 128 // 8
+    assert len(set(requested)) < n_chunks, (
+        f"pruned path decoded {len(set(requested))}/{n_chunks} chunks — "
+        "no early exit on a skewed corpus"
+    )
+    # early exit ⇒ no full decode ⇒ the term must NOT have been promoted
+    from searty_ray.functions.tokenize import tokenize_query
+
+    keys, _ = tokenize_query("zzzz")
+    assert all(int(k) not in r._cache for k in keys)
+    exact = bm._topk_exhaustive("zzzz", 5)
+    assert got.equals(exact)
+
+
 def test_position_free_lookup_and_upgrade(fixture_index, fixture_oracle):
     """Ranked lookups skip pos_blob entirely; a later phrase query on the
     SAME reader upgrades the cached position-free entries transparently and

@@ -1233,9 +1233,26 @@ def q_dedup_embedding(sf_dir: str):
 def q_dedup_embedding_ivf(sf_dir: str):
     """IVF-bucketed approximate near-dup (the 100-TB path: within-cluster
     pairs only, ~O(N²/nlist) dots).  Engine-defined clustering → rows-only
-    gate; exactness of the blocked path is covered by ``dedup_embedding``."""
+    gate; exactness of the blocked path is covered by ``dedup_embedding``.
+
+    Because this is the one rows-only entry, it carries QUANTITATIVE
+    evidence instead: measured recall vs the exact sibling on the same
+    input is computed and logged every gate run (precision is 1 by
+    construction — within-cluster pairs are verified by true cosine, a
+    pytest pins the subset property)."""
+    import logging
+
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return knn.ivf_near_dups(emb, threshold=EMB_DUP_THRESHOLD, nlist=8)
+    ivf = knn.ivf_near_dups(emb, threshold=EMB_DUP_THRESHOLD, nlist=8)
+    exact = knn.embedding_near_dups(emb, threshold=EMB_DUP_THRESHOLD)
+    got = set(zip(ivf["vec_id_a"].to_pylist(), ivf["vec_id_b"].to_pylist()))
+    want = set(zip(exact["vec_id_a"].to_pylist(), exact["vec_id_b"].to_pylist()))
+    recall = (len(got & want) / len(want)) if want else 1.0
+    logging.getLogger(__name__).warning(
+        "ivf_near_dups measured recall vs exact sibling: %.4f (%d/%d pairs; "
+        "spurious=%d)", recall, len(got & want), len(want), len(got - want),
+    )
+    return ivf
 
 
 SQL_DEDUP_EMBEDDING = f"""

@@ -188,6 +188,13 @@ def test_ivf_near_dups_planted(ray_session):
     pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
     # a near-identical pair lands in the same cluster by construction
     assert (10, 250) in pairs
+    # IVF is precision-1 by construction: every emitted pair is verified by
+    # true cosine within its cluster, so ivf pairs ⊆ exact pairs (the
+    # recall the gate logs is the only approximation axis)
+    exact = knn.embedding_near_dups(emb, threshold=0.99)
+    exact_pairs = set(zip(exact["vec_id_a"].to_pylist(), exact["vec_id_b"].to_pylist()))
+    assert pairs <= exact_pairs
+    assert len(pairs) / max(len(exact_pairs), 1) > 0.0  # recall measurable
 
 
 def test_grid_near_dups_exact_within_cell(ray_session):

@@ -954,6 +954,68 @@ ORDER BY d.doc_id
 """
 
 
+SPAN_DEDUP_W = 5
+
+
+def q_span_dedup(sf_dir: str):
+    """Exact duplicate-SPAN removal (stages/dedup.span_dedup — the
+    word-level Lee et al. 2022 exact-substring shape): every word 5-gram
+    occurring more than once across the corpus keeps only its global first
+    occurrence; other occurrences mask the 5 words they cover and documents
+    are rebuilt whitespace-normalized.  The oracle re-derives winners with
+    the identical chunk-fold gram hash and rebuilds every doc with a window
+    + ordered string_agg (the line_dedup oracle pattern at word grain)."""
+    out = (
+        dedup.span_dedup(_docs(sf_dir, ["doc_id", "text"]), w=SPAN_DEDUP_W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_masked": "int64"})
+
+
+SQL_SPAN_DEDUP = f"""
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ({_hash_sql(f"array_to_string(words[i:i+{SPAN_DEDUP_W}-1], ' ')")})::HUGEINT AS h
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - {SPAN_DEDUP_W} + 2)) AS i FROM wl)
+),
+lose AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn > 1
+),
+offs AS (SELECT unnest(range(0, {SPAN_DEDUP_W})) AS o),
+cov AS (SELECT DISTINCT l.doc_id, l.pos + offs.o AS wp FROM lose l CROSS JOIN offs),
+wpos AS (
+  SELECT doc_id, i - 1 AS wp, words[i] AS word
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM wl)
+),
+kept AS (
+  SELECT p.doc_id, p.wp, p.word
+  FROM wpos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.wp = p.wp
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nw AS (SELECT doc_id, len(words)::BIGINT AS n FROM wl)
+SELECT d.doc_id, coalesce(a.clean, '') AS clean,
+       (nw.n - coalesce(a.n_kept, 0))::BIGINT AS n_masked
+FROM documents d
+JOIN nw USING (doc_id)
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_jaccard(sf_dir: str):
     out = dedup.jaccard_dedup_pairs(
         _docs(sf_dir, ["doc_id", "text", "source", "lang"]),
@@ -3624,6 +3686,7 @@ QUERIES = {
     # at 50).  Round 4 fronts the 45 queries that had not yet received a
     # driver-oracle row (r1-r3 covered the trailing block), so every gate
     # query appears in at least one CORRECTNESS_r* artifact.
+    "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
@@ -3795,6 +3858,7 @@ ORACLE_SQL = {
     "topk_bigrams": SQL_TOPK_BIGRAMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "line_dedup": SQL_LINE_DEDUP,
+    "span_dedup": SQL_SPAN_DEDUP,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -39,7 +39,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import hash_bytes_u64, hash_str_u64, mix64
-from ..functions.words import ascii_words
+from ..functions.words import WORD_RE, ascii_words
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -235,6 +235,30 @@ def _batch_shingle_hashes(texts: list[str], w: int = 3) -> tuple[np.ndarray, np.
     keep = np.ones(total, dtype=bool)
     keep[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
     return hh[keep], np.bincount(dh[keep], minlength=n_docs).astype(np.int64)
+
+
+def _batch_gram_occurrences(
+    texts: list[str], w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ALL word w-gram occurrences per doc (no dedup), doc-major:
+    → (flat_hashes, flat_pos, grams_per_doc).  ``pos`` is the 0-based index
+    of the gram's first word.  Docs with fewer than ``w`` words emit no
+    grams (they cannot contain a duplicated w-word span).  Gram bytes are
+    slices of the normalized buffer — ``" ".join(words[i:i+w])`` — hashed by
+    the vectorized chunk-fold kernel, zero string materialization."""
+    n_docs = len(texts)
+    buf, _doffs, ws, we, nw = _norm_word_bounds(texts)
+    base = np.cumsum(nw) - nw  # first flat word index per doc
+    ns = np.maximum(nw - w + 1, 0)
+    total = int(ns.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), ns
+    docrep = np.repeat(np.arange(n_docs), ns)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(ns) - ns, ns)
+    wi = base[docrep] + pos
+    sstart = ws[wi]
+    send = we[wi + w - 1]
+    return hash_bytes_u64(buf, sstart, send - sstart), pos, ns
 
 
 def _batch_word_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -838,13 +862,21 @@ def line_dedup(
         out["__dp"] = _pk_any(b[key], num_partitions)
         return out
 
-    def per_doc_list(g: pd.DataFrame) -> pd.DataFrame:
+    def per_doc_list(g: pd.DataFrame) -> "pa.Table":
         # arrow's acero join rejects list<> payload columns — carry the
-        # per-doc drop set as a CSV string instead (decoded in reassemble)
+        # per-doc drop set as a CSV string instead (decoded in reassemble).
+        # Arrow output so the join build side can be rebuilt from non-empty
+        # arrow refs below (the sparse-input empty-pandas-block trap).
+        import pyarrow as pa
+
         s = g.sort_values([key, "line_no"], kind="mergesort")
         s["line_no"] = s["line_no"].astype(str)
         agg = s.groupby(key, sort=False)["line_no"].agg(",".join).reset_index()
-        return agg.rename(columns={"line_no": "drop_lines"})
+        agg = agg.rename(columns={"line_no": "drop_lines"})
+        return pa.table(
+            {key: pa.array(agg[key].to_numpy(), type=pa.int64()),
+             "drop_lines": pa.array(agg["drop_lines"], type=pa.string())}
+        )
 
     drop_lists = (
         drop_rows.map_batches(dp, batch_format="pandas")
@@ -872,9 +904,11 @@ def line_dedup(
     # Ray's native join runs one aggregator ACTOR per partition — they must
     # fit the cluster's CPUs alongside the upstream stages or the pipeline
     # livelocks (measured: 64 aggregators deadlock an 8-cpu session)
+    from .joins import nonempty_arrow_blocks
+
     joined = hash_join(
         docs.select_columns([key, text]),
-        drop_lists,
+        nonempty_arrow_blocks(drop_lists),  # sparse-input schema-loss guard
         on=key,
         how="left_outer",
         num_partitions=join_partitions,
@@ -896,6 +930,153 @@ def line_dedup(
             n_dropped[i] = len(dset)
         return pd.DataFrame(
             {key: b[key].to_numpy(), "clean": clean, "n_dropped": n_dropped}
+        )
+
+    return joined.map_batches(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-SPAN removal (exact-substring dedup, word-level)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    docs: ray.data.Dataset,
+    text: str = "text",
+    key: str = "doc_id",
+    w: int = 5,
+    num_partitions: int = 64,
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact duplicate-SPAN removal — the word-level form of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") exact-
+    substring dedup: every word w-gram occurring more than once ACROSS THE
+    CORPUS keeps only its global first occurrence (min (doc_id, pos)); every
+    other occurrence masks the ``w`` words it covers, and documents are
+    rebuilt from the surviving words.  → (doc_id, clean, n_masked).
+
+    OUTPUT NORMALIZATION: ``clean`` is whitespace-normalized for every doc
+    (words joined by single spaces) — masking is word-granular, so original
+    inter-word whitespace is not reconstructible for affected docs; applying
+    the same normalization everywhere keeps the contract uniform and the
+    SQL oracle exact.
+
+    Scale shape (the line_dedup pattern): the decision shuffle moves one
+    narrow (hash, doc, pos) row per w-gram OCCURRENCE (~24 B/word);
+    winners-per-hash-partition need ONE lexsort; per-doc drop lists (one CSV
+    row per AFFECTED doc) are the build side of a single native hash join —
+    content moves exactly once.  PARTITIONING: all occurrences of one gram
+    hash co-locate (64 coarse partitions); ``join_partitions`` aggregator
+    actors must fit the cluster's CPUs (line_dedup note).
+    """
+    from .analytics import _pk_any
+    from .joins import hash_join, nonempty_arrow_blocks
+
+    import pyarrow as pa
+
+    # every stage on this path emits ARROW blocks (the windows.py lesson):
+    # an empty hash partition makes map_groups emit a zero-column empty
+    # block in the UPSTREAM format — schema-less empty PANDAS blocks poison
+    # the downstream native join ("no match for key field"), while
+    # zero-column ARROW empties concat away cleanly
+    def explode(batch: pd.DataFrame) -> "pa.Table":
+        h, pos, ns = _batch_gram_occurrences(batch[text].tolist(), w)
+        docrep = np.repeat(batch[key].to_numpy(), ns)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+                key: pa.array(docrep, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+                "__hp": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    occ = docs.map_batches(explode, batch_format="pandas")
+
+    def drops(g: pd.DataFrame) -> "pa.Table":
+        hh = g["h"].to_numpy()
+        dd = g[key].to_numpy()
+        pp = g["pos"].to_numpy()
+        order = np.lexsort((pp, dd, hh))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = hh[order][1:] != hh[order][:-1]
+        lose = order[~first]
+        return pa.table(
+            {key: pa.array(dd[lose], type=pa.int64()),
+             "pos": pa.array(pp[lose], type=pa.int64())}
+        )
+
+    drop_rows = occ.groupby("__hp").map_groups(drops, batch_format="pandas")
+
+    def dp(b: pd.DataFrame) -> "pa.Table":
+        return pa.table(
+            {
+                key: pa.array(b[key].to_numpy(), type=pa.int64()),
+                "pos": pa.array(b["pos"].to_numpy(), type=pa.int64()),
+                "__dp": pa.array(_pk_any(b[key], num_partitions), type=pa.int64()),
+            }
+        )
+
+    def per_doc_list(g: pd.DataFrame) -> "pa.Table":
+        # CSV-string drop set per doc: acero joins reject list<> payloads
+        s = g.sort_values([key, "pos"], kind="mergesort")
+        s["pos"] = s["pos"].astype(str)
+        agg = s.groupby(key, sort=False)["pos"].agg(",".join).reset_index()
+        agg = agg.rename(columns={"pos": "drop_pos"})
+        return pa.table(
+            {key: pa.array(agg[key].to_numpy(), type=pa.int64()),
+             "drop_pos": pa.array(agg["drop_pos"], type=pa.string())}
+        )
+
+    drop_lists = (
+        drop_rows.map_batches(dp, batch_format="pandas")
+        .groupby("__dp")
+        .map_groups(per_doc_list, batch_format="pandas")
+    ).materialize()  # build side of the join; free count() for the shortcut
+
+    def normalize_only(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b[text].str.findall(WORD_RE).str.join(" ")
+        return pd.DataFrame(
+            {key: b[key].to_numpy(), "clean": cl.to_numpy(),
+             "n_masked": np.zeros(len(b), dtype=np.int64)}
+        )
+
+    if drop_lists.count() == 0:
+        return docs.select_columns([key, text]).map_batches(
+            normalize_only, batch_format="pandas"
+        )
+
+    joined = hash_join(
+        docs.select_columns([key, text]),
+        # sparse inputs leave map_groups' empty hash partitions as
+        # zero-column pandas blocks that poison the join side's schema —
+        # rebuild from the non-empty arrow refs (zero-copy)
+        nonempty_arrow_blocks(drop_lists),
+        on=key,
+        how="left_outer",
+        num_partitions=join_partitions,
+    )
+
+    def reassemble(b: pd.DataFrame) -> pd.DataFrame:
+        # unaffected docs: one vectorized findall+join; affected docs only
+        # pay the per-doc mask loop (bounded by duplicate density)
+        clean = b[text].str.findall(WORD_RE).str.join(" ").tolist()
+        dl = b["drop_pos"].tolist()
+        n_masked = np.zeros(len(b), dtype=np.int64)
+        for i, d in enumerate(dl):
+            if d is None or (isinstance(d, float) and np.isnan(d)):
+                continue
+            words = ascii_words(b[text].iloc[i])
+            covered = np.zeros(len(words), dtype=bool)
+            for p in d.split(","):
+                p = int(p)
+                covered[p : p + w] = True
+            clean[i] = " ".join(wd for wd, c in zip(words, covered) if not c)
+            n_masked[i] = int(covered.sum())
+        return pd.DataFrame(
+            {key: b[key].to_numpy(), "clean": clean, "n_masked": n_masked}
         )
 
     return joined.map_batches(reassemble, batch_format="pandas")

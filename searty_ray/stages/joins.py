@@ -201,6 +201,28 @@ def broadcast_join(
     )
 
 
+def nonempty_arrow_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Rebuild a MATERIALIZED dataset from its non-empty arrow block refs
+    (zero-copy — the object refs are reused, no data moves or converts).
+
+    Works around a Ray Data (2.49) trap: ``groupby().map_groups()`` emits
+    ZERO-COLUMN empty PANDAS blocks for empty hash partitions regardless of
+    the UDF's declared/returned format, and such schema-less blocks bypass
+    later map UDFs.  When one becomes a native-join side's schema source,
+    the per-partition Acero join fails with "No match for key field …" —
+    which only reproduces on SPARSE inputs (dense inputs populate every
+    partition), so call this on any join build side produced by map_groups.
+    Only valid when every non-empty block is arrow (all-arrow discipline)."""
+    import ray as _ray
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    return _ray.data.from_arrow_refs(refs)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

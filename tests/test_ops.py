@@ -72,6 +72,67 @@ def test_minhash_selective_verify_matches_streaming(docs_with_dups, tmp_path):
     assert len(selective) > 0
 
 
+def test_span_dedup_bruteforce(ray_session):
+    """span_dedup == a direct dict-based implementation of the spec: global
+    first occurrence per word w-gram wins; losers mask their w words; docs
+    rebuilt whitespace-normalized.  Exercises within-doc repeats, overlap
+    of masked spans, docs shorter than w, and untouched docs."""
+    from searty_ray.functions.words import ascii_words
+
+    w = 3
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "xx alpha beta gamma delta yy zz"},  # overlap of 2 losers
+        {"doc_id": 2, "text": "alpha beta gamma alpha beta gamma"},  # within-doc repeat
+        {"doc_id": 3, "text": "short doc"},  # < w words: no grams
+        {"doc_id": 4, "text": "totally unique words only here"},
+        {"doc_id": 5, "text": "  spaced\tout   alpha beta gamma "},  # normalization
+    ]
+    ds = ray.data.from_items(rows)
+    got = (
+        dedup.span_dedup(ds, w=w, num_partitions=4, join_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    first: dict[tuple, tuple] = {}
+    grams = {}
+    for r in rows:
+        words = ascii_words(r["text"])
+        gs = [tuple(words[i : i + w]) for i in range(max(len(words) - w + 1, 0))]
+        grams[r["doc_id"]] = (words, gs)
+        for i, g in enumerate(gs):
+            if g not in first or (r["doc_id"], i) < first[g]:
+                first[g] = (r["doc_id"], i)
+    want = []
+    for r in rows:
+        words, gs = grams[r["doc_id"]]
+        covered = [False] * len(words)
+        for i, g in enumerate(gs):
+            if first[g] != (r["doc_id"], i):
+                for j in range(i, i + w):
+                    covered[j] = True
+        want.append(
+            {
+                "doc_id": r["doc_id"],
+                "clean": " ".join(wd for wd, c in zip(words, covered) if not c),
+                "n_masked": sum(covered),
+            }
+        )
+    want_df = pd.DataFrame(want).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_masked": "int64"}), want_df.astype({"n_masked": "int64"})
+    )
+    # sanity on the interesting rows
+    by = {r["doc_id"]: r for r in got.to_dict("records")}
+    assert by[0]["n_masked"] == 0  # global first occurrences all live in doc 0
+    assert by[1]["n_masked"] > 0  # copies of doc-0 grams masked
+    assert by[3] == {"doc_id": 3, "clean": "short doc", "n_masked": 0}
+    assert by[5]["clean"].startswith("spaced out")  # normalized whitespace
+
+
 def test_simhash_near_dups(docs_with_dups):
     ds, _ = docs_with_dups
     out = dedup.simhash_near_dups(ds.select_columns(["doc_id", "text"]), max_hamming=6)

@@ -3783,51 +3783,6 @@ QUERIES = {
     "assemble_sequences": q_assemble_sequences,
     "contamination": q_contamination,
     "sample_bernoulli": q_sample_bernoulli,
-    "sample_weighted": q_sample_weighted,
-    "split_assign": q_split_assign,
-    "events_stratified": q_events_stratified,
-    "mix_sources": q_mix_sources,
-    "unigram_bpw": q_unigram_bpw,
-    "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
-    "audio_meta": q_audio_meta,
-    "image_resize": q_image_resize,
-    "image_features": q_image_features,
-    "image_channel_stats": q_image_channel_stats,
-    "events_tumbling": q_events_tumbling,
-    "events_hopping": q_events_hopping,
-    "events_sessions": q_events_sessions,
-    "events_asof": q_events_asof,
-    "events_rolling": q_events_rolling,
-    "events_rolling_shuffled": q_events_rolling_shuffled,
-    "events_lag": q_events_lag,
-    "events_lag_shuffled": q_events_lag_shuffled,
-    "events_cumsum_shuffled": q_events_cumsum_shuffled,
-    "events_cumsum": q_events_cumsum,
-    "events_zscore": q_events_zscore,
-    "events_histogram": q_events_histogram,
-    "events_funnel": q_events_funnel,
-    "lineitem_profile": q_lineitem_profile,
-    "events_props_stats": q_events_props_stats,
-    "embedding_centroids": q_embedding_centroids,
-    "tfidf_topk": q_tfidf_topk,
-    "regex_search": q_regex_search,
-    "regex_scan": q_regex_scan,
-    "orders_enriched": q_orders_enriched,
-    "lineitem_revenue": q_lineitem_revenue,
-    "regional_revenue": q_regional_revenue,
-    "events_range": q_events_range,
-    "orders_topk": q_orders_topk,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "events_approx_users": q_events_approx_users,
-    "events_pivot": q_events_pivot,
-    "orders_unshipped": q_orders_unshipped,
-    "events_distinct": q_events_distinct,
-    "events_quantiles": q_events_quantiles,
-    "events_approx_quantiles": q_events_approx_quantiles,
-    "events_sorted": q_events_sorted,
-    "corpus_prep": q_corpus_prep,
 }
 
 ORACLE_SQL = {

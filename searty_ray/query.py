@@ -628,11 +628,15 @@ class IndexReader:
                     hi = int(np.searchsorted(tp_full.doc_ids, (c + 1) * span))
                     blo = int(np.searchsorted(tp_full.block_last_doc, c * span))
                     bhi = int(np.searchsorted(tp_full.block_last_doc, (c + 1) * span))
+                    # .copy(): a cached VIEW would pin the whole-term (or
+                    # partition-read-wide) base array alive long after the
+                    # term LRU evicts it — the entry cap bounds count, the
+                    # copies bound bytes
                     ent = (
-                        tp_full.doc_ids[lo:hi],
-                        tp_full.tfs[lo:hi],
-                        tp_full.block_last_doc[blo:bhi],
-                        tp_full.block_core[blo:bhi],
+                        tp_full.doc_ids[lo:hi].copy(),
+                        tp_full.tfs[lo:hi].copy(),
+                        tp_full.block_last_doc[blo:bhi].copy(),
+                        tp_full.block_core[blo:bhi].copy(),
                     )
                     self._chunk_cache[ck] = ent
                 if ent is not None:
@@ -694,11 +698,13 @@ class IndexReader:
                         hi = int(np.searchsorted(tp.doc_ids, (c + 1) * span))
                         blo = int(np.searchsorted(tp.block_last_doc, c * span))
                         bhi = int(np.searchsorted(tp.block_last_doc, (c + 1) * span))
+                        # .copy() — see the slicing note above (these views
+                        # would pin the partition-read decode arrays)
                         ent = (
-                            tp.doc_ids[lo:hi],
-                            tp.tfs[lo:hi],
-                            tp.block_last_doc[blo:bhi],
-                            tp.block_core[blo:bhi],
+                            tp.doc_ids[lo:hi].copy(),
+                            tp.tfs[lo:hi].copy(),
+                            tp.block_last_doc[blo:bhi].copy(),
+                            tp.block_core[blo:bhi].copy(),
                         )
                     self._chunk_cache[ck] = ent
                     cached.setdefault(key, []).append((c, ent))
@@ -1126,9 +1132,16 @@ class BM25Searcher:
                 return _topk_empty()
             uncached = [kk for kk in keys if not self.reader.has_cached_postings(int(kk))]
             if uncached:
-                metas = self.reader.lookup_ranked_meta(np.asarray(uncached, dtype=np.uint64))
-                if sum(m.df for m in metas.values() if m is not None) >= self.PRUNE_MIN_DF:
-                    return self.topk_pruned(query, k)
+                # fetch meta for ALL terms up front and hand it to the pruned
+                # path — otherwise routing pays the metadata read twice
+                metas = self.reader.lookup_ranked_meta(keys)
+                df_uncached = sum(
+                    m.df
+                    for kk in uncached
+                    if (m := metas.get(int(kk))) is not None
+                )
+                if df_uncached >= self.PRUNE_MIN_DF:
+                    return self.topk_pruned(query, k, _metas=metas)
         return self._topk_exhaustive(query, k)
 
     def _topk_exhaustive(self, query: str, k: int) -> pa.Table:
@@ -1162,7 +1175,7 @@ class BM25Searcher:
     #: per-read parquet overhead while keeping early-exit granularity
     PRUNE_BATCH_POSTINGS = 1 << 19
 
-    def topk_pruned(self, query: str, k: int) -> pa.Table:
+    def topk_pruned(self, query: str, k: int, _metas=None) -> pa.Table:
         """Vectorized block-max chunk pruning (VERDICT r3 item 4).
 
         Phase 1 reads per-chunk METADATA only (block maxima — O(df/BLOCK)
@@ -1189,7 +1202,7 @@ class BM25Searcher:
         if len(keys) == 0:
             return _topk_empty()
         self.reader.prefetch_sidecars(norms=True)
-        metas = self.reader.lookup_ranked_meta(keys)
+        metas = _metas if _metas is not None else self.reader.lookup_ranked_meta(keys)
         terms = [(int(kk), metas[int(kk)]) for kk in keys if metas[int(kk)] is not None]
         if not terms:
             return _topk_empty()
@@ -1230,8 +1243,12 @@ class BM25Searcher:
                 # batch-local exact top-k first: a doc lives in exactly ONE
                 # chunk (hence one batch), so any doc outside its batch's
                 # top-k is dominated by ≥k batch-mates — the global merge
-                # only ever sees ≤ 2k rows
-                if dense:
+                # only ever sees ≤ 2k rows.  Dense accumulation (no unique/
+                # searchsorted) only pays when the batch is a large corpus
+                # fraction — a small batch would still zero + scan all
+                # n_docs, O(n_batches × n_docs) on uniform data.
+                batch_postings = sum(len(tp.doc_ids) for _, tp in arrs)
+                if dense and batch_postings * 4 >= m.n_docs:
                     scores_d = np.zeros(m.n_docs, dtype=np.float64)
                     for kk, tp in arrs:  # ascending-term sum order
                         scores_d[tp.doc_ids] += idf[kk] * bm25.tf_norm(

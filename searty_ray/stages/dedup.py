@@ -437,8 +437,16 @@ def _tag_pair_pk(b: pd.DataFrame) -> pd.DataFrame:
     return b
 
 
-def _dedupe_pair_part(g: pd.DataFrame) -> pd.DataFrame:
-    return g.drop_duplicates(subset=["doc_id_a", "doc_id_b"])[["doc_id_a", "doc_id_b"]]
+def _dedupe_pair_part(g: pd.DataFrame) -> "pa.Table":
+    import pyarrow as pa
+
+    d = g.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+    return pa.table(
+        {
+            "doc_id_a": pa.array(d["doc_id_a"].to_numpy(), type=pa.int64()),
+            "doc_id_b": pa.array(d["doc_id_b"].to_numpy(), type=pa.int64()),
+        }
+    )
 
 
 def _shingle_rows(b: pd.DataFrame) -> "pa.Table":
@@ -522,7 +530,7 @@ def minhash_lsh_pairs(
     side re-reads (doc_id, text) from parquet (column-pruned scan) instead
     of re-streaming the input Dataset's lineage.
     """
-    from .joins import hash_join, semi_join
+    from .joins import hash_join, nonempty_arrow_blocks, semi_join
 
     # instance (not class) → stateless TASK mode: the stage holds no state
     # (permutation constants are module globals), so skipping the actor-pool
@@ -549,10 +557,14 @@ def minhash_lsh_pairs(
     )
     if cand.count() == 0:
         return empty
-    pairs = (
-        cand.map_batches(_tag_pair_pk, batch_format="pandas")
-        .groupby("__pk")
-        .map_groups(_dedupe_pair_part, batch_format="pandas")
+    pairs = nonempty_arrow_blocks(
+        (
+            cand.map_batches(_tag_pair_pk, batch_format="pandas")
+            .groupby("__pk")
+            .map_groups(_dedupe_pair_part, batch_format="pandas")
+        ).materialize()
+        # sparse candidates leave most of the 64 __pk partitions empty —
+        # the zero-column pandas empties would poison the join side
     )
 
     if source_path is not None:

@@ -60,8 +60,11 @@ def test_minhash_lsh_finds_planted_dups(docs_with_dups):
 
 
 def test_minhash_selective_verify_matches_streaming(docs_with_dups, tmp_path):
-    """source_path= routes the verify re-read through a doc_id-predicate
-    parquet scan; output must equal the streaming-Dataset fallback."""
+    """source_path= re-reads the verify corpus from parquet (column-pruned
+    scan feeding the candidate semi-join) instead of re-streaming the input
+    Dataset's lineage; output must equal the lineage-streaming fallback.
+    (The r3 doc_id-isin predicate pushdown was retired with the broadcast
+    verify: it required a driver-held candidate id list.)"""
     ds, rows = docs_with_dups
     path = str(tmp_path / "docs.parquet")
     pd.DataFrame(rows)[["doc_id", "text"]].to_parquet(path, index=False)

@@ -807,6 +807,102 @@ def _line_bounds(texts: list[str]):
     return buf, starts, ends, n_lines
 
 
+def _first_occurrence_drop_join(
+    docs: ray.data.Dataset,
+    explode,
+    reassemble,
+    passthrough,
+    *,
+    key: str,
+    text: str,
+    unit: str,
+    drop_col: str,
+    num_partitions: int,
+    join_partitions: int,
+) -> ray.data.Dataset:
+    """Shared skeleton of the global-first-occurrence dedup ops
+    (:func:`line_dedup` at line grain, :func:`span_dedup` at word-w-gram
+    grain): explode units → per-hash-partition winners (ONE lexsort; every
+    non-first occurrence of a hash loses) → per-doc CSV drop lists → one
+    left_outer native hash join → per-doc reassembly.
+
+    ``explode(batch) -> (h, key, unit, __hp)`` rows per unit occurrence;
+    ``reassemble(joined_batch)`` sees ``drop_col`` (CSV of lost unit ids,
+    null for unaffected docs); ``passthrough(batch)`` is the zero-duplicates
+    short-circuit.  Scale: the decision shuffle moves one narrow row per
+    unit occurrence; drop lists are the join build side (one row per
+    AFFECTED doc); content moves exactly once.  All map_groups UDFs emit
+    ARROW and the build side is rebuilt from non-empty arrow refs (the
+    sparse-input empty-pandas-block trap — joins.nonempty_arrow_blocks)."""
+    import pyarrow as pa
+
+    from .analytics import _pk_any
+    from .joins import hash_join, nonempty_arrow_blocks
+
+    occ = docs.map_batches(explode, batch_format="pandas")
+
+    def drops(g: pd.DataFrame) -> "pa.Table":
+        hh = g["h"].to_numpy()
+        dd = g[key].to_numpy()
+        uu = g[unit].to_numpy()
+        order = np.lexsort((uu, dd, hh))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = hh[order][1:] != hh[order][:-1]
+        lose = order[~first]
+        return pa.table(
+            {key: pa.array(dd[lose], type=pa.int64()),
+             unit: pa.array(uu[lose], type=pa.int64())}
+        )
+
+    drop_rows = occ.groupby("__hp").map_groups(drops, batch_format="pandas")
+
+    def dp(b: pd.DataFrame) -> "pa.Table":
+        return pa.table(
+            {
+                key: pa.array(b[key].to_numpy(), type=pa.int64()),
+                unit: pa.array(b[unit].to_numpy(), type=pa.int64()),
+                "__dp": pa.array(_pk_any(b[key], num_partitions), type=pa.int64()),
+            }
+        )
+
+    def per_doc_list(g: pd.DataFrame) -> "pa.Table":
+        # CSV-string drop set per doc: acero joins reject list<> payloads
+        s = g.sort_values([key, unit], kind="mergesort")
+        s[unit] = s[unit].astype(str)
+        agg = s.groupby(key, sort=False)[unit].agg(",".join).reset_index()
+        agg = agg.rename(columns={unit: drop_col})
+        return pa.table(
+            {key: pa.array(agg[key].to_numpy(), type=pa.int64()),
+             drop_col: pa.array(agg[drop_col], type=pa.string())}
+        )
+
+    # materialize the drop-list side: it is the join's build side anyway
+    # (spills via the object store at scale) and a free count() decides the
+    # no-duplicates shortcut
+    drop_lists = (
+        drop_rows.map_batches(dp, batch_format="pandas")
+        .groupby("__dp")
+        .map_groups(per_doc_list, batch_format="pandas")
+    ).materialize()
+    if drop_lists.count() == 0:
+        return docs.select_columns([key, text]).map_batches(
+            passthrough, batch_format="pandas"
+        )
+
+    # join_partitions is SEPARATE from the narrow-shuffle partition count:
+    # Ray's native join runs one aggregator ACTOR per partition — they must
+    # fit the cluster's CPUs alongside the upstream stages or the pipeline
+    # livelocks (measured: 64 aggregators deadlock an 8-cpu session)
+    joined = hash_join(
+        docs.select_columns([key, text]),
+        nonempty_arrow_blocks(drop_lists),  # sparse-input schema-loss guard
+        on=key,
+        how="left_outer",
+        num_partitions=join_partitions,
+    )
+    return joined.map_batches(reassemble, batch_format="pandas")
+
+
 def line_dedup(
     docs: ray.data.Dataset,
     *,
@@ -827,9 +923,9 @@ def line_dedup(
     it first — measured at the 200k-file drill: 7.6 s on a materialized
     corpus vs 8.7-13.2 s lazy (the derivation re-runs per consumer).
     """
-    from .joins import hash_join
+    import pyarrow as pa
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pd.DataFrame) -> "pa.Table":
         texts = batch[text].tolist()
         buf, starts, ends, n_lines = _line_bounds(texts)
         lens = ends - starts
@@ -844,87 +940,22 @@ def line_dedup(
         char_lens = lens - (cont[ends] - cont[starts])
         qual = char_lens >= min_len
         h = hash_bytes_u64(buf, starts[qual], lens[qual])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "h": h.view(np.int64),
-                key: docrep[qual],
-                "line_no": line_no[qual],
-                "__hp": (h % np.uint64(num_partitions)).astype(np.int64),
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+                key: pa.array(docrep[qual], type=pa.int64()),
+                "line_no": pa.array(line_no[qual], type=pa.int64()),
+                "__hp": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
-    occ = docs.map_batches(explode, batch_format="pandas")
-
-    def drops(g: pd.DataFrame) -> pd.DataFrame:
-        hh = g["h"].to_numpy()
-        dd = g[key].to_numpy()
-        ll = g["line_no"].to_numpy()
-        order = np.lexsort((ll, dd, hh))
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = hh[order][1:] != hh[order][:-1]
-        lose = order[~first]
-        return pd.DataFrame({key: dd[lose], "line_no": ll[lose]})
-
-    drop_rows = occ.groupby("__hp").map_groups(drops, batch_format="pandas")
-
-    from .analytics import _pk_any
-
-    def dp(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["__dp"] = _pk_any(b[key], num_partitions)
-        return out
-
-    def per_doc_list(g: pd.DataFrame) -> "pa.Table":
-        # arrow's acero join rejects list<> payload columns — carry the
-        # per-doc drop set as a CSV string instead (decoded in reassemble).
-        # Arrow output so the join build side can be rebuilt from non-empty
-        # arrow refs below (the sparse-input empty-pandas-block trap).
-        import pyarrow as pa
-
-        s = g.sort_values([key, "line_no"], kind="mergesort")
-        s["line_no"] = s["line_no"].astype(str)
-        agg = s.groupby(key, sort=False)["line_no"].agg(",".join).reset_index()
-        agg = agg.rename(columns={"line_no": "drop_lines"})
-        return pa.table(
-            {key: pa.array(agg[key].to_numpy(), type=pa.int64()),
-             "drop_lines": pa.array(agg["drop_lines"], type=pa.string())}
+    def passthrough(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key: b[key].to_numpy(), "clean": b[text].to_numpy(),
+             "n_dropped": np.zeros(len(b), dtype=np.int64)}
         )
-
-    drop_lists = (
-        drop_rows.map_batches(dp, batch_format="pandas")
-        .groupby("__dp")
-        .map_groups(per_doc_list, batch_format="pandas")
-    )
-
-    # materialize the drop-list side: it is the join's build side anyway
-    # (one row per AFFECTED doc — spills via the object store at scale), a
-    # free count() decides the no-duplicates shortcut, and a fully-empty
-    # Ray dataset loses its schema and crashes the native join otherwise
-    drop_lists = drop_lists.materialize()
-    if drop_lists.count() == 0:
-        def passthrough(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {key: b[key].to_numpy(), "clean": b[text].to_numpy(),
-                 "n_dropped": np.zeros(len(b), dtype=np.int64)}
-            )
-
-        return docs.select_columns([key, text]).map_batches(
-            passthrough, batch_format="pandas"
-        )
-
-    # join_partitions is SEPARATE from the narrow-shuffle partition count:
-    # Ray's native join runs one aggregator ACTOR per partition — they must
-    # fit the cluster's CPUs alongside the upstream stages or the pipeline
-    # livelocks (measured: 64 aggregators deadlock an 8-cpu session)
-    from .joins import nonempty_arrow_blocks
-
-    joined = hash_join(
-        docs.select_columns([key, text]),
-        nonempty_arrow_blocks(drop_lists),  # sparse-input schema-loss guard
-        on=key,
-        how="left_outer",
-        num_partitions=join_partitions,
-    )
 
     def reassemble(b: pd.DataFrame) -> pd.DataFrame:
         texts = b[text].tolist()
@@ -944,7 +975,11 @@ def line_dedup(
             {key: b[key].to_numpy(), "clean": clean, "n_dropped": n_dropped}
         )
 
-    return joined.map_batches(reassemble, batch_format="pandas")
+    return _first_occurrence_drop_join(
+        docs, explode, reassemble, passthrough,
+        key=key, text=text, unit="line_no", drop_col="drop_lines",
+        num_partitions=num_partitions, join_partitions=join_partitions,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -981,16 +1016,8 @@ def span_dedup(
     hash co-locate (64 coarse partitions); ``join_partitions`` aggregator
     actors must fit the cluster's CPUs (line_dedup note).
     """
-    from .analytics import _pk_any
-    from .joins import hash_join, nonempty_arrow_blocks
-
     import pyarrow as pa
 
-    # every stage on this path emits ARROW blocks (the windows.py lesson):
-    # an empty hash partition makes map_groups emit a zero-column empty
-    # block in the UPSTREAM format — schema-less empty PANDAS blocks poison
-    # the downstream native join ("no match for key field"), while
-    # zero-column ARROW empties concat away cleanly
     def explode(batch: pd.DataFrame) -> "pa.Table":
         h, pos, ns = _batch_gram_occurrences(batch[text].tolist(), w)
         docrep = np.repeat(batch[key].to_numpy(), ns)
@@ -1005,71 +1032,12 @@ def span_dedup(
             }
         )
 
-    occ = docs.map_batches(explode, batch_format="pandas")
-
-    def drops(g: pd.DataFrame) -> "pa.Table":
-        hh = g["h"].to_numpy()
-        dd = g[key].to_numpy()
-        pp = g["pos"].to_numpy()
-        order = np.lexsort((pp, dd, hh))
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = hh[order][1:] != hh[order][:-1]
-        lose = order[~first]
-        return pa.table(
-            {key: pa.array(dd[lose], type=pa.int64()),
-             "pos": pa.array(pp[lose], type=pa.int64())}
-        )
-
-    drop_rows = occ.groupby("__hp").map_groups(drops, batch_format="pandas")
-
-    def dp(b: pd.DataFrame) -> "pa.Table":
-        return pa.table(
-            {
-                key: pa.array(b[key].to_numpy(), type=pa.int64()),
-                "pos": pa.array(b["pos"].to_numpy(), type=pa.int64()),
-                "__dp": pa.array(_pk_any(b[key], num_partitions), type=pa.int64()),
-            }
-        )
-
-    def per_doc_list(g: pd.DataFrame) -> "pa.Table":
-        # CSV-string drop set per doc: acero joins reject list<> payloads
-        s = g.sort_values([key, "pos"], kind="mergesort")
-        s["pos"] = s["pos"].astype(str)
-        agg = s.groupby(key, sort=False)["pos"].agg(",".join).reset_index()
-        agg = agg.rename(columns={"pos": "drop_pos"})
-        return pa.table(
-            {key: pa.array(agg[key].to_numpy(), type=pa.int64()),
-             "drop_pos": pa.array(agg["drop_pos"], type=pa.string())}
-        )
-
-    drop_lists = (
-        drop_rows.map_batches(dp, batch_format="pandas")
-        .groupby("__dp")
-        .map_groups(per_doc_list, batch_format="pandas")
-    ).materialize()  # build side of the join; free count() for the shortcut
-
-    def normalize_only(b: pd.DataFrame) -> pd.DataFrame:
+    def passthrough(b: pd.DataFrame) -> pd.DataFrame:
         cl = b[text].str.findall(WORD_RE).str.join(" ")
         return pd.DataFrame(
             {key: b[key].to_numpy(), "clean": cl.to_numpy(),
              "n_masked": np.zeros(len(b), dtype=np.int64)}
         )
-
-    if drop_lists.count() == 0:
-        return docs.select_columns([key, text]).map_batches(
-            normalize_only, batch_format="pandas"
-        )
-
-    joined = hash_join(
-        docs.select_columns([key, text]),
-        # sparse inputs leave map_groups' empty hash partitions as
-        # zero-column pandas blocks that poison the join side's schema —
-        # rebuild from the non-empty arrow refs (zero-copy)
-        nonempty_arrow_blocks(drop_lists),
-        on=key,
-        how="left_outer",
-        num_partitions=join_partitions,
-    )
 
     def reassemble(b: pd.DataFrame) -> pd.DataFrame:
         # unaffected docs: one vectorized findall+join; affected docs only
@@ -1091,4 +1059,8 @@ def span_dedup(
             {key: b[key].to_numpy(), "clean": clean, "n_masked": n_masked}
         )
 
-    return joined.map_batches(reassemble, batch_format="pandas")
+    return _first_occurrence_drop_join(
+        docs, explode, reassemble, passthrough,
+        key=key, text=text, unit="pos", drop_col="drop_pos",
+        num_partitions=num_partitions, join_partitions=join_partitions,
+    )

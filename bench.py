@@ -331,6 +331,12 @@ def main() -> None:
     ).count()
     timings["line_dedup"] = time.monotonic() - t0
 
+    # corpus-wide duplicate-SPAN removal (exact-substring dedup, word grain):
+    # same narrow decision shuffle + one reassembly join as line_dedup
+    t0 = time.monotonic()
+    dedup.span_dedup(docs).count()
+    timings["span_dedup"] = time.monotonic() - t0
+
     # sequence packing end-to-end: two-level prefix scan + fragment exchange
     from searty_ray.stages.packing import assemble_sequences
 

@@ -873,47 +873,52 @@ class PhraseSearcher:
         if len(cand) == 0:
             return empty
 
-        # (2) position constraints over candidate docs only.  Each term's
-        # position decode + gather is independent pure-numpy work (the GIL
-        # releases inside the kernels), so cold multi-term phrases build
-        # their constraints in parallel threads — the decode of hot-term
-        # position streams is the cold-phrase p95 driver.
+        # (2) INCREMENTAL position cascade, rarest term first: every term's
+        # constraint intersect shrinks the surviving doc set, so each later
+        # (hotter) term decodes positions for the SURVIVORS only — for a
+        # typical multi-word phrase the two rarest trigrams (usually the
+        # word-boundary ones) cut the candidate set 10-100× before the hot
+        # word-internal trigrams ever decode.  The old all-terms-upfront
+        # decode paid the full candidate volume per term, which profiling
+        # showed was the warm-phrase p50 driver (hot-term decode, not I/O —
+        # posting bytes are LRU-cached).
         # keys pack the candidate RANK (index into the sorted cand array),
         # never the raw doc id: rank < len(cand) < 2^30 by memory alone, so
         # rank * 2^33 + pos cannot overflow int64 — raw ids would wrap for
         # hash-mode (63-bit) ids or >2^30-doc corpora
-        cand_rank = np.arange(len(cand), dtype=np.int64)
-
-        def _term_constraints(k, offs):
-            tp = plists[int(k)]
-            idx = np.searchsorted(tp.doc_ids, cand)
+        term_order = sorted(range(len(keys)), key=lambda i: len(plists[int(keys[i])].doc_ids))
+        surv = np.arange(len(cand), dtype=np.int64)  # surviving ranks into cand
+        cur: np.ndarray | None = None
+        for ti in term_order:
+            tp = plists[int(keys[ti])]
+            idx = np.searchsorted(tp.doc_ids, cand[surv])
             pos = tp.positions_for(idx).astype(np.int64)
             tf_sel = tp.tfs[idx].astype(np.int64)
-            bk = np.repeat(cand_rank, tf_sel) * _POS_SPAN + pos
-            out = []
-            for off in offs:
+            # ascending by construction: surv ascending, per-doc positions
+            # ascending (delta decode) ⇒ searchsorted-safe without a sort
+            bk = np.repeat(surv, tf_sel) * _POS_SPAN + pos
+            for off in offsets[ti]:
                 if off == 0:
-                    out.append(bk)
+                    c = bk
                 else:
                     # drop occurrences whose pos < off (would wrap into the
                     # previous doc's key range)
-                    out.append((bk - int(off))[pos >= off])
-            return out
-
-        if len(keys) > 1:
-            per_term = list(self.reader.pool.map(_term_constraints, keys, offsets))
-        else:
-            per_term = [_term_constraints(keys[0], offsets[0])]
-        constraints = [c for group in per_term for c in group]
-        constraints.sort(key=len)
-        cur = constraints[0]
-        for other in constraints[1:]:
-            if len(cur) == 0 or len(other) == 0:
-                cur = cur[:0]
-                break
-            idx = np.searchsorted(other, cur)
-            idx[idx == len(other)] = 0  # safe gather; mismatch filtered below
-            cur = cur[other[idx] == cur]
+                    c = (bk - int(off))[pos >= off]
+                if cur is None:
+                    cur = c
+                    continue
+                if len(cur) == 0 or len(c) == 0:
+                    return empty
+                j = np.searchsorted(c, cur)
+                j[j == len(c)] = 0  # safe gather; mismatch filtered below
+                cur = cur[c[j] == cur]
+            # every key carries ≥1 offset (it exists because it occurred at
+            # one), so cur is always set here
+            if len(cur) == 0:
+                return empty
+            new_surv = np.unique(cur // _POS_SPAN)
+            if len(new_surv) < len(surv):
+                surv = new_surv
         return cand[(cur // _POS_SPAN).astype(np.int64)], (cur % _POS_SPAN).astype(np.int64)
 
     def search(self, query: str, limit: int | None = None) -> pa.Table:

@@ -26,6 +26,7 @@ class TermCursor:
     idf: float
     max_score: float = 0.0
     pos: int = 0
+    tp: object | None = None  # backing TermPostings (per-term contrib cache)
 
     def __post_init__(self):
         self.max_score = float(self.idf * self.block_core.max()) if len(self.block_core) else 0.0

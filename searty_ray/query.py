@@ -55,6 +55,10 @@ class TermPostings:
     pos_lens: np.ndarray | None = None  # per-doc byte lengths within pos_blob
 
     _positions: np.ndarray | None = None
+    # lazy BM25 contribution vector idf·tf_norm(tfs, dl) — term+corpus
+    # constants only, so it's reusable across queries (set by the dense
+    # ranked path; dies with the cache entry)
+    _contrib: np.ndarray | None = None
 
     @property
     def positions(self) -> np.ndarray:
@@ -1108,6 +1112,7 @@ class BM25Searcher:
                     block_last_doc=tp.block_last_doc,
                     block_core=tp.block_core,
                     idf=bm25.idf(m.n_docs, tp.df),
+                    tp=tp,
                 )
             )
         return cursors
@@ -1164,7 +1169,18 @@ class BM25Searcher:
             dl = self.reader._norm_len  # norms sorted by doc_id == index
             scores = np.zeros(m.n_docs, dtype=np.float64)
             for c in cursors:
-                scores[c.doc_ids] += c.idf * bm25.tf_norm(c.tfs, dl[c.doc_ids], m.avgdl)
+                # per-term contribution idf·tf_norm(tf, |D|) depends only on
+                # the term and corpus constants — cache it on the posting
+                # entry so every reuse of a hot term skips the norms gather
+                # and the tf_norm vector math (bit-identical float64: the
+                # cached array IS the expression below).  +8 B/posting on
+                # cached ranked-hot terms (cf. _positions at 4 B×cf).
+                contrib = getattr(c.tp, "_contrib", None) if c.tp is not None else None
+                if contrib is None:
+                    contrib = c.idf * bm25.tf_norm(c.tfs, dl[c.doc_ids], m.avgdl)
+                    if c.tp is not None:
+                        c.tp._contrib = contrib
+                scores[c.doc_ids] += contrib
             docs, s = bm25.topk_dense(scores, k)
             return _topk_table(docs, s)
         candidates = np.unique(np.concatenate([c.doc_ids for c in cursors]))

@@ -420,13 +420,6 @@ def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _melt_pair_ids(b: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch distinct doc ids appearing in either pair column (a
-    combiner for the semi-join's distinct-keys reduction)."""
-    u = np.unique(np.concatenate([b["doc_id_a"].to_numpy(), b["doc_id_b"].to_numpy()]))
-    return pd.DataFrame({"doc_id": u.astype(np.int64)})
-
-
 def _tag_pair_pk(b: pd.DataFrame) -> pd.DataFrame:
     h = mix64(
         b["doc_id_a"].to_numpy().astype(np.uint64)
@@ -437,14 +430,25 @@ def _tag_pair_pk(b: pd.DataFrame) -> pd.DataFrame:
     return b
 
 
-def _dedupe_pair_part(g: pd.DataFrame) -> "pa.Table":
+def _dedupe_melt_pairs(g: pd.DataFrame) -> "pa.Table":
+    """One hash partition's candidate pairs, deduped, then MELTED to two
+    (key, side) rows per pair so ONE hash join attaches both shingle sets
+    (was: two suffixed joins with a materialize barrier between their
+    aggregator pools).  ``__pk`` — the dedupe partition id, a pure function
+    of (a, b) — rides through the join as the verify stage's group key."""
     import pyarrow as pa
 
     d = g.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+    a = d["doc_id_a"].to_numpy().astype(np.int64)
+    b = d["doc_id_b"].to_numpy().astype(np.int64)
+    pk = d["__pk"].to_numpy().astype(np.int32)
     return pa.table(
         {
-            "doc_id_a": pa.array(d["doc_id_a"].to_numpy(), type=pa.int64()),
-            "doc_id_b": pa.array(d["doc_id_b"].to_numpy(), type=pa.int64()),
+            "doc_id_a": pa.array(np.concatenate([a, a])),
+            "doc_id_b": pa.array(np.concatenate([b, b])),
+            "key": pa.array(np.concatenate([a, b])),
+            "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int8), len(a))),
+            "__pk": pa.array(np.concatenate([pk, pk])),
         }
     )
 
@@ -473,6 +477,18 @@ def _shingle_rows(b: pd.DataFrame) -> "pa.Table":
             "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64), type=pa.int64()),
             "sh": sh,
         }
+    )
+
+
+def _verify_pair_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One verify partition: re-zip each melted pair's two joined rows
+    (side 0 = a's shingles, side 1 = b's) with a C-level merge, then exact
+    Jaccard.  A candidate doc always has a shingle row (``_shingle_rows``
+    emits empty-set rows too), so the inner merge keeps every pair."""
+    d0 = g[g["side"] == 0][["doc_id_a", "doc_id_b", "sh"]].rename(columns={"sh": "sh_a"})
+    d1 = g[g["side"] == 1][["doc_id_a", "doc_id_b", "sh"]].rename(columns={"sh": "sh_b"})
+    return _verify_joined_pairs(
+        d0.merge(d1, on=["doc_id_a", "doc_id_b"], how="inner"), threshold
     )
 
 
@@ -512,19 +528,25 @@ def minhash_lsh_pairs(
     distributed: the driver only ever holds the final verified pairs.
 
     documents → band rows → bucket groupby → capped candidate pairs →
-    distributed pair dedupe (narrow (a, b) shuffle) → candidate shingle
-    table via semi-join (corpus streams through ONE left_semi hash join;
-    only candidate docs are shingled) → two hash joins attach per-pair
-    shingle lists → exact-Jaccard verify stage.
+    distributed pair dedupe + MELT (narrow (a, b) shuffle; each pair
+    becomes two (key, side) rows) → candidate shingle table via semi-join
+    (corpus streams through ONE left_semi hash join; only candidate docs
+    are shingled) → ONE hash join attaches shingle sets to melted rows →
+    pair-partition groupby re-zips sides + exact-Jaccard verify.
     → pandas (doc_id_a, doc_id_b, jaccard) sorted.
 
-    PARTITIONING: pair dedupe reuses the 64 coarse bucket partitions;
-    the three hash joins use ``join_partitions`` aggregators (kept well
-    under the CPU count — a 64-aggregator join deadlocks an 8-cpu session,
-    measured for line_dedup).  At 100 TB the corpus-side semi-join is the
-    one corpus-scale exchange; everything after moves candidate-pair rows
-    only.  No driver-side candidate set: verify state lives in the joins
-    (replaces the r3 ``ray.put``-one-dict design — VERDICT r3 item 3).
+    PARTITIONING: pair dedupe reuses the 64 coarse bucket partitions and
+    its partition id (a pure function of (a, b)) rides through the join as
+    the verify's group key; the two hash joins use ``join_partitions``
+    aggregators (kept well under the CPU count — a 64-aggregator join
+    deadlocks an 8-cpu session, measured for line_dedup).  At 100 TB the
+    corpus-side semi-join is the one corpus-scale exchange; everything
+    after moves candidate-pair rows only.  No driver-side candidate set:
+    verify state lives in the joins (replaces the r3 ``ray.put``-one-dict
+    design — VERDICT r3 item 3).  The single attach join + same-execution
+    verify groupby replaced the original two suffixed joins (whose
+    aggregator pools needed a materialize barrier between them): one fewer
+    join pool spin-up and one fewer execution at identical output.
 
     ``source_path``: optional parquet path of the same corpus — the verify
     side re-reads (doc_id, text) from parquet (column-pruned scan) instead
@@ -538,16 +560,6 @@ def minhash_lsh_pairs(
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHashStage(), batch_format="pandas", batch_size=256
     )
-    # ONE shuffle (groupby over 64 coarse bucket partitions; per-bucket work
-    # is vectorized inside each partition), then a narrow (a, b) shuffle
-    # dedupes band-redundant pairs BEFORE shingle payload attaches (a pair
-    # found by several bands would otherwise carry its lists ≤ N_BANDS×
-    # through the verify joins).
-    cand = (
-        bands.map_batches(_add_bucket_part, batch_format="pandas")
-        .groupby("bpart")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    ).materialize()
     empty = pd.DataFrame(
         {
             "doc_id_a": pd.Series([], dtype="int64"),
@@ -555,57 +567,62 @@ def minhash_lsh_pairs(
             "jaccard": pd.Series([], dtype="float64"),
         }
     )
-    if cand.count() == 0:
-        return empty
-    pairs = nonempty_arrow_blocks(
+    # ONE execution, two chained exchanges: groupby over 64 coarse bucket
+    # partitions emits capped candidate pairs (per-bucket work vectorized
+    # inside each partition), then a narrow (a, b) shuffle dedupes
+    # band-redundant pairs BEFORE shingle payload attaches (a pair found by
+    # several bands would otherwise carry its lists ≤ N_BANDS× through the
+    # verify join) and melts each pair to two (key, side) rows.  Empty hash
+    # partitions emit Ray's zero-column pandas blocks — harmless through a
+    # groupby (0-row blocks contribute nothing to the sort exchange) but
+    # fatal as a join side, hence the materialize + nonempty_arrow_blocks.
+    pairs_melted = nonempty_arrow_blocks(
         (
-            cand.map_batches(_tag_pair_pk, batch_format="pandas")
+            bands.map_batches(_add_bucket_part, batch_format="pandas")
+            .groupby("bpart")
+            .map_groups(_bucket_pairs, batch_format="pandas")
+            .map_batches(_tag_pair_pk, batch_format="pandas")
             .groupby("__pk")
-            .map_groups(_dedupe_pair_part, batch_format="pandas")
+            .map_groups(_dedupe_melt_pairs, batch_format="pandas")
         ).materialize()
-        # sparse candidates leave most of the 64 __pk partitions empty —
-        # the zero-column pandas empties would poison the join side
     )
+    if pairs_melted.count() == 0:
+        return empty
 
     if source_path is not None:
         corpus = ray.data.read_parquet(source_path, columns=["doc_id", "text"])
     else:
         corpus = docs.select_columns(["doc_id", "text"])
-    # candidate shingle table: corpus ⋉ candidate-ids (per-batch-distinct
-    # combiner feeds semi_join's distinct-keys reduction), then shingle the
-    # surviving candidate docs only
-    cand_ids = cand.map_batches(_melt_pair_ids, batch_format="pandas")
-    # materialize between joins: each execute() then drives at most ONE
-    # hash-join aggregator pool — three concurrently-instantiated pools
-    # deadlock a small session (measured at 4 cpus; the line_dedup
-    # join_partitions note is the same constraint).  The shingle table is
-    # candidate-scale (object-store residency, never driver), and feeding
-    # two joins from one materialized table also halves the semi-join work.
+    # candidate shingle table: corpus ⋉ melted candidate keys (semi_join's
+    # per-batch distinct-keys combiner dedupes them), then shingle the
+    # surviving candidate docs only.  Materialize between joins: each
+    # execute() then drives at most ONE hash-join aggregator pool — several
+    # concurrently-instantiated pools deadlock a small session (measured at
+    # 4 cpus; the line_dedup join_partitions note is the same constraint).
+    # The shingle table is candidate-scale (object-store residency, never
+    # driver).
     sh = (
-        semi_join(corpus, cand_ids, on="doc_id", num_partitions=join_partitions)
+        semi_join(
+            corpus, pairs_melted, on="doc_id", right_on="key",
+            num_partitions=join_partitions,
+        )
         .map_batches(_shingle_rows, batch_format="pandas")
         .materialize()
     )
 
-    def _suffixed(side: str):
-        def rename(t: "pa.Table") -> "pa.Table":
-            return t.rename_columns(
-                [f"{c}_{side}" if c in ("doc_id", "sh") else c for c in t.column_names]
-            )
-
-        return rename
-
-    sh_a = sh.map_batches(_suffixed("a"), batch_format="pyarrow")
-    sh_b = sh.map_batches(_suffixed("b"), batch_format="pyarrow")
-    j1 = hash_join(
-        pairs, sh_a, on="doc_id_a", num_partitions=join_partitions
-    ).materialize()  # one join pool per execution (see sh materialize note)
-    joined = hash_join(j1, sh_b, on="doc_id_b", num_partitions=join_partitions)
-    verified = joined.map_batches(
-        _verify_joined_pairs,
-        batch_format="pandas",
-        fn_kwargs={"threshold": threshold},
-    ).to_pandas()  # verified near-dup pairs: the (small) final result
+    # ONE candidate-scale hash join attaches each melted row's shingle set;
+    # the verify groupby (a task-based sort exchange, not a second actor
+    # pool) runs in the SAME execution — only one join pool is ever alive
+    joined = hash_join(
+        pairs_melted, sh, on="key", right_on="doc_id", num_partitions=join_partitions
+    )
+    verified = (
+        joined.groupby("__pk")
+        .map_groups(
+            lambda g: _verify_pair_group(g, threshold), batch_format="pandas"
+        )
+        .to_pandas()
+    )  # verified near-dup pairs: the (small) final result
     if verified.empty:  # fully-empty datasets lose their schema (NOTES)
         return empty
     return (

@@ -55,6 +55,8 @@ from ..state.manifest import (
 DEFAULT_NUM_PARTS = 32
 DEFAULT_SUB_SPLITS = 8  # doc-range sub-reducers per partition (hot-term skew)
 TOKENIZE_BATCH_SIZE = 256  # docs per batch; content rows can be MB-scale
+#: docs per committed documents range file (see write_documents_resumable)
+DOC_WRITE_BATCH = int(os.environ.get("SEARTY_DOC_WRITE_BATCH", "2048"))
 
 
 def _confirmed_doc_ranges(docs_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -142,7 +144,18 @@ def write_documents_resumable(corpus: "ray.data.Dataset", docs_dir: str) -> int:
         return pa.table({"lo": pa.array(out_lo, pa.int64()), "hi": pa.array(out_hi, pa.int64()),
                          "rows": pa.array(out_n, pa.int64())})
 
-    summary = corpus.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    # Explicit batch_size: the writer must NOT run at upstream block
+    # granularity — a derive stage emitting 78-row blocks would commit one
+    # range FILE per block (measured: 2,560 files for 200k docs), and every
+    # downstream pass (docmeta re-read, tokenize scan, query-actor range
+    # metadata) then pays one parquet footer per file (a 6.7 s Ray read for
+    # a 4-column 200k-row table).  Coalescing to DOC_WRITE_BATCH docs/file
+    # keeps resume granularity fine while making the file count
+    # ∝ corpus/batch.  Batch bytes ≈ batch × doc size: lower the knob for
+    # MB-scale documents (2048 × 100 KB ≈ 200 MB worker-heap worst case).
+    summary = corpus.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=DOC_WRITE_BATCH
+    ).to_pandas()
     return int(summary["rows"].sum()) if len(summary) else 0
 
 

@@ -99,14 +99,35 @@ def corpus_from_documents(
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
         def amplify(batch: pa.Table) -> pa.Table:
+            # Copy ids TILE the batch's own id range (copy r of base ids
+            # [lo, hi] gets [lo·R + r·cnt, …)) so an amplified block stays
+            # ONE contiguous run: the global-offset scheme (id + r·n) turned
+            # every block into R interleaved 78-row runs, and the
+            # range-committed documents writer then emitted one tiny file
+            # per run (2,560 files for the 200k-doc bench — a parquet-footer
+            # tax on every downstream scan).  Blocks partition [0, n), so
+            # the tiles partition [0, n·R): ids stay dense and distinct.
+            # Non-contiguous input ids (never produced by the sorted test
+            # tables) fall back to the global-offset scheme.
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy()
+            cnt = len(ids)
+            contiguous = cnt > 0 and ids[-1] - ids[0] + 1 == cnt and bool(
+                np.all(np.diff(ids) == 1)
+            )
             copies = []
             for r in range(replicate):
-                t = batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pc.add(batch["doc_id"], r * n),
+                new_ids = (
+                    pa.array(int(ids[0]) * replicate + r * cnt + (ids - ids[0]))
+                    if contiguous
+                    else pc.add(batch["doc_id"], r * n)
                 )
-                copies.append(t)
+                copies.append(
+                    batch.set_column(
+                        batch.schema.get_field_index("doc_id"), "doc_id", new_ids
+                    )
+                )
             return pa.concat_tables(copies)
 
         ds = ds.map_batches(amplify, batch_format="pyarrow")

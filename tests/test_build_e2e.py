@@ -83,14 +83,19 @@ def test_block_metadata(fixture_index):
         assert max(r["block_max_tf"]) == int(t.max())
 
 
-def test_documents_pass_gap_fill_resume(ray_session, fixture_corpus, tmp_path):
+def test_documents_pass_gap_fill_resume(ray_session, fixture_corpus, tmp_path, monkeypatch):
     """Crash mid-documents-pass: resume rewrites ONLY the uncovered doc
     ranges (confirmed range files skip via their sidecars), deletes
     uncommitted strays, and the refilled table equals the direct build."""
     import ray
 
+    from searty_ray.pipelines import build as build_mod
     from searty_ray.pipelines.build import build_index
 
+    # the production coalesce (DOC_WRITE_BATCH docs/file) would put this
+    # 60-doc fixture in ONE range file; force file-per-block granularity so
+    # the crash simulation has files to lose
+    monkeypatch.setattr(build_mod, "DOC_WRITE_BATCH", 16)
     corpus_t, _ = fixture_corpus
     d1 = str(tmp_path / "ixd1")
     build_index(
@@ -273,15 +278,18 @@ def test_hash_doc_ids_batch_composition_independent():
     assert len(set(ids)) == 3
 
 
-def test_build_resume_redoes_partial_documents(ray_session, tmp_path):
+def test_build_resume_redoes_partial_documents(ray_session, tmp_path, monkeypatch):
     """A non-empty documents/ dir without its completion marker (crash mid
     write) is rebuilt on resume — never trusted as complete."""
     import glob
 
     import ray.data
 
+    from searty_ray.pipelines import build as build_mod
     from searty_ray.pipelines.build import build_index
     from searty_ray.sources.corpus import generate_fixture_corpus
+
+    monkeypatch.setattr(build_mod, "DOC_WRITE_BATCH", 4)  # see gap-fill test
 
     corpus, _ = generate_fixture_corpus(n_files=12, seed=31)
     d = str(tmp_path / "ix")

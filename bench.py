@@ -257,7 +257,7 @@ def main() -> None:
     timings["dedup_exact"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         docs.select_columns(["doc_id", "text"]),
         threshold=0.5,
         source_path=f"{SF_DIR}/documents.parquet",
@@ -268,16 +268,13 @@ def main() -> None:
     dedup.simhash_near_dups(docs.select_columns(["doc_id", "text"]), max_hamming=3)
     timings["dedup_simhash"] = time.monotonic() - t0
 
-    # pairs → connected components → canonical keep-list (the full dedup
-    # chain a training pipeline runs; CC rounds are edge-set-sized shuffles)
+    # pairs → connected components → canonical keep-list, over the pair set
+    # the dedup_minhash stage just produced (pair generation is already
+    # timed there; this stage times the CC rounds — edge-set-sized shuffles
+    # — and the canonical filter)
     from searty_ray.stages import cluster as _cluster
 
     t0 = time.monotonic()
-    pairs = dedup.minhash_lsh_pairs(
-        docs.select_columns(["doc_id", "text"]),
-        threshold=0.5,
-        source_path=f"{SF_DIR}/documents.parquet",
-    )
     clusters = _cluster.duplicate_clusters(pairs)
     _cluster.canonical_filter(docs.select_columns(["doc_id"]), clusters).count()
     timings["dedup_clusters"] = time.monotonic() - t0

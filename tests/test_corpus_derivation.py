@@ -27,3 +27,19 @@ def test_replication_distinct_ids(ray_session):
     assert df["doc_id"].nunique() == 1500
     # content repeats across copies; derived ids/paths differ
     assert df["path"].nunique() == 1500
+
+
+def test_replication_tiles_dense_ids_any_layout(ray_session):
+    """The block-tiled replicate id scheme (copy r of base ids [lo, hi]
+    gets [lo·R + r·cnt, …)) must yield ids that are a permutation of
+    [0, n·R) — dense and collision-free — at ANY block layout, including
+    non-divisible repartitions, so the range-committed documents writer
+    sees contiguous runs instead of R interleaved runs per block."""
+    from searty_ray.sources.corpus import corpus_from_documents
+
+    for blocks in (7, 64):
+        ds = corpus_from_documents(
+            "/root/testdata/sf0.001", replicate=4, override_num_blocks=blocks
+        )
+        ids = sorted(ds.select_columns(["doc_id"]).to_pandas()["doc_id"])
+        assert ids == list(range(2000)), f"layout {blocks}: ids not a dense tiling"

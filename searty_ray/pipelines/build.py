@@ -230,24 +230,44 @@ def build_index(
     # budget; each is small).
     sym_err: list[BaseException] = []
 
+    do_symbols = extract_symbols and not _stage_done("symbols")
+    # word-INDEXED builds also get the term dictionary sidecar (worddict/):
+    # the segments store symbol terms as irreversible #sym:<hash>
+    # placeholders, so prefix/wildcard search needs the string→key map
+    # (stages/worddict.py).  Trigram-only builds skip it (nothing enumerable).
+    do_worddict = "symbols" in tokenizer and not _stage_done("worddict")
+
     def _symbols_pass() -> None:
         try:
-            from .symbols import build_symbols_from_corpus
-
-            _clear_dir(os.path.join(index_dir, "symbols"))
             sym_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            build_symbols_from_corpus(
-                ray.data.read_parquet(
-                    docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
-                ),
-                index_dir,
-            )
-            _mark_done("symbols")
+            if do_symbols:
+                from .symbols import build_symbols_from_corpus
+
+                _clear_dir(os.path.join(index_dir, "symbols"))
+                build_symbols_from_corpus(
+                    ray.data.read_parquet(
+                        docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
+                    ),
+                    index_dir,
+                )
+                _mark_done("symbols")
+            if do_worddict:
+                from ..stages.worddict import write_word_dictionary
+
+                wd_dir = os.path.join(index_dir, "worddict")
+                _clear_dir(wd_dir)
+                write_word_dictionary(
+                    ray.data.read_parquet(
+                        docs_dir, columns=["doc_id", "content"], override_num_blocks=sym_blocks
+                    ),
+                    index_dir,
+                )
+                _mark_done("worddict")
         except BaseException as e:  # re-raised on join
             sym_err.append(e)
 
     sym_thread = None
-    if extract_symbols and not _stage_done("symbols"):
+    if do_symbols or do_worddict:
         import threading
 
         _pin_fsspec_http_probe()

@@ -38,7 +38,7 @@ from .build import build_index
 
 # bump INDEX_LAYOUT_VERSION whenever segment layout / derivation changes so a
 # stale /tmp cache from an older build can never serve the gate
-INDEX_LAYOUT_VERSION = 5  # v4: docmeta sidecar; v5: splitmix commit derivation
+INDEX_LAYOUT_VERSION = 6  # v5: splitmix commit derivation; v6: worddict sidecar
 CACHE_ROOT = f"/tmp/searty_ray_gate/v{INDEX_LAYOUT_VERSION}"
 
 # -- fixed gate parameters (mirrored in the SQL below) ----------------------
@@ -640,6 +640,58 @@ scan AS (
     AND NOT regexp_matches(substr(content, i + {len(WORD_Q)}, 1), '{_SYM_CLASS}')
 )
 SELECT doc_id, i - 1 AS pos FROM scan ORDER BY doc_id, pos
+"""
+
+
+PREFIX_Q = "doc-1"  # matches DOC-1, DOC-10…DOC-19, DOC-1xx — a real range slice
+
+
+def q_prefix_terms(sf_dir: str):
+    """Wildcard term enumeration (``doc-1*``): binary-search range over the
+    worddict sidecar's sorted term dictionary (query.PrefixSearcher)."""
+    from ..query import PrefixSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return PrefixSearcher(IndexReader(index_dir)).terms(PREFIX_Q)
+
+
+SQL_PREFIX_TERMS = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS term
+  FROM corpus
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks
+WHERE starts_with(term, upper('{PREFIX_Q}'))
+GROUP BY term ORDER BY term
+"""
+
+
+def q_prefix_docs(sf_dir: str):
+    """Wildcard word search (``doc-1*`` → docs): dictionary range slice, then
+    the matched keys go through the ordinary pruned postings lookup."""
+    from ..query import PrefixSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return PrefixSearcher(IndexReader(index_dir)).docs(PREFIX_Q)
+
+
+SQL_PREFIX_DOCS = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS term
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE starts_with(term, upper('{PREFIX_Q}')) GROUP BY doc_id, term
+)
+SELECT h.doc_id, c.repo || '/' || c.path AS filename,
+       count(*)::BIGINT AS n_terms, sum(h.tf)::BIGINT AS total_tf
+FROM hits h JOIN corpus c USING (doc_id)
+GROUP BY h.doc_id, filename
+ORDER BY filename
 """
 
 
@@ -1357,6 +1409,37 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup end-to-end (knn.semdedup): sign-grid
+    blocking → within-cell cosine pairs → connected components → keep the
+    canonical min-id member; returns the kept vec_ids."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn.semdedup(emb, threshold=EMB_DUP_THRESHOLD, bits=GRID_BITS).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True).astype("int64")
+
+
+SQL_SEMDEDUP = f"""
+WITH RECURSIVE cells AS (
+  SELECT vec_id, embedding, {_GRID_CELL_EXPR} AS cell FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (SELECT u AS vec_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+ORDER BY vec_id
+"""
+
+
 IVF_NLIST = 16
 
 
@@ -1421,6 +1504,56 @@ FROM c ORDER BY doc_id
 
 
 SQL_LANG_ID = _sql_lang_id()
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher rule filter (Rae et al. 2021 §A.1.1): integer-exact rule
+    counters + pass flag, stateless per-batch map (textstats.gopher_rules_batch)."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.gopher_rules_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_gopher_rules() -> str:
+    stop_sum = " + ".join(
+        f"list_contains(words, '{w}')::BIGINT" for w in textstats.GOPHER_STOPWORDS
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)::BIGINT AS word_chars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+    ({stop_sum})::BIGINT AS n_stop_words,
+    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[\\t ]*[-*•]'))::BIGINT AS n_bullet_lines,
+    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$'))::BIGINT AS n_ellipsis_lines,
+    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+     + len(regexp_extract_all(text, '…')))::BIGINT AS n_symbols
+  FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_words >= 2) AS gopher_pass
+FROM c ORDER BY doc_id
+"""
+
+
+SQL_GOPHER_RULES = _sql_gopher_rules()
 
 
 def q_quality(sf_dir: str):
@@ -1858,6 +1991,38 @@ def q_split_assign(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_keyed_split(sf_dir: str):
+    """Leakage-safe split (sample.keyed_split): every row of one ``source``
+    lands in the same split — assignment hashes the GROUP string, not the
+    row id, so a source's near-duplicates can't straddle train/test.  Zero
+    shuffle; bit-exact SQL mirror via sql_hash_expr(source)."""
+    from ..stages import sample
+
+    return (
+        sample.keyed_split(_docs(sf_dir, ["doc_id", "source"]), SPLIT_FRACTIONS, group="source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_keyed_split() -> str:
+    from ..functions.hashing import sql_hash_expr
+    from ..stages.sample import DEFAULT_SALT, _threshold
+
+    h = f"({sql_hash_expr('source', DEFAULT_SALT)})::HUGEINT"
+    names = list(SPLIT_FRACTIONS)
+    cum, cases = 0.0, []
+    for n in names[:-1]:
+        cum += SPLIT_FRACTIONS[n]
+        cases.append(f"WHEN {h} < {_threshold(cum)} THEN '{n}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, source, {case} AS split FROM documents ORDER BY doc_id"
+
+
+SQL_KEYED_SPLIT = _sql_keyed_split()
 
 
 def _sql_sample_exprs():
@@ -3687,6 +3852,11 @@ QUERIES = {
     # driver-oracle row (r1-r3 covered the trailing block), so every gate
     # query appears in at least one CORRECTNESS_r* artifact.
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
+    "keyed_split": q_keyed_split,  # new in r4
+    "prefix_terms": q_prefix_terms,  # new in r4
+    "prefix_docs": q_prefix_docs,  # new in r4
+    "gopher_rules": q_gopher_rules,  # new in r4
+    "semdedup": q_semdedup,  # new in r4
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
@@ -3840,6 +4010,11 @@ ORACLE_SQL = {
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "keyed_split": SQL_KEYED_SPLIT,
+    "prefix_terms": SQL_PREFIX_TERMS,
+    "prefix_docs": SQL_PREFIX_DOCS,
+    "gopher_rules": SQL_GOPHER_RULES,
+    "semdedup": SQL_SEMDEDUP,
     "events_stratified": _sql_events_stratified(),
     "mix_sources": SQL_MIX_SOURCES,
     "unigram_bpw": SQL_UNIGRAM_BPW,

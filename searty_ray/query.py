@@ -1394,6 +1394,106 @@ class WordSearcher:
         )
 
 
+class PrefixSearcher:
+    """Prefix / wildcard word search (``doc-1*``) over the term dictionary.
+
+    The segments store symbol terms as irreversible ``#sym:<hash>``
+    placeholders, so enumeration goes through the ``worddict/`` sidecar
+    (stages/worddict.py): each reader loads it ONCE as term-sorted arrays —
+    the symbols-table pattern — and every prefix query is a binary-search
+    range slice.  Matched terms then resolve through the ordinary postings
+    lookup (reader.lookup), so doc results reuse partition pruning and the
+    term LRU.  Extends the reference's exact-only symbol lookup
+    (`/root/reference/lib/searcher/definition_searcher.go:12-33`).
+
+    Scale contract: the dictionary is vocab-scale (sorted arrays fit a
+    query actor for any realistic identifier vocabulary); at 10^9+ terms
+    shard ``worddict/`` by term range (DocRangeMeta pattern, documented in
+    stages/worddict.py)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self.dict_path = os.path.join(reader.index_dir, "worddict")
+
+    def _dict(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+        cached = getattr(self.reader, "_word_dict", None)
+        if cached is None:
+            if not os.path.isdir(self.dict_path) or not os.listdir(self.dict_path):
+                return None
+            t = pads.dataset(self.dict_path).to_table().sort_by("term")
+            cached = (
+                t["term"].to_numpy(zero_copy_only=False),  # object array: O(log n) cmp
+                t["term_key"].to_numpy(),
+                t["df"].to_numpy(),
+                t["cf"].to_numpy(),
+            )
+            self.reader._word_dict = cached
+        return cached
+
+    def _range(self, prefix: str) -> tuple[int, int]:
+        d = self._dict()
+        if d is None:
+            raise FileNotFoundError(
+                f"no worddict sidecar under {self.reader.index_dir} — build the "
+                "index with tokenizer='trigram+symbols'"
+            )
+        p = prefix.upper()
+        terms = d[0]
+        # [p, p + U+10FFFF) covers exactly the strings with prefix p
+        return int(np.searchsorted(terms, p, side="left")), int(
+            np.searchsorted(terms, p + "\U0010ffff", side="left")
+        )
+
+    def terms(self, prefix: str) -> pa.Table:
+        """(term, df, cf) of every word with the given prefix, term-sorted."""
+        lo, hi = self._range(prefix)
+        terms, _, df, cf = self._dict()
+        return pa.table(
+            {
+                "term": pa.array(terms[lo:hi], type=pa.string()),
+                "df": pa.array(df[lo:hi], type=pa.int64()),
+                "cf": pa.array(cf[lo:hi], type=pa.int64()),
+            }
+        )
+
+    def docs(self, prefix: str) -> pa.Table:
+        """(doc_id, filename, n_terms, total_tf) of every doc containing a
+        word with the given prefix — n_terms = distinct matching words in
+        the doc, total_tf = their summed occurrences; filename-sorted."""
+        lo, hi = self._range(prefix)
+        _, keys, _, _ = self._dict()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "filename": pa.array([], type=pa.string()),
+                "n_terms": pa.array([], type=pa.int64()),
+                "total_tf": pa.array([], type=pa.int64()),
+            }
+        )
+        if lo == hi:
+            return empty
+        plists = self.reader.lookup(keys[lo:hi].astype(np.uint64), need_positions=False)
+        present = [tp for tp in plists.values() if tp is not None]
+        if not present:
+            return empty
+        doc_ids = np.concatenate([tp.doc_ids for tp in present])
+        tfs = np.concatenate([tp.tfs for tp in present]).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs = doc_ids[order], tfs[order]
+        uniq, starts = np.unique(doc_ids, return_index=True)
+        total_tf = np.add.reduceat(tfs, starts)
+        n_terms = np.diff(np.append(starts, len(doc_ids)))
+        meta = self.reader.resolve_docs(uniq, ["filename"])  # unique, doc_id-sorted
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "filename": meta["filename"],
+                "n_terms": pa.array(n_terms, type=pa.int64()),
+                "total_tf": pa.array(total_tf, type=pa.int64()),
+            }
+        ).sort_by("filename")
+
+
 class SymbolSearcher:
     """Symbol-definition lookup (definition_searcher.go:102-125).
 

@@ -250,17 +250,23 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_centroids(
-    embeddings: ray.data.Dataset, nlist: int, iters: int, seed: int, sample_rows: int = 4096
-) -> np.ndarray:
-    """Deterministic seeded k-means over a bounded sample (spherical)."""
+def _sample_matrix(embeddings: ray.data.Dataset, seed: int, sample_rows: int = 4096) -> np.ndarray:
+    """Deterministic bounded sample → unit-row matrix (≤ sample_rows × dim on
+    the driver — the only driver-side collect either fit mode performs)."""
     n = embeddings.count()
     sample = embeddings if n <= sample_rows else embeddings.random_sample(sample_rows / n, seed=seed)
     parts = [
         _emb_matrix(b)[1]
         for b in sample.iter_batches(batch_format="pyarrow", batch_size=sample_rows)
     ]
-    mat = _unit_rows(np.concatenate(parts, axis=0))
+    return _unit_rows(np.concatenate(parts, axis=0))
+
+
+def _kmeans_centroids(
+    embeddings: ray.data.Dataset, nlist: int, iters: int, seed: int, sample_rows: int = 4096
+) -> np.ndarray:
+    """Deterministic seeded k-means over a bounded sample (spherical)."""
+    mat = _sample_matrix(embeddings, seed, sample_rows)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
     for _ in range(iters):
@@ -270,6 +276,107 @@ def _kmeans_centroids(
             if len(sel):
                 cent[c] = sel.mean(axis=0)
         cent = _unit_rows(cent)
+    return cent
+
+
+def _kmeans_init(embeddings: ray.data.Dataset, nlist: int, seed: int, sample_rows: int = 4096) -> np.ndarray:
+    """Deterministic seeded centroid init from a bounded sample (the only
+    driver-side step of the distributed fit; ≤ ``sample_rows`` × dim)."""
+    mat = _sample_matrix(embeddings, seed, sample_rows)
+    rng = np.random.default_rng(seed)
+    return mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+
+
+def _partial_empty() -> pa.Table:
+    return pa.table(
+        {
+            "cluster": pa.array([], type=pa.int32()),
+            "cnt": pa.array([], type=pa.int64()),
+            "vsum": pa.array([], type=pa.large_binary()),
+        }
+    )
+
+
+def _sum_partials(g: pa.Table) -> pa.Table:
+    """Reduce one cluster's per-block partials to a single (cnt, vsum) row.
+    Partials are folded in SORTED byte order so the float64 sum is
+    deterministic regardless of which worker emitted which row first."""
+    if len(g) == 0:
+        return _partial_empty()
+    bufs = sorted(g["vsum"].to_pylist())
+    acc = np.frombuffer(bufs[0], dtype=np.float64).copy()
+    for b in bufs[1:]:
+        acc += np.frombuffer(b, dtype=np.float64)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "cluster": pa.array([g["cluster"][0].as_py()], type=pa.int32()),
+            "cnt": pa.array([pc.sum(g["cnt"]).as_py()], type=pa.int64()),
+            "vsum": pa.array([acc.tobytes()], type=pa.large_binary()),
+        }
+    )
+
+
+def kmeans_fit_full(
+    embeddings: ray.data.Dataset,
+    nlist: int,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """DISTRIBUTED spherical k-means (Lloyd) over the FULL dataset.
+
+    Each iteration is one streaming ``map_batches`` pass emitting per-block
+    partial sums — (cluster, count, Σ unit-vectors as float64 bytes), one row
+    per non-empty cluster per block — reduced by a narrow
+    ``groupby(cluster).map_groups`` shuffle to exactly ``nlist`` rows.  The
+    driver only ever holds k×(d+1) floats per iteration (the new centroids),
+    never a vector row: the scale contract the sample-based
+    :func:`_kmeans_centroids` (bounded driver sample) cannot give.
+
+    Shuffle budget: iters × one exchange of ≤ blocks×nlist rows of d×8 bytes
+    (at 1e6 blocks × 1024 lists × d=128 that is ~1 TB of partials worst-case;
+    in practice a block only touches the clusters present in it).  Empty
+    clusters keep their previous centroid (same rule as the sample fit).
+    Determinism: partials fold in sorted byte order per cluster, so the fit
+    is bit-stable for a fixed input block layout and allclose across layouts.
+    """
+    embeddings = embeddings.materialize()  # consumed iters+1 times
+    cent = _kmeans_init(embeddings, nlist, seed)
+    k = len(cent)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cm = ray.get(cent_ref)
+            t = _normalize_block(batch)
+            if len(t) == 0:
+                return _partial_empty()
+            _, m = _emb_matrix(t)
+            a = np.argmax(m @ cm.T, axis=1)
+            counts = np.bincount(a, minlength=len(cm))
+            sums = np.zeros((len(cm), cm.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz.astype(np.int32), type=pa.int32()),
+                    "cnt": pa.array(counts[nz].astype(np.int64), type=pa.int64()),
+                    "vsum": pa.array([sums[c].tobytes() for c in nz], type=pa.large_binary()),
+                }
+            )
+
+        reduced = (
+            embeddings.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(_sum_partials, batch_format="pyarrow")
+            .to_pandas()  # exactly ≤ nlist rows by construction
+        )
+        new = cent.copy()
+        for c, cnt, vsum in zip(reduced["cluster"], reduced["cnt"], reduced["vsum"]):
+            if 0 <= int(c) < k and cnt > 0:
+                new[int(c)] = np.frombuffer(vsum, dtype=np.float64) / float(cnt)
+        cent = _unit_rows(new)
     return cent
 
 
@@ -298,11 +405,19 @@ class IVFIndex:
         nlist: int = 16,
         iters: int = 5,
         seed: int = 42,
+        fit: str = "sample",
     ) -> "IVFIndex":
+        """``fit="sample"``: bounded-driver-sample k-means (fast, default);
+        ``fit="full"``: :func:`kmeans_fit_full` distributed Lloyd over the
+        whole dataset — the corpus-scale path (sampling bias-free centroids,
+        driver holds k×d only)."""
         if os.path.isdir(index_dir):
             shutil.rmtree(index_dir)
         os.makedirs(index_dir, exist_ok=True)
-        cent = _kmeans_centroids(embeddings, nlist, iters, seed)
+        if fit == "full":
+            cent = kmeans_fit_full(embeddings, nlist, iters, seed)
+        else:
+            cent = _kmeans_centroids(embeddings, nlist, iters, seed)
         cent_ref = ray.put(cent)
 
         def assign_batch(batch: pa.Table) -> pa.Table:
@@ -478,6 +593,41 @@ def ivf_near_dups(
 
     return _blocked_pairs(
         embeddings.map_batches(assign, batch_format="pyarrow"), "cluster", threshold
+    )
+
+
+def semdedup(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, bits: int = 6
+) -> ray.data.Dataset:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): drop all but one
+    member of every semantic-near-duplicate component over the embedding
+    column, END TO END — block (deterministic sign-grid cells, the
+    SQL-expressible LSH of :func:`grid_near_dups`), pair within blocks
+    (cosine ≥ threshold), connect components (cluster.duplicate_clusters —
+    Hash-to-Min over edge-scale state, O(log d) rounds), keep the canonical
+    min-id member per component (cluster.canonical_filter — drop-set
+    broadcast, ids stream through a vectorized isin).
+
+    Returns the KEPT vec_ids as a streaming Dataset.  The paper keeps the
+    member farthest from the cluster centroid; this engine keeps min-id so
+    the whole pipeline (blocking included) carries a bit-exact SQL oracle —
+    the keep-rule is a one-line swap documented here, not a structural
+    difference.
+
+    Scale contract: pairs/components are candidate-scale (≪ corpus, the
+    near-dup contract shared with dedup_canonical); the embedding table
+    itself never shuffles — cells are computed per batch and only matching
+    pairs leave the groupby."""
+    from .cluster import canonical_filter, duplicate_clusters
+
+    pairs = (
+        grid_near_dups(embeddings, threshold=threshold, bits=bits)
+        .to_pandas()
+        .rename(columns={"vec_id_a": "doc_id_a", "vec_id_b": "doc_id_b"})
+    )
+    clusters = duplicate_clusters(pairs)
+    return canonical_filter(
+        embeddings.select_columns(["vec_id"]), clusters, id_col="vec_id"
     )
 
 

@@ -52,6 +52,20 @@ def bernoulli_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _split_edges(fractions: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    names = list(fractions)
+    cum, edges = 0.0, []
+    for n in names[:-1]:
+        cum += fractions[n]
+        edges.append(_threshold(cum))
+    return names, np.array(edges, dtype=np.uint64)
+
+
+def _split_labels(h: np.ndarray, names: list[str], edge_arr: np.ndarray) -> pa.Array:
+    idx = np.searchsorted(edge_arr, h, side="right")
+    return pa.array(np.array(names, dtype=object)[idx], type=pa.string())
+
+
 def hash_split(
     ds: ray.data.Dataset,
     fractions: dict[str, float],
@@ -62,18 +76,58 @@ def hash_split(
 ) -> ray.data.Dataset:
     """Label every row with a split name; fractions must sum to ≤ 1 (any
     remainder falls into the LAST split, keeping the partition exhaustive)."""
-    names = list(fractions)
-    cum, edges = 0.0, []
-    for n in names[:-1]:
-        cum += fractions[n]
-        edges.append(_threshold(cum))
-    edge_arr = np.array(edges, dtype=np.uint64)
+    names, edge_arr = _split_edges(fractions)
 
     def assign(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch, key, salt)
-        idx = np.searchsorted(edge_arr, h, side="right")
-        labels = np.array(names, dtype=object)[idx]
-        return batch.append_column(column, pa.array(labels, type=pa.string()))
+        return batch.append_column(column, _split_labels(h, names, edge_arr))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _str_key_hash(batch: pa.Table, key: str, salt: int) -> np.ndarray:
+    """uint64 hash of a STRING key column — the chunk-fold splitmix64
+    (functions/hashing.hash_bytes_u64) computed zero-copy over the Arrow
+    string buffers; the DuckDB mirror is ``sql_hash_expr(key, salt)``."""
+    from ..functions.hashing import hash_bytes_u64
+    from .encode_stage import _binary_offsets, _binary_values
+
+    col = batch[key].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
+    col = col.cast(pa.large_string())
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    offs = _binary_offsets(col)
+    return hash_bytes_u64(
+        buf, offs[:-1].astype(np.int64), np.diff(offs).astype(np.int64), salt=salt
+    )
+
+
+def keyed_split(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    *,
+    group: str,
+    salt: int = DEFAULT_SALT,
+    column: str = "split",
+) -> ray.data.Dataset:
+    """LEAKAGE-SAFE split: every row sharing the same STRING ``group`` key
+    (domain / repo / author) lands in the same split — assignment is a pure
+    function of the group's bytes, so near-duplicate documents from one
+    source can never straddle train and test (the contamination mode a
+    per-row hash split cannot prevent; cf. the dedup-before-split guidance
+    in RefinedWeb/Dolma-style pipelines).
+
+    Same cumulative-threshold rule and contract as :func:`hash_split`:
+    stateless per-batch map, ZERO shuffle (no groupby — the hash itself
+    co-assigns the group), identical at any parallelism / block layout /
+    resume point, and bit-exactly mirrored in SQL via
+    ``functions.hashing.sql_hash_expr(group, salt)``."""
+    names, edge_arr = _split_edges(fractions)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _str_key_hash(batch, group, salt)
+        return batch.append_column(column, _split_labels(h, names, edge_arr))
 
     return ds.map_batches(assign, batch_format="pyarrow")
 

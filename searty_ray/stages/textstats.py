@@ -118,6 +118,80 @@ def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: the Gopher rule-filter stopword list (Rae et al. 2021, table A1 — the
+#: "contains ≥2 of" rule), distinct from the ratio STOPWORDS above
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_RES: list[re.Pattern] = [_token_count_re(w) for w in GOPHER_STOPWORDS]
+
+
+def gopher_rules_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A.1.1), integer-exact.
+
+    Every threshold decision is an INTEGER cross-multiplication (house
+    rule: no float compare where a decision depends on the value), so the
+    SQL mirror can never diverge on rounding:
+
+    * 50 ≤ n_words ≤ 100,000
+    * mean word length in [3, 10]   ⇔  3·n_words ≤ word_chars ≤ 10·n_words
+    * symbol-to-word ratio ≤ 0.1    ⇔  10·n_symbols ≤ n_words   (# and …)
+    * bullet-line fraction ≤ 0.9    ⇔  10·n_bullet ≤ 9·n_lines
+    * ellipsis-line fraction ≤ 0.3  ⇔  10·n_ellipsis ≤ 3·n_lines
+    * alpha-word fraction ≥ 0.8     ⇔  5·n_alpha_words ≥ 4·n_words
+    * ≥ 2 distinct Gopher stopwords present
+
+    Zero shuffle: a stateless per-batch map over (doc_id, text); all
+    kernels are C-level pandas/RE2-compatible regex counts.
+    """
+    text = batch["text"]
+    n = len(batch)
+    n_words = text.str.count(WORD_RE).astype("int64")
+    word_chars = (text.str.len() - text.str.count(WS_CLASS)).astype("int64")
+    # words containing at least one letter: explode + contains + segment sum
+    words = text.str.findall(WORD_RE)
+    exploded = words.explode().dropna()
+    if len(exploded):
+        alpha_hits = exploded.str.contains(r"[A-Za-z]", regex=True).groupby(level=0).sum()
+    else:
+        alpha_hits = pd.Series(dtype="int64")
+    n_alpha = pd.Series(0, index=batch.index, dtype="int64")
+    n_alpha.loc[alpha_hits.index] = alpha_hits.astype("int64")
+    # distinct Gopher stopwords present (whole-word, case-insensitive)
+    n_stop = np.zeros(n, dtype=np.int64)
+    for p in _GOPHER_STOP_RES:
+        n_stop += (text.str.count(p).to_numpy(dtype=np.int64) > 0).astype(np.int64)
+    n_lines = (text.str.count(r"\n") + 1).astype("int64")
+    n_bullet = text.str.count(r"(?m)^[\t ]*[-*•]").astype("int64")
+    n_ellipsis = text.str.count(r"(?m)(?:\.\.\.|…)$").astype("int64")
+    n_symbols = (
+        text.str.count(r"#") + text.str.count(r"\.\.\.") + text.str.count(r"…")
+    ).astype("int64")
+    ok = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stop >= 2)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "word_chars": word_chars,
+            "n_alpha_words": n_alpha,
+            "n_stop_words": pd.Series(n_stop, index=batch.index),
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis,
+            "n_symbols": n_symbols,
+            "gopher_pass": ok,
+        }
+    )
+
+
 #: fixed quality-model coefficients (bias, n_words/100, stop_ratio,
 #: distinct_ratio, mean_word_len/10) — embedded verbatim in the SQL mirror
 QUALITY_MODEL_W = (-1.5, 0.8, 2.0, 1.2, 0.5)

@@ -1,0 +1,118 @@
+"""Word-dictionary sidecar: (term, term_key, df, cf) for every SYMBOL word.
+
+The postings segments store symbol terms as irreversible ``#sym:<hex>``
+placeholders — the tokenizer hashes identifiers straight to uint64 keys
+(functions/tokenize.py symbol_key), which is right for exact lookup and
+useless for ENUMERATION.  The worddict sidecar is the term dictionary: a
+sorted string→key map, the same split a classic fulltext engine makes
+between term dictionary and postings.  It powers prefix / wildcard word
+search (query.PrefixSearcher), the tolerant sibling of the reference's
+exact symbol lookup (`/root/reference/lib/searcher/definition_searcher.go:12-33`).
+
+Derivation is one streaming combiner-first pass over the corpus: each
+batch extracts symbol-class words with the shared vectorized scanner
+(stages/fuzzy.py — one codepoint decode + one boolean run scan per batch)
+and combines to (word, doc_id, cf) rows; df sums correctly downstream
+because every doc lives in exactly ONE batch.  A single vocab-scale
+shuffle (coarse hash partitions, per-key reduce inside) then yields
+(term, df, cf) — content never moves, only per-batch word-count rows do.
+
+100-TB contract (SCALE.md): the shuffle is vocab-scale (distinct
+identifiers across the corpus), orders of magnitude below corpus scale.
+Readers load the dictionary once per actor as sorted arrays (the symbols
+table pattern); at a 10^9-term vocabulary, shard the sidecar by term
+range and binary-search a shard index instead (the DocRangeMeta pattern —
+documented swap point, not built).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .analytics import _pk_any
+from .fuzzy import _batch_symbol_words, _cps_to_str
+
+
+def word_counts(
+    corpus: ray.data.Dataset,
+    num_partitions: int = 64,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(word, df, cf) over every symbol-class word of the corpus.
+
+    Same extraction + combiner shape as stages/fuzzy.fuzzy_word_stats with
+    the ed≤1 predicate removed: the per-batch combine keeps the shuffle at
+    (distinct word, doc) granularity, and df = downstream row count because
+    docs never straddle batches.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cps, starts, lens, docrep = _batch_symbol_words(b[text_col].tolist())
+        if len(starts) == 0:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cf": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = b[id_col].to_numpy()[docrep]
+        words = [_cps_to_str(cps[a : a + ln]) for a, ln in zip(starts, lens)]
+        g = (
+            pd.DataFrame({"word": words, "doc_id": ids})
+            .groupby(["word", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "cf"})
+        )
+        return g.astype({"doc_id": "int64", "cf": "int64"})
+
+    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pgrp"] = _pk_any(b["word"], num_partitions)
+        return b
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("word", as_index=False)
+            .agg(df=("doc_id", "size"), cf=("cf", "sum"))
+            .astype({"df": "int64", "cf": "int64"})
+        )
+
+    return (
+        corpus.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pandas")
+        .groupby("pgrp")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def write_word_dictionary(
+    corpus: ray.data.Dataset, index_dir: str, num_partitions: int = 64
+) -> None:
+    """Write the ``worddict/`` sidecar under ``index_dir``.
+
+    Each output file is one hash partition's (term, term_key, df, cf)
+    rows; global term order is the READER's job (one vocab-scale sort per
+    actor at load, like the symbols table).  ``term_key`` is
+    functions.tokenize.symbol_key — per-word md5 at vocab scale inside the
+    reduce groups, i.e. dimension-scale Python per the repo rule.
+    """
+    from ..functions.tokenize import symbol_key
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        if "pgrp" in b.columns:
+            b = b.drop(columns=["pgrp"])
+        b = b.rename(columns={"word": "term"})
+        b["term_key"] = np.array([symbol_key(w) for w in b["term"]], dtype=np.uint64)
+        return b[["term", "term_key", "df", "cf"]]
+
+    out_dir = os.path.join(index_dir, "worddict")
+    word_counts(corpus, num_partitions=num_partitions).map_batches(
+        with_key, batch_format="pandas"
+    ).write_parquet(out_dir)

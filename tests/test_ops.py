@@ -258,7 +258,91 @@ def test_ivf_near_dups_planted(ray_session):
     exact = knn.embedding_near_dups(emb, threshold=0.99)
     exact_pairs = set(zip(exact["vec_id_a"].to_pylist(), exact["vec_id_b"].to_pylist()))
     assert pairs <= exact_pairs
-    assert len(pairs) / max(len(exact_pairs), 1) > 0.0  # recall measurable
+
+
+def test_semdedup_matches_local_union_find(ray_session):
+    """semdedup == local reference: grid-cell blocking + cosine pairs +
+    union-find components + keep min id, on planted near-duplicates."""
+    n, dim = 120, 16
+    mat, _ = _rand_emb(n, dim, 23)
+    # plant exact duplicates (cos = 1 ≥ any threshold, same cell always)
+    mat[7] = mat[3]
+    mat[55] = mat[3]
+    mat[90] = mat[41]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    bits, tau = 4, 0.98
+    kept = sorted(knn.semdedup(emb, threshold=tau, bits=bits).to_pandas()["vec_id"])
+
+    # local reference
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    cell = ((unit[:, :bits] >= 0) * (1 << np.arange(bits))).sum(axis=1)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and unit[i] @ unit[j] >= tau:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = sorted(min(m) for m in comp.values())
+    assert kept == want
+    assert 3 in kept and 7 not in kept and 55 not in kept and 90 not in kept
+
+
+def test_kmeans_fit_full_matches_local_lloyd(ray_session):
+    """Distributed Lloyd (per-block partial sums → cluster-group reduce) ==
+    single-process numpy Lloyd with the same init/update rule, and the fit is
+    stable across input block layouts."""
+    n, dim, k, iters = 240, 8, 6, 3
+    mat, emb = _rand_emb(n, dim, 11)
+    cent = knn.kmeans_fit_full(emb.repartition(5), nlist=k, iters=iters, seed=7)
+    assert cent.shape == (k, dim)
+
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    ref = knn._kmeans_init(emb, k, seed=7)
+    for _ in range(iters):
+        a = np.argmax(unit @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(k):
+            sel = unit[a == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) / len(sel)
+        ref = knn._unit_rows(new)
+    assert np.allclose(cent, ref, atol=1e-8)
+    # layout-independent up to float fold order (sorted-bytes fold per cluster)
+    other = knn.kmeans_fit_full(emb.repartition(3), nlist=k, iters=iters, seed=7)
+    assert np.allclose(cent, other, atol=1e-8)
+
+
+def test_ivf_build_full_fit_exact_at_full_probe(ray_session, tmp_path):
+    n, dim = 300, 16
+    mat, emb = _rand_emb(n, dim, 13)
+    index = knn.IVFIndex.build(emb.repartition(4), str(tmp_path / "ivf_full"), nlist=8, iters=3, fit="full")
+    assert sum(int(c) for c in index.meta["counts"].values()) == n
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    for qid in range(5):
+        ids, _ = index.search(mat[qid].astype(np.float64), k=10, nprobe=8)
+        exact = np.lexsort((np.arange(n), -(unit @ unit[qid])))[:10]
+        assert list(ids) == list(exact)
 
 
 def test_grid_near_dups_exact_within_cell(ray_session):
@@ -736,6 +820,51 @@ def test_hash_sample_layout_invariant(ray_session):
     s = set(sample.bernoulli_sample(ray.data.from_arrow(t), 0.8)
             .to_pandas()["doc_id"])
     assert s == set(df[df["split"] == "train"]["doc_id"])
+
+
+def test_keyed_split_leakage_safe(ray_session):
+    """keyed_split: one split label per group key (no group straddles a
+    split boundary), layout-invariant, and consistent with the scalar
+    hash_str_u64 + threshold rule the SQL oracle mirrors."""
+    import pyarrow as pa
+    import ray.data
+
+    from searty_ray.functions.hashing import hash_bytes_u64
+    from searty_ray.stages import sample
+
+    np_sources = [f"site-{i % 37}.example" for i in range(1000)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(1000)), type=pa.int64()),
+            "source": pa.array(np_sources, type=pa.string()),
+        }
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    frames = []
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        frames.append(
+            sample.keyed_split(ds, fr, group="source")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert frames[0].equals(frames[1])
+    df = frames[0]
+    assert len(df) == 1000
+    # leakage safety: every group maps to exactly one split
+    assert (df.groupby("source")["split"].nunique() == 1).all()
+    # scalar consistency: recompute one group's label by hand
+    import numpy as np
+
+    b = np.frombuffer("site-3.example".encode(), dtype=np.uint8)
+    h = hash_bytes_u64(
+        b, np.zeros(1, dtype=np.int64), np.array([len(b)], dtype=np.int64),
+        salt=sample.DEFAULT_SALT,
+    )[0]
+    names, edges = sample._split_edges(fr)
+    expect = names[int(np.searchsorted(edges, h, side="right"))]
+    assert set(df[df["source"] == "site-3.example"]["split"]) == {expect}
 
 
 def test_stratified_sample_quota_and_determinism(ray_session):

@@ -2128,6 +2128,81 @@ ORDER BY d.doc_id
 """
 
 
+BIGRAM_VOCAB_K = 40
+BIGRAM_TOPK = 80
+
+
+def q_bigram_bpw(sf_dir: str):
+    """Bigram-LM perplexity signal with stupid backoff
+    (textstats.bigram_bits_per_word): one shared fit shuffle for both gram
+    orders; K small enough that both the bigram hit and both backoff paths
+    fire at gate scale."""
+    out = (
+        textstats.bigram_bits_per_word(
+            _docs(sf_dir, ["doc_id", "text"]),
+            vocab_k=BIGRAM_VOCAB_K,
+            bigram_k=BIGRAM_TOPK,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_words": "int64"})
+
+
+def _sql_bigram_bpw() -> str:
+    from ..functions.hashing import sql_mix64_expr
+    from ..stages.textstats import BIGRAM_BACKOFF_BITS
+
+    hb = sql_mix64_expr(f"xor(hp, {sql_mix64_expr('h')})")
+    return f"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+wh AS (SELECT doc_id, i, ({_hash_sql('word')})::UBIGINT AS h FROM w),
+seq AS (
+  SELECT doc_id, i, h, lag(h) OVER (PARTITION BY doc_id ORDER BY i) AS hp
+  FROM wh
+),
+seqb AS (
+  SELECT doc_id, i, h, hp,
+         CASE WHEN hp IS NULL THEN NULL ELSE ({hb})::UBIGINT END AS hb
+  FROM seq
+),
+ucnt AS (SELECT h, count(*) AS c FROM wh GROUP BY h),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM ucnt),
+vocab AS (SELECT h, c FROM ucnt ORDER BY c DESC, h ASC LIMIT {BIGRAM_VOCAB_K}),
+bcnt AS (SELECT hb, count(*) AS c FROM seqb WHERE hb IS NOT NULL GROUP BY hb),
+bvocab AS (SELECT hb, c FROM bcnt ORDER BY c DESC, hb ASC LIMIT {BIGRAM_TOPK}),
+scored AS (
+  SELECT s.doc_id,
+         CASE
+           WHEN s.hp IS NOT NULL AND vb.c IS NOT NULL AND vp.c IS NOT NULL
+             THEN log2(vp.c::DOUBLE) - log2(vb.c::DOUBLE)
+           WHEN s.hp IS NOT NULL
+             THEN {BIGRAM_BACKOFF_BITS} + log2((SELECT n FROM tot)) - log2(coalesce(vu.c, 1)::DOUBLE)
+           ELSE log2((SELECT n FROM tot)) - log2(coalesce(vu.c, 1)::DOUBLE)
+         END AS bits
+  FROM seqb s
+  LEFT JOIN vocab vu ON vu.h = s.h
+  LEFT JOIN vocab vp ON vp.h = s.hp
+  LEFT JOIN bvocab vb ON vb.hb = s.hb
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_words, avg(bits) AS bpw FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       round(coalesce(a.bpw, 0), 4) AS bits_per_word
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_BIGRAM_BPW = _sql_bigram_bpw()
+
+
 MIX_WEIGHTS = {"en": 0.5, "fr": 0.25, "es": 0.125, "de": 0.0625, "zh": 0.0625}
 
 
@@ -3857,6 +3932,7 @@ QUERIES = {
     "prefix_docs": q_prefix_docs,  # new in r4
     "gopher_rules": q_gopher_rules,  # new in r4
     "semdedup": q_semdedup,  # new in r4
+    "bigram_bpw": q_bigram_bpw,  # new in r4
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
@@ -4015,6 +4091,7 @@ ORACLE_SQL = {
     "prefix_docs": SQL_PREFIX_DOCS,
     "gopher_rules": SQL_GOPHER_RULES,
     "semdedup": SQL_SEMDEDUP,
+    "bigram_bpw": SQL_BIGRAM_BPW,
     "events_stratified": _sql_events_stratified(),
     "mix_sources": SQL_MIX_SOURCES,
     "unigram_bpw": SQL_UNIGRAM_BPW,

@@ -794,3 +794,155 @@ def unigram_bits_per_word(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+#: stupid-backoff penalty, in bits (−log2(0.25)) — fixed, mirrored in SQL
+BIGRAM_BACKOFF_BITS = 2.0
+
+
+def bigram_bits_per_word(
+    docs: "ray.data.Dataset",
+    *,
+    vocab_k: int = 4096,
+    bigram_k: int = 4096,
+    key: str = "doc_id",
+    text: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """→ (doc_id, n_words, bits_per_word) under a BIGRAM LM with stupid
+    backoff — the CCNet-style perplexity filter signal, one order up from
+    :func:`unigram_bits_per_word`.
+
+    Model = the global top-K unigrams AND top-K bigrams by count, fitted in
+    ONE narrow shuffle (per-batch (hash, kind, count) partials; per-partition
+    top-K per kind).  A word position scores
+
+    * first word of a doc:  unigram bits = log2(N) − log2(c(w) or 1);
+    * later, when the bigram AND its prefix unigram are both in-model:
+      conditional bits = log2(c(prev)) − log2(c(bigram)) ≥ 0;
+    * otherwise: BIGRAM_BACKOFF_BITS + unigram bits (stupid backoff).
+
+    The bigram hash is a pure NUMERIC combine of the two word hashes —
+    ``mix64(h_prev XOR mix64(h_cur))`` — so the DuckDB oracle mirrors it
+    with the same splitmix64 expression; no string concatenation diverges.
+
+    Partitioning contract (SCALE.md): one hash partition's distinct grams
+    fit a worker; the broadcast model is 2K rows; scoring streams."""
+    import ray as _ray
+
+    from ..functions.hashing import mix64
+    from .dedup import _batch_word_hashes
+
+    P = np.uint64(num_partitions)
+
+    def _doc_grams(texts: list[str]):
+        """flat word hashes, per-doc counts, first-position mask, and the
+        bigram hash per non-first position (doc-major)."""
+        flat, nw = _batch_word_hashes(texts)
+        starts = np.cumsum(nw) - nw
+        first = np.zeros(len(flat), dtype=bool)
+        first[starts[nw > 0]] = True
+        cur = ~first
+        hb = np.empty(0, dtype=np.uint64)
+        if cur.any():
+            idx = np.flatnonzero(cur)
+            hb = mix64(flat[idx - 1] ^ mix64(flat[idx]))
+        return flat, nw, first, hb
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _nw, _first, hb = _doc_grams(b[text].tolist())
+        hu, cu = np.unique(flat, return_counts=True)
+        hb_u, cb = np.unique(hb, return_counts=True)
+        h = np.concatenate([hu, hb_u])
+        kind = np.concatenate(
+            [np.zeros(len(hu), dtype=np.int8), np.ones(len(hb_u), dtype=np.int8)]
+        )
+        c = np.concatenate([cu, cb]).astype(np.int64)
+        return pd.DataFrame(
+            {"h": h, "kind": kind, "c": c, "__hp": (h % P).astype(np.int64)}
+        )
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kind in (0, 1):
+            s = g[g["kind"] == kind]
+            if not len(s):
+                continue
+            s = s.groupby("h", sort=False, as_index=False)["c"].sum()
+            total = int(s["c"].sum()) if kind == 0 else 0
+            s = s.sort_values(["c", "h"], ascending=[False, True], kind="mergesort")
+            top = s.head(vocab_k if kind == 0 else bigram_k).copy()
+            top["kind"] = np.int8(kind)
+            top["__total"] = np.int64(0)
+            out.append(top)
+            if kind == 0:
+                out.append(
+                    pd.DataFrame(
+                        {"h": np.array([0], dtype=np.uint64), "c": np.array([0], dtype=np.int64),
+                         "kind": np.array([0], dtype=np.int8),
+                         "__total": np.array([total], dtype=np.int64)}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"h": pd.Series([], dtype="uint64"), "c": pd.Series([], dtype="int64"),
+             "kind": pd.Series([], dtype="int8"), "__total": pd.Series([], dtype="int64")}
+        )
+
+    cand = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby("__hp")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()  # ≤ (2K + 1) rows per partition — model-scale
+    )
+    n_total = int(cand["__total"].sum())
+
+    def _top(kind: int, k: int):
+        s = cand[(cand["__total"] == 0) & (cand["kind"] == kind)]
+        s = s.sort_values(["c", "h"], ascending=[False, True], kind="mergesort").head(k)
+        h = s["h"].to_numpy().astype(np.uint64)
+        order = np.argsort(h)
+        return h[order], s["c"].to_numpy().astype(np.float64)[order]
+
+    vh, vc = _top(0, vocab_k)
+    bh, bc = _top(1, bigram_k)
+    model_ref = _ray.put((vh, vc, bh, bc, float(n_total)))
+    _cache: dict = {}
+
+    def _lookup(keys: np.ndarray, mh: np.ndarray, mc: np.ndarray):
+        """→ (found mask, counts or 1.0)."""
+        if len(mh) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), dtype=bool), np.ones(len(keys))
+        pos = np.minimum(np.searchsorted(mh, keys), len(mh) - 1)
+        ok = mh[pos] == keys
+        return ok, np.where(ok, mc[pos], 1.0)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = _ray.get(model_ref)
+        vh_l, vc_l, bh_l, bc_l, n_l = _cache["m"]
+        flat, nw, first, hb = _doc_grams(b[text].tolist())
+        _, cu = _lookup(flat, vh_l, vc_l)
+        uni_bits = np.log2(max(n_l, 1.0)) - np.log2(cu)
+        bits = uni_bits.copy()
+        idx = np.flatnonzero(~first)
+        if len(idx):
+            b_ok, cb = _lookup(hb, bh_l, bc_l)
+            p_ok, cp = _lookup(flat[idx - 1], vh_l, vc_l)
+            use_bi = b_ok & p_ok
+            bits[idx] = np.where(
+                use_bi,
+                np.log2(cp) - np.log2(cb),
+                BIGRAM_BACKOFF_BITS + uni_bits[idx],
+            )
+        docrep = np.repeat(np.arange(len(b)), nw)
+        sums = np.bincount(docrep, weights=bits, minlength=len(b))
+        denom = np.maximum(nw, 1)
+        return pd.DataFrame(
+            {
+                key: b[key].to_numpy(),
+                "n_words": nw,
+                "bits_per_word": np.floor(sums / denom * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

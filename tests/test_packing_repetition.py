@@ -240,6 +240,65 @@ def test_unigram_bits_per_word_brute_force(ray_session):
         assert abs(row["bits_per_word"] - sum(bits) / len(bits)) < 1e-3
 
 
+def test_bigram_bits_per_word_brute_force(ray_session):
+    """Bigram LM with stupid backoff vs a pure-Python reference: same fit
+    (top-K per gram order, count-desc/hash-asc ties) and the same three
+    scoring paths (first word / bigram hit / backoff)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from searty_ray.functions.hashing import hash_str_u64, mix64
+    from searty_ray.stages.textstats import BIGRAM_BACKOFF_BITS, bigram_bits_per_word
+
+    df = _docs(n=70, seed=37)
+    KU, KB = 5, 8  # small → all three scoring paths fire
+    out = (
+        bigram_bits_per_word(
+            ray.data.from_pandas(df).repartition(4), vocab_k=KU, bigram_k=KB
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def bihash(a: str, b: str) -> int:
+        ha = np.array([hash_str_u64(a)], dtype=np.uint64)
+        hb = np.array([hash_str_u64(b)], dtype=np.uint64)
+        return int(mix64(ha ^ mix64(hb))[0])
+
+    allw = [w for t in df["text"] for w in ascii_words(t)]
+    wc = Counter(allw)
+    n = len(allw)
+    vocab = dict(sorted(wc.items(), key=lambda kv: (-kv[1], hash_str_u64(kv[0])))[:KU])
+    bc = Counter()
+    for t in df["text"]:
+        ws = ascii_words(t)
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    bvocab = dict(
+        sorted(bc.items(), key=lambda kv: (-kv[1], bihash(*kv[0])))[:KB]
+    )
+    hit = backoff = 0
+    for _, row in out.iterrows():
+        ws = ascii_words(df.loc[df["doc_id"] == row["doc_id"], "text"].iloc[0])
+        assert row["n_words"] == len(ws)
+        if not ws:
+            assert row["bits_per_word"] == 0.0
+            continue
+        bits = [math.log2(n) - math.log2(vocab.get(ws[0], 1))]
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in bvocab and a in vocab:
+                bits.append(math.log2(vocab[a]) - math.log2(bvocab[(a, b)]))
+                hit += 1
+            else:
+                bits.append(
+                    BIGRAM_BACKOFF_BITS + math.log2(n) - math.log2(vocab.get(b, 1))
+                )
+                backoff += 1
+        assert abs(row["bits_per_word"] - sum(bits) / len(bits)) < 1e-3
+    assert hit > 0 and backoff > 0  # both non-first paths exercised
+
+
 def test_assemble_sequences_round_trip(ray_session):
     from searty_ray.stages.packing import assemble_sequences
 

@@ -941,6 +941,64 @@ ORDER BY doc_id
 """
 
 
+def _incremental_new(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic synthetic "today's crawl" derived from the documents
+    table (no external data): even-id rows re-arrive verbatim (dups vs the
+    snapshot), odd-id rows arrive mutated (genuinely new), and ids ≡ 1
+    (mod 10) arrive in a SECOND mutated copy — a within-batch duplicate
+    whose min-id copy must win."""
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        text = b["text"].to_numpy(zero_copy_only=False)
+        odd = ids % 2 == 1
+        t1 = np.where(odd, np.char.add(text.astype("U"), " v2"), text).astype(object)
+        again = ids % 10 == 1
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids + 100000, ids[again] + 200000]), type=pa.int64()
+                ),
+                "text": pa.array(
+                    np.concatenate([t1, np.char.add(text[again].astype("U"), " v2")]).astype(object),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(make_new, batch_format="pyarrow")
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Cross-snapshot exact dedup (dedup.incremental_exact): new rows keep
+    only first-in-batch keys that the existing snapshot has never seen —
+    hash-only shuffles + one anti-join + one semi-join, content never moves."""
+    out = (
+        dedup.incremental_exact(_incremental_new(sf_dir), _docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.reindex(columns=["doc_id", "text"])
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH newt AS (
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' v2' FROM documents WHERE doc_id % 10 = 1
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM newt
+  WHERE text NOT IN (SELECT text FROM documents)
+  GROUP BY text
+)
+SELECT n.doc_id, n.text FROM newt n JOIN keep USING (doc_id) ORDER BY n.doc_id
+"""
+
+
 LINE_DEDUP_MINLEN = 5
 
 
@@ -3933,6 +3991,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,  # new in r4
     "semdedup": q_semdedup,  # new in r4
     "bigram_bpw": q_bigram_bpw,  # new in r4
+    "dedup_incremental": q_dedup_incremental,  # new in r4
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
@@ -4092,6 +4151,7 @@ ORACLE_SQL = {
     "gopher_rules": SQL_GOPHER_RULES,
     "semdedup": SQL_SEMDEDUP,
     "bigram_bpw": SQL_BIGRAM_BPW,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "events_stratified": _sql_events_stratified(),
     "mix_sources": SQL_MIX_SOURCES,
     "unigram_bpw": SQL_UNIGRAM_BPW,

@@ -96,6 +96,68 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     ).select_columns(["doc_id", "n_dups"])
 
 
+def incremental_exact(
+    new_docs: ray.data.Dataset,
+    seen_docs: ray.data.Dataset,
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cross-snapshot exact dedup (incremental ingestion): keep a NEW doc
+    iff its 128-bit content key has no match in the already-ingested
+    snapshot AND it is the min-doc_id occurrence of its key within the new
+    batch itself — the "dedup today's crawl against yesterday's corpus"
+    operator an append-only 100-TB pipeline needs.
+
+    Shape (SCALE.md): content never moves — both sides hash per batch
+    (add_content_hash_batch, zero-copy over the Arrow buffers); within-new
+    winners via ONE narrow (h1, h2, doc_id) groupby-min; the snapshot side
+    reduces to distinct keys per batch (combiner) and the winners LEFT-ANTI
+    hash-join against them on the composite key; the surviving ids then
+    semi-join the new rows back out.  The anti-join result materializes
+    before the semi-join — two concurrently-instantiated native-join
+    aggregator pools deadlock small sessions (NOTES.md, Ray 2.49).
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import nonempty_arrow_blocks, semi_join
+
+    new_keys = new_docs.map_batches(add_content_hash_batch, batch_format="pyarrow")
+    # materialize both join inputs: the join's aggregator pool reserves its
+    # actors up front, and an upstream AllToAll still competing for the same
+    # CPUs deadlocks small sessions (the line_dedup lesson, NOTES.md)
+    winners = (
+        new_keys.groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .materialize()
+    )
+
+    def keys_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["h1", "h2"]].drop_duplicates()
+
+    seen_keys = (
+        seen_docs.map_batches(add_content_hash_batch, batch_format="pyarrow")
+        .map_batches(keys_only, batch_format="pandas")
+        .materialize()
+    )
+    kept = (
+        nonempty_arrow_blocks(winners)
+        .join(
+            nonempty_arrow_blocks(seen_keys),
+            join_type="left_anti",
+            num_partitions=join_partitions,
+            on=("h1", "h2"),
+        )
+        .select_columns(["doc_id"])
+        .materialize()
+    )
+    if kept.count() == 0:
+        # fully-empty datasets lose their schema (NOTES.md): an empty join
+        # side makes Acero fail on the key name — short-circuit instead
+        return new_docs.limit(0)
+    return semi_join(
+        new_docs, nonempty_arrow_blocks(kept), on="doc_id", num_partitions=join_partitions
+    )
+
+
 # ---------------------------------------------------------------------------
 # word-set Jaccard within blocks
 # ---------------------------------------------------------------------------

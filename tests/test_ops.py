@@ -260,6 +260,49 @@ def test_ivf_near_dups_planted(ray_session):
     assert pairs <= exact_pairs
 
 
+def test_incremental_exact_matches_pandas(ray_session):
+    """Cross-snapshot dedup vs a pandas reference, including the two sparse
+    edges (all-dup and no-dup new batches — empty join sides)."""
+    import pandas as pd
+
+    seen = pd.DataFrame({"doc_id": range(6), "text": [f"t{i}" for i in range(6)]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102, 103, 104, 105],
+            "text": ["t0", "n1", "n2", "n1", "t5", "n3"],
+        }
+    )
+
+    def run(new_df, seen_df):
+        out = dedup.incremental_exact(
+            ray.data.from_pandas(new_df).repartition(3),
+            ray.data.from_pandas(seen_df).repartition(2),
+        ).to_pandas()
+        out = out.reindex(columns=["doc_id", "text"])
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    got = run(new, seen)
+    ref = (
+        new[~new["text"].isin(seen["text"])]
+        .groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"))
+    )
+    ref = (
+        new[new["doc_id"].isin(ref["doc_id"])]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref[["doc_id", "text"]])
+    assert got["doc_id"].tolist() == [101, 102, 105]  # n1 min-id, n2, n3
+
+    # every new row already seen → empty result (keep-list join side empty)
+    all_dup = run(seen.assign(doc_id=seen["doc_id"] + 500), seen)
+    assert len(all_dup) == 0
+    # nothing seen before → everything unique survives
+    fresh = run(new.drop_duplicates("text"), pd.DataFrame({"doc_id": [0], "text": ["zzz"]}))
+    assert fresh["doc_id"].tolist() == [100, 101, 102, 104, 105]
+
+
 def test_semdedup_matches_local_union_find(ray_session):
     """semdedup == local reference: grid-cell blocking + cosine pairs +
     union-find components + keep min id, on planted near-duplicates."""

@@ -643,6 +643,51 @@ SELECT doc_id, i - 1 AS pos FROM scan ORDER BY doc_id, pos
 """
 
 
+NEAR_A, NEAR_B, NEAR_K = "merge", "sort", 12  # ≈ two words apart in the corpus
+
+
+def q_near_search(sf_dir: str):
+    """NEAR/k proximity search (query.ProximitySearcher): docs where an
+    occurrence of NEAR_A and one of NEAR_B start within NEAR_K chars, with
+    pair count and min gap.  k=12 keeps only adjacent-ish pairs, so docs
+    containing both words WITHOUT a close pair exercise the drop path."""
+    from ..query import ProximitySearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return ProximitySearcher(IndexReader(index_dir)).near(NEAR_A, NEAR_B, NEAR_K)
+
+
+def _sql_word_occ(word: str) -> str:
+    """Occurrence-scan CTE body for one symbol word (the SQL_WORD_OCCURRENCES
+    scan, parameterized)."""
+    return f"""
+  SELECT doc_id, i - 1 AS pos
+  FROM (SELECT doc_id, content,
+               unnest(range(1, greatest(length(content) - {len(word)} + 2, 1))) AS i
+        FROM corpus)
+  WHERE upper(substr(content, i, {len(word)})) = upper('{word}')
+    AND NOT regexp_matches(substr(content, i - 1, 1), '{_SYM_CLASS}')
+    AND NOT regexp_matches(substr(content, i + {len(word)}, 1), '{_SYM_CLASS}')
+"""
+
+
+SQL_NEAR_SEARCH = f"""
+WITH {CORPUS_CTE},
+occ_a AS ({_sql_word_occ(NEAR_A)}),
+occ_b AS ({_sql_word_occ(NEAR_B)}),
+pairs AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS gap
+  FROM occ_a a JOIN occ_b b USING (doc_id)
+  WHERE abs(a.pos - b.pos) <= {NEAR_K}
+)
+SELECT p.doc_id, c.repo || '/' || c.path AS filename,
+       count(*)::BIGINT AS n_pairs, min(gap)::BIGINT AS min_gap
+FROM pairs p JOIN corpus c USING (doc_id)
+GROUP BY p.doc_id, filename
+ORDER BY p.doc_id
+"""
+
+
 PREFIX_Q = "doc-1"  # matches DOC-1, DOC-10…DOC-19, DOC-1xx — a real range slice
 
 
@@ -1612,6 +1657,68 @@ FROM c ORDER BY doc_id
 
 
 SQL_GOPHER_RULES = _sql_gopher_rules()
+
+
+def q_c4_filters(sf_dir: str):
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): per-line terminal
+    punctuation / ≥5-word / no-"javascript" keep, page-level brace +
+    "lorem ipsum" + ≥3-kept-lines gate, rewritten page text.  Stateless
+    per-batch map (textstats.c4_filters_batch), zero shuffle."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.c4_filters_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_C4_FILTERS = """
+WITH k AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), x ->
+             regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(string_split_regex(x, '\\s+'), y -> y <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       contains(text, '{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        AND len(kept) >= 3) AS c4_keep
+FROM k ORDER BY doc_id
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode + whitespace normalization (textstats.normalize_text_batch):
+    NFC, control strip, whitespace collapse, trim.  Zero shuffle."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.normalize_text_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]', '', 'g'),
+              '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, (norm_text <> text) AS changed,
+       length(norm_text)::BIGINT AS n_chars
+FROM n ORDER BY doc_id
+"""
 
 
 def q_quality(sf_dir: str):
@@ -3984,6 +4091,9 @@ QUERIES = {
     # at 50).  Round 4 fronts the 45 queries that had not yet received a
     # driver-oracle row (r1-r3 covered the trailing block), so every gate
     # query appears in at least one CORRECTNESS_r* artifact.
+    "c4_filters": q_c4_filters,  # new in r4 continuation — leads for driver coverage
+    "near_search": q_near_search,  # new in r4 continuation
+    "normalize_text": q_normalize_text,  # new in r4 continuation
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4
@@ -4108,6 +4218,7 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "symbol_search": SQL_SYMBOL_SEARCH,
     "word_occurrences": SQL_WORD_OCCURRENCES,
+    "near_search": SQL_NEAR_SEARCH,
     "bm25_words": SQL_BM25_WORDS,
     "fuzzy_words": SQL_FUZZY_WORDS,
     "package_defs": SQL_PACKAGE_DEFS,
@@ -4149,6 +4260,8 @@ ORACLE_SQL = {
     "prefix_terms": SQL_PREFIX_TERMS,
     "prefix_docs": SQL_PREFIX_DOCS,
     "gopher_rules": SQL_GOPHER_RULES,
+    "c4_filters": SQL_C4_FILTERS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "semdedup": SQL_SEMDEDUP,
     "bigram_bpw": SQL_BIGRAM_BPW,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

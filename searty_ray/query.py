@@ -1394,6 +1394,91 @@ class WordSearcher:
         )
 
 
+class ProximitySearcher:
+    """NEAR/k proximity search over the symbol-word index (new surface —
+    the reference has exact lookup and phrase only; NEAR is the classic
+    fulltext third kind).
+
+    ``near(a, b, k)`` returns every doc where some occurrence of ``a`` and
+    some occurrence of ``b`` start within ``k`` characters of each other,
+    with the pair count and the minimum gap.  Both words' postings come
+    through the ordinary pruned lookup (positions decoded lazily, same as
+    the phrase path); docs intersect FIRST so the window scan only touches
+    co-occurrence docs, then the whole gap computation is two
+    ``searchsorted`` passes over the doc-major ``doc*2^41 + pos`` key
+    stream — no per-doc Python.
+
+    Scale contract: cost is occurrence-scale for the two query terms only
+    (the phrase-search contract); nothing corpus-scale materializes.
+    Positions are char offsets < 2^41 per doc, so doc-strided keys cannot
+    collide across docs for any realistic k.
+    """
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "filename": pa.array([], type=pa.string()),
+                "n_pairs": pa.array([], type=pa.int64()),
+                "min_gap": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def near(self, word_a: str, word_b: str, k: int) -> pa.Table:
+        from .functions.tokenize import symbol_key
+
+        key_a, key_b = symbol_key(word_a), symbol_key(word_b)
+        got = self.reader.lookup(np.array([key_a, key_b], dtype=np.uint64))
+        tpa, tpb = got[key_a], got[key_b]
+        if tpa is None or tpb is None:
+            return self._empty()
+        shared = np.intersect1d(tpa.doc_ids, tpb.doc_ids)
+        if len(shared) == 0:
+            return self._empty()
+
+        def occ(tp) -> tuple[np.ndarray, np.ndarray]:
+            sel = np.isin(tp.doc_ids, shared, assume_unique=True)
+            mask = np.repeat(sel, tp.tfs)
+            d = np.repeat(tp.doc_ids, tp.tfs)[mask].astype(np.int64)
+            return d, tp.positions[mask].astype(np.int64)
+
+        da, pos_a = occ(tpa)
+        db, pos_b = occ(tpb)
+        stride = np.int64(1) << np.int64(41)
+        ka = da * stride + pos_a
+        kb = db * stride + pos_b
+        lo = np.searchsorted(kb, ka - k, side="left")
+        hi = np.searchsorted(kb, ka + k, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        # nearest-neighbour gap per a-occurrence (valid only where cnt > 0)
+        idx = np.searchsorted(kb, ka)
+        inf = np.int64(1) << np.int64(60)
+        has = cnt > 0
+        gl = np.where(has & (idx - 1 >= lo), ka - kb[np.maximum(idx - 1, 0)], inf)
+        gr = np.where(has & (idx < hi), kb[np.minimum(idx, len(kb) - 1)] - ka, inf)
+        g = np.minimum(gl, gr)
+        uniq, starts = np.unique(da, return_index=True)
+        n_pairs = np.add.reduceat(cnt, starts)
+        min_gap = np.minimum.reduceat(g, starts)
+        keep = n_pairs > 0
+        uniq, n_pairs, min_gap = uniq[keep], n_pairs[keep], min_gap[keep]
+        if len(uniq) == 0:
+            return self._empty()
+        meta = self.reader.resolve_docs(uniq, ["filename"])
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "filename": meta["filename"],
+                "n_pairs": pa.array(n_pairs, type=pa.int64()),
+                "min_gap": pa.array(min_gap, type=pa.int64()),
+            }
+        )
+
+
 class PrefixSearcher:
     """Prefix / wildcard word search (``doc-1*``) over the term dictionary.
 

@@ -946,3 +946,82 @@ def bigram_bits_per_word(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def c4_filters_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), per batch:
+
+    * a LINE is kept iff it ends in terminal punctuation (``.!?"``), has
+      ≥ 5 whitespace words, and does not mention "javascript"
+      (case-insensitive substring);
+    * the PAGE is kept iff it contains no ``{``, no "lorem ipsum"
+      (case-insensitive), and retains ≥ 3 lines after the line filter.
+
+    → (doc_id, n_lines, n_kept_lines, clean_text, has_brace, has_lorem,
+    c4_keep).  ``clean_text`` is the kept lines re-joined with newlines
+    (the rewritten page).  Zero shuffle; explode + C-level string kernels
+    (one regex/count pass over the exploded line column).
+    """
+    text = batch["text"]
+    lines = text.str.split("\n")
+    n_lines = lines.str.len().fillna(0).astype("int64")
+    ex = lines.explode().dropna()
+    if len(ex):
+        keep = (
+            ex.str.contains(r'[.!?"]$', regex=True)
+            & (ex.str.count(WORD_RE) >= 5)
+            & ~ex.str.lower().str.contains("javascript", regex=False)
+        )
+        kept = ex[keep]
+        n_kept = kept.groupby(level=0).size()
+        joined = kept.groupby(level=0).agg("\n".join)
+    else:
+        n_kept = pd.Series(dtype="int64")
+        joined = pd.Series(dtype="object")
+    n_kept_lines = pd.Series(0, index=batch.index, dtype="int64")
+    n_kept_lines.loc[n_kept.index] = n_kept.astype("int64")
+    clean = pd.Series("", index=batch.index, dtype="object")
+    clean.loc[joined.index] = joined
+    has_brace = text.str.contains("{", regex=False)
+    has_lorem = text.str.lower().str.contains("lorem ipsum", regex=False)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": n_lines,
+            "n_kept_lines": n_kept_lines,
+            "clean_text": clean,
+            "has_brace": has_brace,
+            "has_lorem": has_lorem,
+            "c4_keep": ~has_brace & ~has_lorem & (n_kept_lines >= 3),
+        }
+    )
+
+
+#: C0 controls except \t \n \f \r (those are whitespace, handled by WS_RE),
+#: plus DEL — mirrored verbatim in the SQL oracle's regexp_replace.
+_CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0E-\x1F\x7F]")
+
+
+def normalize_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Unicode + whitespace normalization — the standard cleanup pass before
+    dedup/tokenization: NFC composition (Python unicodedata == DuckDB's
+    utf8proc ``nfc_normalize``; pyarrow's ``utf8_normalize`` kernel does NOT
+    compose in this build, verified), C0/DEL control-char strip, whitespace
+    runs collapsed to one space (the RE2 ``\\s`` class, words.WS_RE), edge
+    spaces trimmed.  Zero shuffle, C-level pandas str kernels.
+
+    → (doc_id, norm_text, changed, n_chars)
+    """
+    text = batch["text"]
+    nfc = text.str.normalize("NFC")
+    stripped = nfc.str.replace(_CONTROL_RE, "", regex=True)
+    collapsed = stripped.str.replace(WS_RE, " ", regex=True)
+    trimmed = collapsed.str.strip(" ")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "norm_text": trimmed,
+            "changed": trimmed != text,
+            "n_chars": trimmed.str.len().astype("int64"),
+        }
+    )

@@ -1412,13 +1412,7 @@ ORDER BY doc_id_a, doc_id_b
 
 def q_knn_cosine(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    queries = {
-        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-        for r in qt.itertuples()
-        if int(r.vec_id) in KNN_QUERY_IDS
-    }
-    return knn.knn_brute_cosine(emb, queries, k=KNN_K)
+    return knn.knn_brute_cosine(emb, _knn_queries(sf_dir), k=KNN_K)
 
 
 SQL_KNN_COSINE = f"""
@@ -1428,6 +1422,101 @@ scored AS (
   SELECT q.query_id, e.vec_id,
          list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
   FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score
+FROM ranked WHERE rn <= {KNN_K}
+ORDER BY query_id, score DESC, vec_id
+"""
+
+
+def _knn_queries(sf_dir: str) -> dict[int, np.ndarray]:
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    return {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in qt.itertuples()
+        if int(r.vec_id) in KNN_QUERY_IDS
+    }
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization (knn.quantize_embeddings),
+    exploded to (vec_id, dim, scale, code) integer rows for the value-hash
+    oracle.  Codes are bit-equal to the SQL mirror (half-away rounding)."""
+    ds = knn.quantize_embeddings(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        scale = batch["scale"].to_numpy(zero_copy_only=False)
+        col = batch["codes"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = len(flat) // max(len(ids), 1)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dim), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ids))),
+                "scale": pa.array(np.repeat(scale, dim), type=pa.float64()),
+                "code": pa.array(flat, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_QUANT_CODES = """
+s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0) / 127.0 AS scale
+  FROM embeddings
+),
+u AS (SELECT vec_id, scale, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM s),
+codes AS (
+  SELECT vec_id, (i - 1)::BIGINT AS dim, scale,
+         (CASE WHEN scale = 0 THEN 0
+               ELSE greatest(-127, least(127,
+                    CASE WHEN x >= 0 THEN floor(x / scale + 0.5)
+                         ELSE -floor(-x / scale + 0.5) END)) END)::BIGINT AS code
+  FROM u
+)"""
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH {_SQL_QUANT_CODES}
+SELECT vec_id, dim, round(scale, 6) AS scale, code
+FROM codes ORDER BY vec_id, dim
+"""
+
+
+def q_knn_quantized(sf_dir: str):
+    """Top-k cosine over int8-quantized vectors (knn.knn_quantized_cosine):
+    integer dots / integer norms — scales cancel, so the SQL oracle
+    reproduces scores bit-for-bit end to end (quantize + search)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn.knn_quantized_cosine(emb, _knn_queries(sf_dir), k=KNN_K)
+
+
+SQL_KNN_QUANTIZED = f"""
+WITH {_SQL_QUANT_CODES},
+norms AS (SELECT vec_id, sqrt(sum(code * code)::DOUBLE) AS nrm FROM codes GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id, sum(c.code * q.code)::DOUBLE AS dot
+  FROM codes c JOIN codes q USING (dim)
+  WHERE q.vec_id IN (SELECT unnest({KNN_QUERY_IDS}))
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         CASE WHEN n.nrm = 0 OR qn.nrm = 0 THEN 0.0 ELSE d.dot / (n.nrm * qn.nrm) END AS score
+  FROM dots d JOIN norms n ON n.vec_id = d.vec_id JOIN norms qn ON qn.vec_id = d.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
@@ -4094,6 +4183,8 @@ QUERIES = {
     "c4_filters": q_c4_filters,  # new in r4 continuation — leads for driver coverage
     "near_search": q_near_search,  # new in r4 continuation
     "normalize_text": q_normalize_text,  # new in r4 continuation
+    "embedding_quantize": q_embedding_quantize,  # new in r4 continuation
+    "knn_quantized": q_knn_quantized,  # new in r4 continuation
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4
@@ -4241,6 +4332,8 @@ ORACLE_SQL = {
     # its deterministic sibling dedup_embedding_grid carries the full oracle
     "dedup_embedding_grid": SQL_DEDUP_EMBEDDING_GRID,
     "knn_cosine": SQL_KNN_COSINE,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "knn_quantized": SQL_KNN_QUANTIZED,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,

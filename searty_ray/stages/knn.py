@@ -93,9 +93,14 @@ def knn_brute_cosine(
         concurrency=actor_pool(),
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
     ).to_pandas()  # ≤ (#queries × k × #blocks) partial rows — small by contract
-    # final merge: one lexsort over the partial table + per-query rank mask
-    # (no per-group pandas loop); selection on EXACT scores, then the output
-    # re-ordered on rounded scores like the SQL oracle hashes them
+    return _topk_merge(partial, k)
+
+
+def _topk_merge(partial, k: int) -> pa.Table:
+    """Final per-query top-k over partial (query_id, vec_id, score) rows: one
+    lexsort over the partial table + per-query rank mask (no per-group pandas
+    loop); selection on EXACT scores, then the output re-ordered on rounded
+    scores like the SQL oracle hashes them."""
     q = partial["query_id"].to_numpy()
     v = partial["vec_id"].to_numpy()
     s = partial["score"].to_numpy()
@@ -115,6 +120,108 @@ def knn_brute_cosine(
             "score": pa.array(sr[order2], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + quantized KNN
+# ---------------------------------------------------------------------------
+
+
+def _quantize_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8: scale = max|x|/127, code = clamp(round-half-
+    away(x/scale), ±127).  Half-away (not numpy's half-even) mirrors DuckDB
+    ``floor(x/scale + 0.5)`` / the negated form, so codes are bit-equal to
+    the SQL oracle.  All-zero vectors quantize to all-zero codes, scale 0."""
+    scale = np.abs(mat).max(axis=1) / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    y = mat / safe[:, None]
+    codes = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5))
+    return np.clip(codes, -127, 127).astype(np.int8), scale
+
+
+def quantize_embeddings(embeddings: ray.data.Dataset) -> ray.data.Dataset:
+    """→ (vec_id, scale round6, codes list<int8>): 4× smaller vectors for the
+    ANN paths (object-store bandwidth and actor memory are the 100-TB cost).
+    Zero shuffle, whole-batch numpy."""
+    from ..functions.words import round6
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        codes, scale = _quantize_mat(mat)
+        dim = codes.shape[1] if len(ids) else 0
+        flat = pa.array(codes.ravel(), type=pa.int8())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "scale": pa.array(round6(scale), type=pa.float64()),
+                "codes": pa.FixedSizeListArray.from_arrays(flat, dim)
+                if len(ids)
+                else pa.array([], type=pa.list_(pa.int8(), 0)),
+            }
+        )
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
+class QuantKNN:
+    """Actor-pool stage over QUANTIZED vectors: integer dot products against
+    the broadcast quantized queries; cosine ≈ int-dot / (int-norm product) —
+    the per-vector scales cancel, so scores derive from integers only and the
+    SQL oracle reproduces them bit-for-bit.  d=64 int8 codes: |dot| ≤
+    127²·64 ≈ 1.03e6, exact in int32."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q_ids = np.asarray(sorted(q.keys()), dtype=np.int64)
+        qm = np.stack([np.asarray(q[i], dtype=np.float64) for i in self.q_ids])
+        qc, _ = _quantize_mat(qm)
+        self.qc = qc.astype(np.int32)
+        self.qn = np.sqrt((self.qc.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        col = batch["codes"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+        dim = len(flat) // max(len(ids), 1)
+        dc = flat.reshape(len(ids), dim)
+        dn = np.sqrt((dc.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
+        dots = dc @ self.qc.T  # int32 exact
+        denom = dn[:, None] * self.qn[None, :]
+        denom[denom == 0] = np.inf  # zero-norm vectors score 0
+        sims = dots.astype(np.float64) / denom
+        k = min(self.k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            s = sims[:, qi]
+            top = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+
+def knn_quantized_cosine(
+    embeddings: ray.data.Dataset, queries: dict[int, np.ndarray], k: int = 10
+) -> pa.Table:
+    """Top-k per query over int8-quantized vectors → (query_id, vec_id,
+    score rounded 1e-6), sorted.  Same partial/merge shape as
+    knn_brute_cosine; the quantize pass streams (no materialization)."""
+    qref = ray.put(queries)
+    partial = quantize_embeddings(embeddings).map_batches(
+        QuantKNN,
+        batch_format="pyarrow",
+        concurrency=actor_pool(),
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+    ).to_pandas()
+    return _topk_merge(partial, k)
 
 
 # ---------------------------------------------------------------------------

@@ -740,6 +740,61 @@ ORDER BY filename
 """
 
 
+WILD_SUF_Q = "*er"  # CUSTOMER, FILTER, ORDER, … — a real multi-term scan
+WILD_INFIX_Q = "*or*"  # SORT, ORDER, VECTOR, …
+
+
+def q_wildcard_terms(sf_dir: str):
+    """Leading-star wildcard term enumeration (``*er``): vectorized
+    numpy.char suffix scan over the worddict sidecar
+    (query.PrefixSearcher.wildcard_terms)."""
+    from ..query import PrefixSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return PrefixSearcher(IndexReader(index_dir)).wildcard_terms(WILD_SUF_Q)
+
+
+SQL_WILDCARD_TERMS = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS term
+  FROM corpus
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks
+WHERE ends_with(term, upper('{WILD_SUF_Q[1:]}'))
+GROUP BY term ORDER BY term
+"""
+
+
+def q_wildcard_docs(sf_dir: str):
+    """Contains-wildcard doc search (``*or*`` → docs): one dictionary scan,
+    then the matched keys go through the ordinary pruned postings lookup
+    (query.PrefixSearcher.wildcard_docs)."""
+    from ..query import PrefixSearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return PrefixSearcher(IndexReader(index_dir)).wildcard_docs(WILD_INFIX_Q)
+
+
+SQL_WILDCARD_DOCS = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, upper(unnest(regexp_extract_all(content, '{_SYM_CLASS}+'))) AS term
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE contains(term, upper('{WILD_INFIX_Q[1:-1]}')) GROUP BY doc_id, term
+)
+SELECT h.doc_id, c.repo || '/' || c.path AS filename,
+       count(*)::BIGINT AS n_terms, sum(h.tf)::BIGINT AS total_tf
+FROM hits h JOIN corpus c USING (doc_id)
+GROUP BY h.doc_id, filename
+ORDER BY filename
+"""
+
+
 FUZZY_Q = "DOC-7"
 
 
@@ -4185,6 +4240,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,  # new in r4 continuation
     "embedding_quantize": q_embedding_quantize,  # new in r4 continuation
     "knn_quantized": q_knn_quantized,  # new in r4 continuation
+    "wildcard_terms": q_wildcard_terms,  # new in r4 continuation
+    "wildcard_docs": q_wildcard_docs,  # new in r4 continuation
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4
@@ -4352,6 +4409,8 @@ ORACLE_SQL = {
     "keyed_split": SQL_KEYED_SPLIT,
     "prefix_terms": SQL_PREFIX_TERMS,
     "prefix_docs": SQL_PREFIX_DOCS,
+    "wildcard_terms": SQL_WILDCARD_TERMS,
+    "wildcard_docs": SQL_WILDCARD_DOCS,
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_filters": SQL_C4_FILTERS,
     "normalize_text": SQL_NORMALIZE_TEXT,

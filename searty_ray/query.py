@@ -1515,13 +1515,17 @@ class PrefixSearcher:
             self.reader._word_dict = cached
         return cached
 
-    def _range(self, prefix: str) -> tuple[int, int]:
+    def _dict_or_raise(self):
         d = self._dict()
         if d is None:
             raise FileNotFoundError(
                 f"no worddict sidecar under {self.reader.index_dir} — build the "
                 "index with tokenizer='trigram+symbols'"
             )
+        return d
+
+    def _range(self, prefix: str) -> tuple[int, int]:
+        d = self._dict_or_raise()
         p = prefix.upper()
         terms = d[0]
         # [p, p + U+10FFFF) covers exactly the strings with prefix p
@@ -1546,7 +1550,71 @@ class PrefixSearcher:
         word with the given prefix — n_terms = distinct matching words in
         the doc, total_tf = their summed occurrences; filename-sorted."""
         lo, hi = self._range(prefix)
-        _, keys, _, _ = self._dict()
+        return self._docs_for_indices(np.arange(lo, hi))
+
+    # -- wildcard extension: *suf, *mid*, pre*suf (Lucene-style single-`*`
+    # patterns) over the same dictionary ---------------------------------
+
+    def _terms_u(self) -> np.ndarray:
+        """Fixed-width unicode copy of the term column for vectorized
+        numpy.char scans, cached on the reader alongside the dict."""
+        u = getattr(self.reader, "_word_dict_u", None)
+        if u is None:
+            u = self._dict_or_raise()[0].astype("U")
+            self.reader._word_dict_u = u
+        return u
+
+    def _match_indices(self, pattern: str) -> np.ndarray:
+        """Ascending dictionary indices whose term matches the wildcard
+        pattern (at most two literal segments around ``*``, case-folded).
+
+        ``pre*`` stays a binary-search range slice; leading-star forms scan
+        the vocabulary with one numpy.char kernel — vocab-scale by the class
+        contract.  At 10^9+ terms serve ``*suf`` from a REVERSED-term
+        dictionary sidecar instead (the classic Lucene reversed-wildcard
+        trick; same range-slice shape, documented in stages/worddict.py)."""
+        p = pattern.upper()
+        n_star = p.count("*")
+        if n_star == 0:
+            d = self._dict_or_raise()
+            lo = int(np.searchsorted(d[0], p, side="left"))
+            hi = int(np.searchsorted(d[0], p, side="right"))
+            return np.arange(lo, hi)
+        if n_star == 1 and p.endswith("*"):
+            lo, hi = self._range(p[:-1])
+            return np.arange(lo, hi)
+        if n_star == 1 and p.startswith("*"):
+            return np.flatnonzero(np.char.endswith(self._terms_u(), p[1:]))
+        if n_star == 2 and p.startswith("*") and p.endswith("*"):
+            return np.flatnonzero(np.char.find(self._terms_u(), p[1:-1]) >= 0)
+        if n_star == 1:  # pre*suf
+            pre, _, suf = p.partition("*")
+            lo, hi = self._range(pre)
+            u = self._terms_u()[lo:hi]
+            ok = np.char.endswith(u, suf) & (np.char.str_len(u) >= len(pre) + len(suf))
+            return np.arange(lo, hi)[ok]
+        raise ValueError(f"unsupported wildcard pattern: {pattern!r}")
+
+    def wildcard_terms(self, pattern: str) -> pa.Table:
+        """(term, df, cf) of every word matching the pattern, term-sorted."""
+        idx = self._match_indices(pattern)
+        terms, _, df, cf = self._dict_or_raise()
+        return pa.table(
+            {
+                "term": pa.array(terms[idx], type=pa.string()),
+                "df": pa.array(df[idx], type=pa.int64()),
+                "cf": pa.array(cf[idx], type=pa.int64()),
+            }
+        )
+
+    def wildcard_docs(self, pattern: str) -> pa.Table:
+        """Docs containing any word matching the pattern (prefix_docs
+        contract: n_terms distinct matches, total_tf summed; filename-
+        sorted).  Matched keys go through the ordinary pruned lookup."""
+        return self._docs_for_indices(self._match_indices(pattern))
+
+    def _docs_for_indices(self, idx: np.ndarray) -> pa.Table:
+        _, keys, _, _ = self._dict_or_raise()
         empty = pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
@@ -1555,9 +1623,9 @@ class PrefixSearcher:
                 "total_tf": pa.array([], type=pa.int64()),
             }
         )
-        if lo == hi:
+        if len(idx) == 0:
             return empty
-        plists = self.reader.lookup(keys[lo:hi].astype(np.uint64), need_positions=False)
+        plists = self.reader.lookup(keys[idx].astype(np.uint64), need_positions=False)
         present = [tp for tp in plists.values() if tp is not None]
         if not present:
             return empty

@@ -97,3 +97,78 @@ def test_worddict_df_cf_consistency(fixture_index):
         assert tp is not None, terms[i]
         assert tp.df == df[i]
         assert int(tp.tfs.sum()) == cf[i]
+
+
+def _wild_reference(index_dir: str, pattern: str):
+    """Independent wildcard matcher: Python fnmatch-style on upper terms."""
+    import fnmatch
+
+    docs = pq.read_table(
+        os.path.join(index_dir, "documents"), columns=["doc_id", "filename", "content"]
+    )
+    p = pattern.upper()
+    term_df, term_cf = Counter(), Counter()
+    per_doc = {}
+    for d, fn, c in zip(
+        docs["doc_id"].to_pylist(), docs["filename"].to_pylist(), docs["content"].to_pylist()
+    ):
+        words = [w.upper() for w in SYM.findall(c)]
+        # fnmatch treats [] as classes; terms here never contain brackets
+        hits = [w for w in words if fnmatch.fnmatchcase(w, p)]
+        if hits:
+            cnt = Counter(hits)
+            for w, n in cnt.items():
+                term_df[w] += 1
+                term_cf[w] += n
+            per_doc[d] = (fn, len(cnt), sum(cnt.values()))
+    return term_df, term_cf, per_doc
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "*un",  # suffix: DEFUN
+        "*efu*",  # contains
+        "d*n",  # pre*suf: DEFUN, DEFMACRO excluded
+        "defun",  # no star: exact term
+        "*-3-*",  # contains with dashes (generated names)
+        "aa*aa",  # pre*suf at the exact length boundary (AAAA: 4 == 2+2)
+    ],
+)
+def test_wildcard_terms_and_docs_match_reference(fixture_index, pattern):
+    index_dir, _ = fixture_index
+    searcher = PrefixSearcher(IndexReader(index_dir))
+    term_df, term_cf, per_doc = _wild_reference(index_dir, pattern)
+
+    t = searcher.wildcard_terms(pattern)
+    assert t["term"].to_pylist() == sorted(term_df)
+    assert dict(zip(t["term"].to_pylist(), t["df"].to_pylist())) == dict(term_df)
+    assert dict(zip(t["term"].to_pylist(), t["cf"].to_pylist())) == dict(term_cf)
+
+    d = searcher.wildcard_docs(pattern)
+    got = {
+        int(i): (fn, int(nt), int(tf))
+        for i, fn, nt, tf in zip(
+            d["doc_id"].to_pylist(),
+            d["filename"].to_pylist(),
+            d["n_terms"].to_pylist(),
+            d["total_tf"].to_pylist(),
+        )
+    }
+    assert got == per_doc
+
+
+def test_wildcard_overlap_guard(fixture_index):
+    """'ab*b' must not match the 2-char term 'AB' (prefix and suffix may not
+    overlap) — fnmatch agrees, but a naive startswith&endswith check fails."""
+    index_dir, _ = fixture_index
+    searcher = PrefixSearcher(IndexReader(index_dir))
+    for term in searcher.wildcard_terms("aa*a")["term"].to_pylist():
+        assert len(term) >= 3
+
+
+def test_wildcard_unsupported_pattern_raises(fixture_index):
+    index_dir, _ = fixture_index
+    searcher = PrefixSearcher(IndexReader(index_dir))
+    with pytest.raises(ValueError):
+        searcher.wildcard_terms("a*b*c")

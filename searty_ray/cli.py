@@ -221,6 +221,18 @@ def cmd_search(args) -> int:
         )
         for r in res.to_pylist():
             print(f"{r['filename']}\t{r['doc_id']}")
+    if args.near:
+        from .query import ProximitySearcher
+
+        for r in ProximitySearcher(reader).near(
+            args.near[0], args.near[1], args.near_window
+        ).to_pylist():
+            print(f"{r['filename']}\t{r['n_pairs']}\t{r['min_gap']}")
+    if args.wildcard:
+        from .query import PrefixSearcher
+
+        for r in PrefixSearcher(reader).wildcard_docs(args.wildcard).to_pylist():
+            print(f"{r['filename']}\t{r['n_terms']}\t{r['total_tf']}")
     if args.fuzzy:
         import ray.data
 
@@ -337,6 +349,12 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--must-not", action="append", default=[],
                     help="bool query: phrase that must NOT match")
     ps.add_argument("--fuzzy", help="edit-distance-1 word match over the indexed corpus")
+    ps.add_argument("--near", nargs=2, metavar=("WORD_A", "WORD_B"),
+                    help="proximity: docs where the two words start within --near-window chars")
+    ps.add_argument("--near-window", type=int, default=40,
+                    help="NEAR window in characters (default 40)")
+    ps.add_argument("--wildcard",
+                    help="word pattern with one '*' (pre*, *suf, *mid*, pre*suf) over the term dictionary")
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--limit", type=int, default=None,
                     help="cap phrase results (default: print all, reference parity)")

@@ -1931,7 +1931,8 @@ class QueryEngine:
     """Actor-pool query evaluator for ``map_batches`` over a query table.
 
     Input batch columns: query_id:int64, kind:string
-    (phrase|ranked|ranked_words|symbol|bool|file), query:string, k:int32.
+    (phrase|ranked|ranked_words|symbol|bool|file|near|wildcard),
+    query:string, k:int32 (top-k; for kind=near, the char window).
     Output: query_id, kind, n_results, top JSON-ish summary columns kept
     scalar for Arrow friendliness.
     """
@@ -1948,6 +1949,8 @@ class QueryEngine:
         self.symbol = SymbolSearcher(self.reader)
         self.file = FileSearcher(self.reader)
         self.bool = BoolSearcher(self.reader)
+        self.prox = ProximitySearcher(self.reader)
+        self.prefix = PrefixSearcher(self.reader)
         if prewarm:
             # per-actor one-time loads happen at actor CONSTRUCTION (the
             # actor-pool contract: setup in __init__), not inside the first
@@ -1992,6 +1995,13 @@ class QueryEngine:
                 head = res["filename"][0].as_py() if len(res) else ""
             elif kind == "bool":
                 res = self.bool.search_str(q)
+                head = res["filename"][0].as_py() if len(res) else ""
+            elif kind == "near":
+                a, _, b = q.partition(" ")
+                res = self.prox.near(a, b, k)
+                head = res["filename"][0].as_py() if len(res) else ""
+            elif kind == "wildcard":
+                res = self.prefix.wildcard_docs(q)
                 head = res["filename"][0].as_py() if len(res) else ""
             else:
                 res = self.file.search(q)

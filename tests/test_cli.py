@@ -160,3 +160,19 @@ def test_cli_search_bool_and_fuzzy(fixture_index, capsys):
     assert bool_rows, out
     # fuzzy rows: word \t df \t cf, CONS itself must appear
     assert any(l.split("\t")[0] == "CONS" for l in out)
+
+
+def test_cli_search_near_and_wildcard(fixture_index, capsys):
+    index_dir, _ = fixture_index
+    rc = cli_main(["search", "-d", index_dir, "--near", "defun", "x", "--near-window", "40"])
+    assert rc == 0
+    near_rows = capsys.readouterr().out.strip().splitlines()
+    assert near_rows  # every generated file has (defun name (x) …)
+    for line in near_rows:  # filename \t n_pairs \t min_gap, gap within window
+        fn, n_pairs, min_gap = line.split("\t")
+        assert int(n_pairs) > 0 and 0 < int(min_gap) <= 40
+
+    rc = cli_main(["search", "-d", index_dir, "--wildcard", "*efun"])
+    assert rc == 0
+    wild_rows = capsys.readouterr().out.strip().splitlines()
+    assert wild_rows and all(int(l.split("\t")[1]) >= 1 for l in wild_rows)

@@ -1865,6 +1865,44 @@ FROM n ORDER BY doc_id
 """
 
 
+COOC_WINDOW, COOC_TOPK = 3, 20
+
+
+def q_word_cooc(sf_dir: str):
+    """Windowed word co-occurrence + PMI (textstats.word_cooccurrence):
+    combiner-first integer pair counting, distributed totals + top-k."""
+    out = textstats.word_cooccurrence(
+        _docs(sf_dir, ["text"]), window=COOC_WINDOW, top_k=COOC_TOPK
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_WORD_COOC = f"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+pairs AS (
+  SELECT least(a.word, b.word) AS word_a, greatest(a.word, b.word) AS word_b
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {COOC_WINDOW}
+),
+pcnt AS (SELECT word_a, word_b, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+tot AS (SELECT (SELECT count(*) FROM w)::DOUBLE AS nw,
+               (SELECT count(*) FROM pairs)::DOUBLE AS np),
+ucnt AS (SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word),
+topk AS (SELECT * FROM pcnt ORDER BY n DESC, word_a, word_b LIMIT {COOC_TOPK})
+SELECT t.word_a, t.word_b, t.n,
+       round(log2((t.n::DOUBLE * tot.nw * tot.nw) / (tot.np * ua.c * ub.c)), 6) AS pmi
+FROM topk t
+CROSS JOIN tot
+JOIN ucnt ua ON ua.word = t.word_a
+JOIN ucnt ub ON ub.word = t.word_b
+ORDER BY t.n DESC, t.word_a, t.word_b
+"""
+
+
 def q_quality(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -4242,6 +4280,7 @@ QUERIES = {
     "knn_quantized": q_knn_quantized,  # new in r4 continuation
     "wildcard_terms": q_wildcard_terms,  # new in r4 continuation
     "wildcard_docs": q_wildcard_docs,  # new in r4 continuation
+    "word_cooc": q_word_cooc,  # new in r4 continuation
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4
@@ -4414,6 +4453,7 @@ ORACLE_SQL = {
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_filters": SQL_C4_FILTERS,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "word_cooc": SQL_WORD_COOC,
     "semdedup": SQL_SEMDEDUP,
     "bigram_bpw": SQL_BIGRAM_BPW,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

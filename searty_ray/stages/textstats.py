@@ -1025,3 +1025,117 @@ def normalize_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "n_chars": trimmed.str.len().astype("int64"),
         }
     )
+
+
+def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame:
+    """Top-k co-occurring unordered word pairs within ±``window`` words,
+    with PMI — the classic corpus-analytics collocation signal.
+
+    Combiner-first: each batch factorizes its words ONCE, remaps codes to
+    lexicographic rank so the unordered (min,max) canonicalization matches
+    SQL ``least/greatest`` on strings, counts integer pair codes with
+    ``np.unique`` (C speed), and emits only (word_a, word_b, cnt) partial
+    rows — unigram counts ride the same pass as ``word_b=''`` sentinel rows
+    (words are never empty by construction).  One (word_a, word_b) groupby
+    aggregates; totals and the top-k selection stay DISTRIBUTED (sort +
+    limit), so the driver only ever holds top_k rows + 2 scalars + the
+    ≤2·top_k unigram counts PMI needs.
+
+    Scale contract: the aggregated pair table is bounded by active-vocab²
+    (window-bounded, not corpus²); at web vocabulary pair this op with a
+    df-capped vocabulary upstream (the tfidf_topk contract).  PMI =
+    log2(n·N_w² / (N_pairs·c_a·c_b)), mirrored term-for-term in the SQL
+    oracle (same double expression order).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "word_a": pd.Series([], dtype=object),
+                "word_b": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+        ex = b["text"].str.findall(WORD_RE).explode().dropna()
+        if not len(ex):
+            return empty
+        codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
+        vocab = np.asarray(vocab, dtype=object)
+        v = len(vocab)
+        order = np.argsort(vocab)  # lexicographic rank remap
+        rank = np.empty(v, dtype=np.int64)
+        rank[order] = np.arange(v, dtype=np.int64)
+        lex = rank[codes]
+        vocab_sorted = vocab[order]
+        doc = ex.index.to_numpy()
+        frames = [
+            pd.DataFrame(
+                {
+                    "word_a": vocab_sorted,
+                    "word_b": "",
+                    "cnt": np.bincount(lex, minlength=v).astype(np.int64),
+                }
+            )
+        ]
+        pair_codes = []
+        for d in range(1, window + 1):
+            if len(lex) <= d:
+                break
+            same = doc[d:] == doc[:-d]
+            a, bb = lex[:-d][same], lex[d:][same]
+            pair_codes.append(np.minimum(a, bb) * v + np.maximum(a, bb))
+        if pair_codes:
+            uniq, cnt = np.unique(np.concatenate(pair_codes), return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "word_a": vocab_sorted[uniq // v],
+                        "word_b": vocab_sorted[uniq % v],
+                        "cnt": cnt.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    counts = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby(["word_a", "word_b"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .materialize()
+    )
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        is_pair = b["word_b"] != ""
+        return pd.DataFrame(
+            {
+                "n_pairs": [int(b.loc[is_pair, "n"].sum())],
+                "n_words": [int(b.loc[~is_pair, "n"].sum())],
+            }
+        )
+
+    tot = counts.map_batches(totals, batch_format="pandas").to_pandas().sum()
+    n_pairs, n_words = float(tot["n_pairs"]), float(tot["n_words"])
+
+    top = (
+        counts.map_batches(
+            lambda b: b[b["word_b"] != ""], batch_format="pandas"
+        )
+        .sort(["n", "word_a", "word_b"], descending=[True, False, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    need = sorted(set(top["word_a"]) | set(top["word_b"]))  # ≤ 2·top_k strings
+    uni = counts.map_batches(
+        lambda b: b[(b["word_b"] == "") & b["word_a"].isin(need)],
+        batch_format="pandas",
+    ).to_pandas()
+    c = dict(zip(uni["word_a"], uni["n"].astype(float)))
+    ca = np.array([c[w] for w in top["word_a"]])
+    cb = np.array([c[w] for w in top["word_b"]])
+    n = top["n"].to_numpy(dtype=np.float64)
+    pmi = np.log2((n * n_words * n_words) / (n_pairs * ca * cb))
+    out = top.reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["pmi"] = round6(pmi)
+    return out

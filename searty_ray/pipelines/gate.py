@@ -1583,6 +1583,29 @@ ORDER BY query_id, score DESC, vec_id
 """
 
 
+def q_ann_pq(sf_dir: str):
+    """PQ+ADC approximate top-k cosine (knn.knn_pq_adc): m-byte codes per
+    vector (16× compression at d=64, m=16), scores from per-query
+    (m, ks) lookup tables.  Engine-defined k-means codebooks → rows-only
+    gate (the dedup_embedding_ivf precedent); measured recall vs the
+    exact knn_brute_cosine sibling is computed and logged every run, and
+    knn_quantized carries the fully-oracled quantized-search sibling."""
+    import logging
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries = _knn_queries(sf_dir)
+    got_t = knn.knn_pq_adc(emb, queries, k=KNN_K)
+    exact = knn.knn_brute_cosine(emb, queries, k=KNN_K)
+    got = set(zip(got_t["query_id"].to_pylist(), got_t["vec_id"].to_pylist()))
+    want = set(zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()))
+    recall = (len(got & want) / len(want)) if want else 1.0
+    logging.getLogger(__name__).warning(
+        "pq_adc measured recall@%d vs exact sibling: %.4f (%d/%d)",
+        KNN_K, recall, len(got & want), len(want),
+    )
+    return got_t
+
+
 EMB_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.5
 
 
@@ -4281,6 +4304,7 @@ QUERIES = {
     "wildcard_terms": q_wildcard_terms,  # new in r4 continuation
     "wildcard_docs": q_wildcard_docs,  # new in r4 continuation
     "word_cooc": q_word_cooc,  # new in r4 continuation
+    "ann_pq": q_ann_pq,  # new in r4 continuation — rows-only (engine-defined codebooks)
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4

@@ -299,6 +299,15 @@ def main() -> None:
     knn.knn_brute_cosine(emb, qvecs, k=10)
     timings["knn_brute"] = time.monotonic() - t0
 
+    # int8-quantized KNN (4× smaller vectors; integer scores) and PQ+ADC
+    # (m-byte codes + per-query LUTs) — the compressed vector-search paths
+    t0 = time.monotonic()
+    knn.knn_quantized_cosine(emb, qvecs, k=10)
+    timings["knn_quantized"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    knn.knn_pq_adc(emb, qvecs, k=10)
+    timings["ann_pq"] = time.monotonic() - t0
+
     # IVF: disk-backed build + distributed batch search (the ANN scale path)
     ivf_dir = "/tmp/searty_ray_bench_ivf"
     import shutil as _sh
@@ -345,6 +354,14 @@ def main() -> None:
     t0 = time.monotonic()
     assemble_sequences(docs, budget=2048).count()
     timings["pack_assemble"] = time.monotonic() - t0
+
+    # windowed co-occurrence + PMI: combiner-first pair counting, one
+    # (word_a, word_b) groupby, distributed totals + top-k
+    from searty_ray.stages.textstats import word_cooccurrence
+
+    t0 = time.monotonic()
+    word_cooccurrence(docs, window=3, top_k=20)
+    timings["word_cooc"] = time.monotonic() - t0
 
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()

@@ -4295,16 +4295,11 @@ QUERIES = {
     # sweep verifies entries in dict order with a finite budget (r3 stopped
     # at 50).  Round 4 fronts the 45 queries that had not yet received a
     # driver-oracle row (r1-r3 covered the trailing block), so every gate
-    # query appears in at least one CORRECTNESS_r* artifact.
-    "c4_filters": q_c4_filters,  # new in r4 continuation — leads for driver coverage
-    "near_search": q_near_search,  # new in r4 continuation
-    "normalize_text": q_normalize_text,  # new in r4 continuation
-    "embedding_quantize": q_embedding_quantize,  # new in r4 continuation
-    "knn_quantized": q_knn_quantized,  # new in r4 continuation
-    "wildcard_terms": q_wildcard_terms,  # new in r4 continuation
-    "wildcard_docs": q_wildcard_docs,  # new in r4 continuation
-    "word_cooc": q_word_cooc,  # new in r4 continuation
-    "ann_pq": q_ann_pq,  # new in r4 continuation — rows-only (engine-defined codebooks)
+    # query appears in at least one CORRECTNESS_r* artifact.  The 9
+    # fifth-continuation entries slot in right AFTER that block (they are
+    # newer still, but bumping the 45 out of a 50-query budget twice in a
+    # row would leave them permanently unverified; round 5 fronts whatever
+    # r4's sweep did not reach).
     "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
     "keyed_split": q_keyed_split,  # new in r4
     "prefix_terms": q_prefix_terms,  # new in r4
@@ -4358,6 +4353,17 @@ QUERIES = {
     "events_approx_quantiles": q_events_approx_quantiles,
     "events_sorted": q_events_sorted,
     "corpus_prep": q_corpus_prep,
+    # --- r4 fifth continuation: after the 45-block so the r4 sweep's budget
+    # reaches the older unverified entries first; round 5 fronts the rest ---
+    "c4_filters": q_c4_filters,
+    "near_search": q_near_search,
+    "normalize_text": q_normalize_text,
+    "embedding_quantize": q_embedding_quantize,
+    "knn_quantized": q_knn_quantized,
+    "wildcard_terms": q_wildcard_terms,
+    "wildcard_docs": q_wildcard_docs,
+    "word_cooc": q_word_cooc,
+    "ann_pq": q_ann_pq,  # rows-only (engine-defined codebooks)
     # --- verified by driver oracles in rounds 1-3 (CORRECTNESS_r0{1,2,3}) ---
     "build_documents": q_build_documents,
     "jsonl_ingest": q_jsonl_ingest,

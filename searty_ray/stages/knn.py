@@ -492,7 +492,8 @@ class IVFIndex:
 
     Layout: ``index_dir/centroids.npy``, ``index_dir/ivf.json`` (manifest:
     nlist, dim, counts per cluster), ``index_dir/lists/cluster=NNN/*.parquet``
-    (vec_id + unit embedding).  Search reads only the probed partitions —
+    (vec_id + unit embedding; with ``codes="pq"``: vec_id + m-byte residual
+    code, plus ``pq_books.npy``).  Search reads only the probed partitions —
     at cluster scale each probe is a selective parquet read, and a query
     touches nprobe/nlist of the data."""
 
@@ -501,6 +502,11 @@ class IVFIndex:
         self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
         with open(os.path.join(index_dir, "ivf.json")) as f:
             self.meta = json.load(f)
+        self.books = (
+            np.load(os.path.join(index_dir, "pq_books.npy"))
+            if self.meta.get("codes") == "pq"
+            else None
+        )
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._cache_cap = cache_clusters
 
@@ -513,11 +519,21 @@ class IVFIndex:
         iters: int = 5,
         seed: int = 42,
         fit: str = "sample",
+        codes: str = "flat",
+        pq_m: int = 16,
+        pq_ks: int = 256,
     ) -> "IVFIndex":
         """``fit="sample"``: bounded-driver-sample k-means (fast, default);
         ``fit="full"``: :func:`kmeans_fit_full` distributed Lloyd over the
         whole dataset — the corpus-scale path (sampling bias-free centroids,
-        driver holds k×d only)."""
+        driver holds k×d only).
+
+        ``codes="pq"`` stores RESIDUAL PQ codes instead of full vectors
+        (IVFADC, Jégou et al. 2011): lists hold (vec_id, m-byte code), so
+        disk + probe bandwidth shrink dim·4/m× (16× at d=64, m=16); search
+        scores q·x ≈ q·centroid + Σ_j lut[j, code_j] — the residual
+        codebooks are fit on the same deterministic sample as the
+        centroids."""
         if os.path.isdir(index_dir):
             shutil.rmtree(index_dir)
         os.makedirs(index_dir, exist_ok=True)
@@ -527,8 +543,42 @@ class IVFIndex:
             cent = _kmeans_centroids(embeddings, nlist, iters, seed)
         cent_ref = ray.put(cent)
 
-        def assign_batch(batch: pa.Table) -> pa.Table:
-            return _assign_clusters(batch, cent_ref)
+        books = None
+        if codes == "pq":
+            sample = _sample_matrix(embeddings, seed)
+            a = np.argmax(sample @ cent.T, axis=1)  # the _assign_clusters rule
+            books = _pq_fit_mat(sample - cent[a], pq_m, pq_ks, seed, iters=10)
+            books_ref = ray.put(books)
+            n_sub = books.shape[0]
+
+            def assign_batch(batch: pa.Table) -> pa.Table:
+                t = _assign_clusters(batch, cent_ref)
+                if len(t) == 0:
+                    return pa.table(
+                        {
+                            "vec_id": pa.array([], type=pa.int64()),
+                            "cluster": pa.array([], type=pa.int32()),
+                            "code": pa.array([], type=pa.list_(pa.uint8(), n_sub)),
+                        }
+                    )
+                bks = ray.get(books_ref)
+                cm = ray.get(cent_ref)
+                _, mat = _emb_matrix(t)  # rows already normalized by _assign_clusters
+                cl = t["cluster"].to_numpy(zero_copy_only=False)
+                codes_arr = pq_encode_batch(mat - cm[cl], bks)
+                flat = pa.array(codes_arr.ravel(), type=pa.uint8())
+                return pa.table(
+                    {
+                        "vec_id": t["vec_id"],
+                        "cluster": t["cluster"],
+                        "code": pa.FixedSizeListArray.from_arrays(flat, n_sub),
+                    }
+                )
+
+        else:
+
+            def assign_batch(batch: pa.Table) -> pa.Table:
+                return _assign_clusters(batch, cent_ref)
 
         # streaming partitioned write: lists land as cluster=NNN/ parquet
         # directories straight from the assign stage — the driver never sees
@@ -543,8 +593,18 @@ class IVFIndex:
                 c = int(d.split("=")[1])
                 counts[str(c)] = pads.dataset(os.path.join(lists_dir, d)).count_rows()
         np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        if books is not None:
+            np.save(os.path.join(index_dir, "pq_books.npy"), books)
         with open(os.path.join(index_dir, "ivf.json"), "w") as f:
-            json.dump({"nlist": int(len(cent)), "dim": int(cent.shape[1]), "counts": counts}, f)
+            json.dump(
+                {
+                    "nlist": int(len(cent)),
+                    "dim": int(cent.shape[1]),
+                    "counts": counts,
+                    "codes": codes,
+                },
+                f,
+            )
         return cls(index_dir)
 
     def _load_cluster(self, c: int) -> tuple[np.ndarray, np.ndarray] | None:
@@ -553,8 +613,15 @@ class IVFIndex:
         part = os.path.join(self.index_dir, "lists", f"cluster={c}")
         if not os.path.isdir(part):
             return None
-        t = pads.dataset(part).to_table(columns=["vec_id", "embedding"])
-        got = _emb_matrix(t.combine_chunks())
+        if self.books is not None:
+            t = pads.dataset(part).to_table(columns=["vec_id", "code"]).combine_chunks()
+            vids = t["vec_id"].to_numpy(zero_copy_only=False)
+            col = t["code"].combine_chunks() if isinstance(t["code"], pa.ChunkedArray) else t["code"]
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            got = (vids, flat.reshape(len(vids), self.books.shape[0]))
+        else:
+            t = pads.dataset(part).to_table(columns=["vec_id", "embedding"])
+            got = _emb_matrix(t.combine_chunks())
         if len(self._cache) >= self._cache_cap:
             self._cache.pop(next(iter(self._cache)))
         self._cache[c] = got
@@ -564,6 +631,14 @@ class IVFIndex:
         q = np.asarray(query, dtype=np.float64)
         q = q / (np.linalg.norm(q) or 1.0)
         order = np.argsort(-(self.centroids @ q))[:nprobe]
+        lut = cols = None
+        if self.books is not None:
+            m, ks, dsub = self.books.shape
+            # q·x = q·centroid + q·residual; the residual term is one LUT
+            # gather per subspace (ADC) — the LUT is query-only, shared by
+            # every probed cluster
+            lut = np.einsum("jd,jcd->jc", q.reshape(m, dsub), self.books)
+            cols = np.arange(m)
         ids_parts, score_parts = [], []
         for c in order:
             got = self._load_cluster(int(c))
@@ -571,7 +646,12 @@ class IVFIndex:
                 continue
             vids, m = got
             ids_parts.append(vids)
-            score_parts.append(m @ q)
+            if lut is not None:
+                score_parts.append(
+                    lut[cols[None, :], m].sum(axis=1) + float(self.centroids[c] @ q)
+                )
+            else:
+                score_parts.append(m @ q)
         if not ids_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = np.concatenate(ids_parts)
@@ -794,7 +874,12 @@ def pq_fit(
     recall@10 vs exact on the d=64 synthetic gate fixture (near-worst-case
     unstructured vectors): m=16/ks=256 → 0.90 at 16× compression;
     m=32/ks=128 → 0.94 at 8×; m=16/ks=16 → 0.46 (too coarse)."""
-    x = _sample_matrix(embeddings, seed, sample_rows)
+    return _pq_fit_mat(_sample_matrix(embeddings, seed, sample_rows), m, ks, seed, iters)
+
+
+def _pq_fit_mat(x: np.ndarray, m: int, ks: int, seed: int, iters: int) -> np.ndarray:
+    """Per-subspace Lloyd over an in-memory (n, dim) matrix (the sample —
+    bounded by the _sample_matrix contract)."""
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

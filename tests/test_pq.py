@@ -84,3 +84,51 @@ def test_pq_fit_rejects_indivisible_dim(ray_session):
     ds = _emb_ds(np.random.default_rng(0).normal(size=(50, 30)))
     with pytest.raises(ValueError):
         knn.pq_fit(ds, m=16, ks=8)
+
+
+def _dir_bytes(d):
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(d) for f in fs
+    )
+
+
+def test_ivfpq_recall_and_compression(ray_session, tmp_path):
+    """IVFADC composition: residual-PQ lists must (a) shrink the on-disk
+    lists vs flat, (b) keep full-probe recall ≥ 0.8 at m=32/ks=256
+    (measured 0.90 on this near-worst-case unstructured fixture), and
+    (c) serve the same distributed batch-search path."""
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(800, 64))
+    ds = _emb_ds(mat)
+    queries = {int(i): mat[i] for i in range(5)}
+    exact = knn.knn_brute_cosine(ds, queries, k=10).to_pandas()
+    want = {q: set(exact[exact.query_id == q].vec_id) for q in range(5)}
+
+    flat_dir, pq_dir = str(tmp_path / "flat"), str(tmp_path / "pq")
+    knn.IVFIndex.build(ds, flat_dir, nlist=8)
+    idx = knn.IVFIndex.build(ds, pq_dir, nlist=8, codes="pq", pq_m=32, pq_ks=256)
+
+    recalls = []
+    for q in range(5):
+        ids, scores = idx.search(mat[q], k=10, nprobe=8)
+        assert len(ids) == 10 and np.all(np.diff(scores) <= 1e-12)
+        recalls.append(len(set(ids) & want[q]) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
+
+    flat_lists = _dir_bytes(f"{flat_dir}/lists")
+    pq_lists = _dir_bytes(f"{pq_dir}/lists")
+    assert pq_lists < flat_lists / 2, (pq_lists, flat_lists)
+
+    # the actor-pool batch search path serves pq indexes unchanged
+    out = knn.knn_ivf_search_batch(pq_dir, ds.limit(8), k=5, nprobe=4).to_pandas()
+    assert len(out) == 40 and set(out.columns) == {"query_id", "vec_id", "score"}
+
+
+def test_ivfpq_books_deterministic(ray_session, tmp_path):
+    ds = _emb_ds(np.random.default_rng(9).normal(size=(300, 64)))
+    a = knn.IVFIndex.build(ds, str(tmp_path / "a"), nlist=4, codes="pq", pq_m=16, pq_ks=32)
+    b = knn.IVFIndex.build(ds, str(tmp_path / "b"), nlist=4, codes="pq", pq_m=16, pq_ks=32)
+    assert np.array_equal(a.books, b.books)
+    assert np.array_equal(a.centroids, b.centroids)

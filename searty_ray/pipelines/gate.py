@@ -1888,6 +1888,40 @@ FROM n ORDER BY doc_id
 """
 
 
+BLOCKLIST = ("merge part", "slow join", "lorem ipsum")
+
+
+def q_blocklist(sf_dir: str):
+    """Banned-phrase filter (textstats.blocklist_filter): case-insensitive
+    substring counts vs a broadcast blocklist, zero shuffle."""
+    return (
+        textstats.blocklist_filter(_docs(sf_dir, ["doc_id", "text"]), BLOCKLIST)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _sql_blocklist() -> str:
+    hits = " + ".join(
+        f"(length(lower(text)) - length(replace(lower(text), '{p}', ''))) / {len(p)}"
+        for p in BLOCKLIST
+    )
+    phr = " + ".join(
+        f"contains(lower(text), '{p}')::BIGINT" for p in BLOCKLIST
+    )
+    return f"""
+SELECT doc_id,
+       ({hits})::BIGINT AS n_hits,
+       ({phr})::BIGINT AS n_phrases,
+       ({phr}) > 0 AS blocked
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_BLOCKLIST = _sql_blocklist()
+
+
 COOC_WINDOW, COOC_TOPK = 3, 20
 
 
@@ -4363,6 +4397,7 @@ QUERIES = {
     "wildcard_terms": q_wildcard_terms,
     "wildcard_docs": q_wildcard_docs,
     "word_cooc": q_word_cooc,
+    "blocklist": q_blocklist,
     "ann_pq": q_ann_pq,  # rows-only (engine-defined codebooks)
     # --- verified by driver oracles in rounds 1-3 (CORRECTNESS_r0{1,2,3}) ---
     "build_documents": q_build_documents,
@@ -4484,6 +4519,7 @@ ORACLE_SQL = {
     "c4_filters": SQL_C4_FILTERS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "word_cooc": SQL_WORD_COOC,
+    "blocklist": SQL_BLOCKLIST,
     "semdedup": SQL_SEMDEDUP,
     "bigram_bpw": SQL_BIGRAM_BPW,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

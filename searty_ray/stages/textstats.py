@@ -1139,3 +1139,36 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
     out["n"] = out["n"].astype("int64")
     out["pmi"] = round6(pmi)
     return out
+
+
+def blocklist_filter(docs, phrases: tuple[str, ...], *, text_col: str = "text"):
+    """→ (doc_id, n_hits, n_phrases, blocked): case-insensitive substring
+    match against a broadcast blocklist — the standard banned-phrase /
+    contamination-list filter.
+
+    One C-level ``str.count`` kernel per phrase per batch (non-overlapping
+    counts, == the SQL replace-arithmetic mirror); the phrase list is
+    closure-shipped (KB-scale contract — at a 10⁶-pattern blocklist switch
+    to one combined alternation regex or an Aho-Corasick actor pool, same
+    output contract).  Zero shuffle.
+    """
+    pats = [re.compile(re.escape(p.lower())) for p in phrases]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].str.lower()
+        n_hits = np.zeros(len(batch), dtype=np.int64)
+        n_phr = np.zeros(len(batch), dtype=np.int64)
+        for p in pats:
+            c = low.str.count(p).to_numpy(dtype=np.int64)
+            n_hits += c
+            n_phr += (c > 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": n_hits,
+                "n_phrases": n_phr,
+                "blocked": n_phr > 0,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -159,3 +159,42 @@ def test_cumulative_sum_ranged_equals_one_shot():
         ranged["running_sum"].to_numpy(), one["running_sum"].to_numpy(), rtol=1e-9
     )
     assert df.loc[df["user_id"] == 0, "ts_us"].floordiv(86_400_000_000).nunique() > 1
+
+
+def test_blocklist_filter_matches_duckdb(ray_session):
+    """Crafted cases: overlapping repeats, case folding, multi-phrase docs,
+    phrase-absent docs — non-overlapping counts == the SQL replace
+    arithmetic."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from searty_ray.pipelines.gate import BLOCKLIST, SQL_BLOCKLIST
+    from searty_ray.stages.textstats import blocklist_filter
+
+    docs = [
+        "clean document with nothing banned",
+        "MERGE PART and merge part twice",
+        "slow join here and Lorem Ipsum there",
+        "merge partmerge part back to back",  # adjacent occurrences
+        "",
+        "merge par",  # near miss
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (
+        blocklist_filter(ray.data.from_pandas(df), BLOCKLIST)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(SQL_BLOCKLIST).df()
+    con.close()
+    got["blocked"] = got["blocked"].astype(bool)
+    want["blocked"] = want["blocked"].astype(bool)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got.loc[1, "n_hits"] == 2 and got.loc[1, "n_phrases"] == 1
+    assert got.loc[2, "n_phrases"] == 2
+    assert got.loc[3, "n_hits"] == 2
+    assert not got.loc[0, "blocked"] and not got.loc[5, "blocked"]

@@ -38,6 +38,8 @@ def entry() -> Any:
         {"query_id": 4, "kind": "symbol", "query": "doc-7", "k": 10},
         {"query_id": 5, "kind": "symbol", "query": "src0::doc-0", "k": 10},
         {"query_id": 6, "kind": "file", "query": "doc_1", "k": 10},
+        {"query_id": 9, "kind": "near", "query": "merge sort", "k": 12},
+        {"query_id": 10, "kind": "wildcard", "query": "*er", "k": 10},
     ]
     qds = ray.data.from_items(query_rows)
     return qds.map_batches(

@@ -657,6 +657,17 @@ def q_near_search(sf_dir: str):
     return ProximitySearcher(IndexReader(index_dir)).near(NEAR_A, NEAR_B, NEAR_K)
 
 
+def q_near_ordered(sf_dir: str):
+    """Ordered NEAR (sloppy-phrase direction): NEAR_B strictly after NEAR_A
+    within NEAR_K chars (query.ProximitySearcher, ordered=True)."""
+    from ..query import ProximitySearcher
+
+    index_dir = _ensure_index(sf_dir)
+    return ProximitySearcher(IndexReader(index_dir)).near(
+        NEAR_A, NEAR_B, NEAR_K, ordered=True
+    )
+
+
 def _sql_word_occ(word: str) -> str:
     """Occurrence-scan CTE body for one symbol word (the SQL_WORD_OCCURRENCES
     scan, parameterized)."""
@@ -679,6 +690,23 @@ pairs AS (
   SELECT a.doc_id, abs(a.pos - b.pos) AS gap
   FROM occ_a a JOIN occ_b b USING (doc_id)
   WHERE abs(a.pos - b.pos) <= {NEAR_K}
+)
+SELECT p.doc_id, c.repo || '/' || c.path AS filename,
+       count(*)::BIGINT AS n_pairs, min(gap)::BIGINT AS min_gap
+FROM pairs p JOIN corpus c USING (doc_id)
+GROUP BY p.doc_id, filename
+ORDER BY p.doc_id
+"""
+
+
+SQL_NEAR_ORDERED = f"""
+WITH {CORPUS_CTE},
+occ_a AS ({_sql_word_occ(NEAR_A)}),
+occ_b AS ({_sql_word_occ(NEAR_B)}),
+pairs AS (
+  SELECT a.doc_id, b.pos - a.pos AS gap
+  FROM occ_a a JOIN occ_b b USING (doc_id)
+  WHERE b.pos - a.pos BETWEEN 1 AND {NEAR_K}
 )
 SELECT p.doc_id, c.repo || '/' || c.path AS filename,
        count(*)::BIGINT AS n_pairs, min(gap)::BIGINT AS min_gap
@@ -4391,6 +4419,7 @@ QUERIES = {
     # reaches the older unverified entries first; round 5 fronts the rest ---
     "c4_filters": q_c4_filters,
     "near_search": q_near_search,
+    "near_ordered": q_near_ordered,
     "normalize_text": q_normalize_text,
     "embedding_quantize": q_embedding_quantize,
     "knn_quantized": q_knn_quantized,
@@ -4471,6 +4500,7 @@ ORACLE_SQL = {
     "symbol_search": SQL_SYMBOL_SEARCH,
     "word_occurrences": SQL_WORD_OCCURRENCES,
     "near_search": SQL_NEAR_SEARCH,
+    "near_ordered": SQL_NEAR_ORDERED,
     "bm25_words": SQL_BM25_WORDS,
     "fuzzy_words": SQL_FUZZY_WORDS,
     "package_defs": SQL_PACKAGE_DEFS,

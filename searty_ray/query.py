@@ -1428,7 +1428,10 @@ class ProximitySearcher:
             }
         )
 
-    def near(self, word_a: str, word_b: str, k: int) -> pa.Table:
+    def near(self, word_a: str, word_b: str, k: int, ordered: bool = False) -> pa.Table:
+        """``ordered=False``: |pos_a − pos_b| ≤ k (classic NEAR).
+        ``ordered=True``: 0 < pos_b − pos_a ≤ k (word_b strictly AFTER
+        word_a — the sloppy-phrase direction)."""
         from .functions.tokenize import symbol_key
 
         key_a, key_b = symbol_key(word_a), symbol_key(word_b)
@@ -1451,16 +1454,20 @@ class ProximitySearcher:
         stride = np.int64(1) << np.int64(41)
         ka = da * stride + pos_a
         kb = db * stride + pos_b
-        lo = np.searchsorted(kb, ka - k, side="left")
+        lo = np.searchsorted(kb, ka + 1 if ordered else ka - k, side="left")
         hi = np.searchsorted(kb, ka + k, side="right")
         cnt = (hi - lo).astype(np.int64)
-        # nearest-neighbour gap per a-occurrence (valid only where cnt > 0)
-        idx = np.searchsorted(kb, ka)
         inf = np.int64(1) << np.int64(60)
         has = cnt > 0
-        gl = np.where(has & (idx - 1 >= lo), ka - kb[np.maximum(idx - 1, 0)], inf)
-        gr = np.where(has & (idx < hi), kb[np.minimum(idx, len(kb) - 1)] - ka, inf)
-        g = np.minimum(gl, gr)
+        if ordered:
+            # kb sorted ⇒ the first b after a is the nearest in (a, a+k]
+            g = np.where(has, kb[np.minimum(lo, len(kb) - 1)] - ka, inf)
+        else:
+            # nearest-neighbour gap per a-occurrence (valid only where cnt > 0)
+            idx = np.searchsorted(kb, ka)
+            gl = np.where(has & (idx - 1 >= lo), ka - kb[np.maximum(idx - 1, 0)], inf)
+            gr = np.where(has & (idx < hi), kb[np.minimum(idx, len(kb) - 1)] - ka, inf)
+            g = np.minimum(gl, gr)
         uniq, starts = np.unique(da, return_index=True)
         n_pairs = np.add.reduceat(cnt, starts)
         min_gap = np.minimum.reduceat(g, starts)

@@ -79,3 +79,32 @@ def test_near_absent_word_returns_empty(fixture_index):
     s = ProximitySearcher(IndexReader(index_dir))
     assert len(s.near("defun", "zzzznope", 100)) == 0
     assert len(s.near("zzzznope", "defun", 100)) == 0
+
+
+@pytest.mark.parametrize("a,b,k", [("defun", "x", 12), ("x", "defun", 12), ("aaaa", "bbb", 5)])
+def test_near_ordered_matches_reference(fixture_index, a, b, k):
+    """Ordered NEAR: b strictly AFTER a within k — asymmetric by design."""
+    index_dir, _ = fixture_index
+    docs_t = pq.read_table(
+        os.path.join(index_dir, "documents"), columns=["doc_id", "filename", "content"]
+    )
+    au, bu = a.upper(), b.upper()
+    want = {}
+    for d, fn, c in zip(
+        docs_t["doc_id"].to_pylist(), docs_t["filename"].to_pylist(),
+        docs_t["content"].to_pylist(),
+    ):
+        pos_a = [m.start() for m in SYM.finditer(c) if m.group(0).upper() == au]
+        pos_b = [m.start() for m in SYM.finditer(c) if m.group(0).upper() == bu]
+        gaps = [y - x for x in pos_a for y in pos_b if 0 < y - x <= k]
+        if gaps:
+            want[int(d)] = (fn, len(gaps), min(gaps))
+    got_t = ProximitySearcher(IndexReader(index_dir)).near(a, b, k, ordered=True)
+    got = {
+        int(d): (fn, int(n), int(g))
+        for d, fn, n, g in zip(
+            got_t["doc_id"].to_pylist(), got_t["filename"].to_pylist(),
+            got_t["n_pairs"].to_pylist(), got_t["min_gap"].to_pylist(),
+        )
+    }
+    assert got == want

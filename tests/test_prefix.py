@@ -172,3 +172,27 @@ def test_wildcard_unsupported_pattern_raises(fixture_index):
     searcher = PrefixSearcher(IndexReader(index_dir))
     with pytest.raises(ValueError):
         searcher.wildcard_terms("a*b*c")
+
+
+def test_reversed_dict_equals_scan(fixture_index):
+    """``*suffix`` is served from the persisted reversed-term dictionary
+    (binary-search range slice — worddict.py r5); pin it index-for-index
+    against the old vectorized vocabulary scan, through both the sidecar
+    column and the pre-r5 derived-in-memory fallback."""
+    index_dir, _ = fixture_index
+    searcher = PrefixSearcher(IndexReader(index_dir))
+    t = pq.read_table(os.path.join(index_dir, "worddict"))
+    assert "rev_term" in t.schema.names
+    assert t["rev_term"].to_pylist() == [s[::-1] for s in t["term"].to_pylist()]
+
+    def check(sufs):
+        for suf in sufs:
+            got = searcher._match_indices("*" + suf)
+            want = np.flatnonzero(np.char.endswith(searcher._terms_u(), suf))
+            assert got.tolist() == sorted(want.tolist()), suf
+
+    check(["UN", "N", "A", "ZZZ-NOPE", ""])
+    # pre-r5 sidecar fallback: drop the persisted column, re-derive
+    searcher.reader._word_dict_rev = None
+    searcher.reader._word_dict_rev_raw = None
+    check(["UN", "O"])

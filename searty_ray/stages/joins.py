@@ -65,6 +65,33 @@ NUM_PARTITIONS = 64
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def adaptive_join_partitions(
+    n_small_side: int,
+    n_large_side: int | None = None,
+    rows_per_partition: int = 200_000,
+) -> int:
+    """Size a native-join aggregator pool to the DATA, not a constant.
+
+    Each hash-join partition is one aggregator ACTOR reserved up front, so
+    the pool is a fixed cost the join pays regardless of row count —
+    measured at bench scale (5k docs, 512 candidate rows, 32 cpus): the
+    same minhash verify join runs 4.0 s with 4 aggregators and 9.5 s with
+    32.  Policy: one partition per 4096 small-side rows (floor 2 — a
+    1-partition join serializes the build), plus enough partitions that no
+    aggregator holds more than ``rows_per_partition`` large-side rows
+    (the memory bound that matters at 100 TB), capped at the cluster's CPU
+    count (an aggregator pool larger than the session's CPUs livelocks —
+    NOTES item 6, measured at 4 cpus)."""
+    jp = max(2, -(-n_small_side // 4096))
+    if n_large_side:
+        jp = max(jp, -(-n_large_side // rows_per_partition))
+    try:
+        cap = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cap = 8
+    return max(2, min(jp, cap))
+
+
 def _pk(keys: pd.Series, num_partitions: int) -> np.ndarray:
     k = keys.to_numpy().astype(np.uint64)
     return ((k * _MIX) >> np.uint64(40)).astype(np.int64) % num_partitions

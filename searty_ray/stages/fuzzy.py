@@ -118,15 +118,21 @@ def fuzzy_word_stats(
     words; df sums correctly because each doc lives in exactly one batch."""
     qu = query.upper()
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> "pa.Table":
+        # arrow large_string partials (not pandas object dtype) so the
+        # shuffle blocks keep a size estimate — the word_counts/word_cooc
+        # lesson (r5)
         cps, starts, lens, docrep = _batch_symbol_words(b[text_col].tolist())
         m = ed1_mask(cps, starts, lens, qu)
         if not m.any():
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "word": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "cf": pd.Series([], dtype="int64"),
+                    "word": pa.array([], type=pa.large_string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cf": pa.array([], type=pa.int64()),
+                    "pgrp": pa.array([], type=pa.int64()),
                 }
             )
         ids = b[id_col].to_numpy()[docrep[m]]
@@ -137,12 +143,14 @@ def fuzzy_word_stats(
             .size()
             .rename(columns={"size": "cf"})
         )
-        return g.astype({"doc_id": "int64", "cf": "int64"})
-
-    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["pgrp"] = _pk_any(b["word"], num_partitions)
-        return b
+        return pa.table(
+            {
+                "word": pa.array(g["word"], type=pa.large_string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "cf": pa.array(g["cf"].to_numpy(np.int64)),
+                "pgrp": pa.array(_pk_any(g["word"], num_partitions), type=pa.int64()),
+            }
+        )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         # (word, doc) rows are globally unique (one batch per doc), so
@@ -157,7 +165,6 @@ def fuzzy_word_stats(
     return (
         corpus.select_columns([id_col, text_col])
         .map_batches(partial, batch_format="pandas")
-        .map_batches(add_pk, batch_format="pandas")
         .groupby("pgrp")
         .map_groups(final, batch_format="pandas")
     )

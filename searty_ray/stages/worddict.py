@@ -51,14 +51,21 @@ def word_counts(
     docs never straddle batches.
     """
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> "pa.Table":
+        # arrow large_string partials, NOT pandas object dtype: object
+        # columns defeat Ray's block-size estimator (those shuffle blocks
+        # then carry no size estimate for memory-based scheduling) — the
+        # word_cooccurrence lesson, r4 verdict item 5
         cps, starts, lens, docrep = _batch_symbol_words(b[text_col].tolist())
         if len(starts) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "word": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "cf": pd.Series([], dtype="int64"),
+                    "word": pa.array([], type=pa.large_string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cf": pa.array([], type=pa.int64()),
+                    "pgrp": pa.array([], type=pa.int64()),
                 }
             )
         ids = b[id_col].to_numpy()[docrep]
@@ -69,12 +76,14 @@ def word_counts(
             .size()
             .rename(columns={"size": "cf"})
         )
-        return g.astype({"doc_id": "int64", "cf": "int64"})
-
-    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["pgrp"] = _pk_any(b["word"], num_partitions)
-        return b
+        return pa.table(
+            {
+                "word": pa.array(g["word"], type=pa.large_string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "cf": pa.array(g["cf"].to_numpy(np.int64)),
+                "pgrp": pa.array(_pk_any(g["word"], num_partitions), type=pa.int64()),
+            }
+        )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -86,7 +95,6 @@ def word_counts(
     return (
         corpus.select_columns([id_col, text_col])
         .map_batches(partial, batch_format="pandas")
-        .map_batches(add_pk, batch_format="pandas")
         .groupby("pgrp")
         .map_groups(final, batch_format="pandas")
     )

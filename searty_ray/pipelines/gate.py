@@ -2005,6 +2005,55 @@ ORDER BY t.n DESC, t.word_a, t.word_b
 """
 
 
+COOC_MIN = 920  # prunes the sf0.001/0.01 synthetic vocab 31 -> ~15 words
+
+
+def q_word_cooc_capped(sf_dir: str):
+    """Count-capped-vocabulary co-occurrence (word_cooccurrence
+    ``min_count`` — the r5 scale path for web vocabularies): a distributed
+    unigram pass keeps words with total count ≥ COOC_MIN, the keep set
+    broadcasts once, and pair formation filters occurrences FIRST (pair
+    table bounded by capped-vocab²).  Window distances stay
+    original-token-stream (searchsorted exact-distance pairing), mirrored
+    in SQL by filtering the exploded words against a HAVING-count vocab
+    CTE while keeping the pre-filter subscripts."""
+    out = textstats.word_cooccurrence(
+        _docs(sf_dir, ["text"]),
+        window=COOC_WINDOW,
+        top_k=COOC_TOPK,
+        min_count=COOC_MIN,
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_WORD_COOC_CAPPED = f"""
+WITH w0 AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents)
+),
+vocab AS (SELECT word FROM w0 GROUP BY word HAVING count(*) >= {COOC_MIN}),
+w AS (SELECT w0.* FROM w0 JOIN vocab USING (word)),
+pairs AS (
+  SELECT least(a.word, b.word) AS word_a, greatest(a.word, b.word) AS word_b
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {COOC_WINDOW}
+),
+pcnt AS (SELECT word_a, word_b, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+tot AS (SELECT (SELECT count(*) FROM w)::DOUBLE AS nw,
+               (SELECT count(*) FROM pairs)::DOUBLE AS np),
+ucnt AS (SELECT word, count(*)::DOUBLE AS c FROM w GROUP BY word),
+topk AS (SELECT * FROM pcnt ORDER BY n DESC, word_a, word_b LIMIT {COOC_TOPK})
+SELECT t.word_a, t.word_b, t.n,
+       round(log2((t.n::DOUBLE * tot.nw * tot.nw) / (tot.np * ua.c * ub.c)), 6) AS pmi
+FROM topk t
+CROSS JOIN tot
+JOIN ucnt ua ON ua.word = t.word_a
+JOIN ucnt ub ON ub.word = t.word_b
+ORDER BY t.n DESC, t.word_a, t.word_b
+"""
+
+
 def q_quality(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -4452,6 +4501,7 @@ QUERIES = {
     "word_cooc": q_word_cooc,  # never reached
     "blocklist": q_blocklist,  # never reached
     "blocklist_multi": q_blocklist_multi,  # new in r5 (Rabin-Karp banks)
+    "word_cooc_capped": q_word_cooc_capped,  # new in r5 (df-capped vocab)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -4623,6 +4673,7 @@ ORACLE_SQL = {
     "c4_filters": SQL_C4_FILTERS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "word_cooc": SQL_WORD_COOC,
+    "word_cooc_capped": SQL_WORD_COOC_CAPPED,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

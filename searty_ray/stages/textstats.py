@@ -1029,7 +1029,9 @@ def normalize_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame:
+def word_cooccurrence(
+    docs, *, window: int = 3, top_k: int = 20, min_count: int | None = None
+) -> pd.DataFrame:
     """Top-k co-occurring unordered word pairs within ±``window`` words,
     with PMI — the classic corpus-analytics collocation signal.
 
@@ -1043,13 +1045,73 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
     limit), so the driver only ever holds top_k rows + 2 scalars + the
     ≤2·top_k unigram counts PMI needs.
 
+    ``min_count`` — the COUNT-CAPPED VOCABULARY scale path (r5; was the
+    documented swap point): a first distributed pass counts unigrams and
+    keeps only words with total count ≥ ``min_count``; the keep set (the
+    capped vocabulary — bounded by construction, the tfidf broadcast
+    contract) ships once via ``ray.put`` and the pair pass filters each
+    batch's occurrences against it BEFORE pair formation, so the pair
+    table is bounded by capped-vocab², not active-vocab².  Window
+    semantics stay ORIGINAL-token-stream distances (dropping a rare word
+    does not pull its neighbours together): surviving occurrences keep
+    their original per-doc positions and pairs match exact distance d via
+    one ``searchsorted`` per d on a (doc << 32 | pos) key.  Totals and
+    PMI are computed over the capped universe, mirrored in SQL by
+    filtering the exploded word table against a HAVING-count vocab CTE.
+
     Scale contract: the aggregated pair table is bounded by active-vocab²
-    (window-bounded, not corpus²); at web vocabulary pair this op with a
-    df-capped vocabulary upstream (the tfidf_topk contract).  PMI =
-    log2(n·N_w² / (N_pairs·c_a·c_b)), mirrored term-for-term in the SQL
-    oracle (same double expression order).
+    (window-bounded, not corpus²); at web vocabulary pass ``min_count``
+    (above).  PMI = log2(n·N_w² / (N_pairs·c_a·c_b)), mirrored
+    term-for-term in the SQL oracle (same double expression order).
     """
+    import pyarrow.compute as _pc
+    import ray as _ray
     from ray.data.aggregate import Sum
+
+    keep_ref = None
+    if min_count is not None:
+
+        def uni_partials(b: pd.DataFrame) -> pa.Table:
+            ex = b["text"].str.findall(WORD_RE).explode().dropna()
+            if not len(ex):
+                return pa.table(
+                    {
+                        "word": pa.array([], type=pa.large_string()),
+                        "cnt": pa.array([], type=pa.int64()),
+                    }
+                )
+            codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
+            return pa.table(
+                {
+                    "word": pa.array(np.asarray(vocab, dtype=object), type=pa.large_string()),
+                    "cnt": pa.array(np.bincount(codes).astype(np.int64)),
+                }
+            )
+
+        kept = (
+            docs.map_batches(uni_partials, batch_format="pandas")
+            .groupby("word")
+            .aggregate(Sum("cnt", alias_name="n"))
+            .map_batches(
+                lambda t: t.select(["word"]).filter(
+                    _pc.greater_equal(t["n"], min_count)
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()  # bounded: the capped vocabulary IS the contract
+            .reindex(columns=["word"])  # fully-empty datasets lose schema
+        )
+        keep_sorted = np.sort(kept["word"].to_numpy(dtype=object))
+        if not len(keep_sorted):
+            return pd.DataFrame(
+                {
+                    "word_a": pd.Series([], dtype=object),
+                    "word_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                    "pmi": pd.Series([], dtype="float64"),
+                }
+            )
+        keep_ref = _ray.put(keep_sorted)
 
     def _tbl(wa, wb, cnt) -> pa.Table:
         # arrow large_string partials, NOT pandas object dtype: object
@@ -1068,7 +1130,31 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
         ex = b["text"].str.findall(WORD_RE).explode().dropna()
         if not len(ex):
             return _tbl([], [], [])
-        codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
+        words = ex.to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        key = None
+        if keep_ref is not None:
+            # capped path: keep original per-doc positions so window
+            # distances are ORIGINAL token-stream distances, then filter
+            # occurrences against the broadcast keep set (sorted — one
+            # searchsorted membership test, no Python sets)
+            import ray as _r
+
+            keep = _r.get(keep_ref)
+            change = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+            reps = np.diff(np.r_[change, len(doc)])
+            pos = np.arange(len(doc)) - np.repeat(change, reps)
+            j = np.searchsorted(keep, words)
+            j_c = np.minimum(j, len(keep) - 1)
+            m = keep[j_c] == words
+            if not m.any():
+                return _tbl([], [], [])
+            words, doc, pos = words[m], doc[m], pos[m]
+            # strictly increasing (batch rows are scanned in order; pos <
+            # 2^32 by the docs-fit-a-batch contract) — pairs at exact
+            # distance d resolve with one searchsorted per d below
+            key = doc.astype(np.int64) * np.int64(1 << 32) + pos.astype(np.int64)
+        codes, vocab = pd.factorize(words)
         vocab = np.asarray(vocab, dtype=object)
         v = len(vocab)
         order = np.argsort(vocab)  # lexicographic rank remap
@@ -1076,7 +1162,6 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
         rank[order] = np.arange(v, dtype=np.int64)
         lex = rank[codes]
         vocab_sorted = vocab[order]
-        doc = ex.index.to_numpy()
         wa = vocab_sorted
         wb = np.full(v, "", dtype=object)
         cnts = np.bincount(lex, minlength=v).astype(np.int64)
@@ -1084,8 +1169,13 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
         for d in range(1, window + 1):
             if len(lex) <= d:
                 break
-            same = doc[d:] == doc[:-d]
-            a, bb = lex[:-d][same], lex[d:][same]
+            if key is None:  # dense path: array shift == stream distance
+                same = doc[d:] == doc[:-d]
+                a, bb = lex[:-d][same], lex[d:][same]
+            else:  # capped path: exact original distance d via searchsorted
+                idx = np.minimum(np.searchsorted(key, key + d), len(key) - 1)
+                hit = key[idx] == key + d
+                a, bb = lex[hit], lex[idx[hit]]
             pair_codes.append(np.minimum(a, bb) * v + np.maximum(a, bb))
         if pair_codes:
             uniq, cnt = np.unique(np.concatenate(pair_codes), return_counts=True)
@@ -1125,6 +1215,9 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
         .sort(["n", "word_a", "word_b"], descending=[True, False, False])
         .limit(top_k)
         .to_pandas()
+        # fully-empty datasets lose their schema (NOTES) — reachable when a
+        # high min_count leaves no co-occurring pair
+        .reindex(columns=["word_a", "word_b", "n"])
     )
     need = sorted(set(top["word_a"]) | set(top["word_b"]))  # ≤ 2·top_k strings
     need_arr = pa.array(need, type=pa.large_string())  # explicit type (NOTES)
@@ -1136,7 +1229,7 @@ def word_cooccurrence(docs, *, window: int = 3, top_k: int = 20) -> pd.DataFrame
             )
         ),
         batch_format="pyarrow",
-    ).to_pandas()
+    ).to_pandas().reindex(columns=["word_a", "word_b", "n"])
     c = dict(zip(uni["word_a"], uni["n"].astype(float)))
     ca = np.array([c[w] for w in top["word_a"]])
     cb = np.array([c[w] for w in top["word_b"]])

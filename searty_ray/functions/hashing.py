@@ -135,11 +135,13 @@ def _hash_bucket(
     return h
 
 
-def hash_str_u64(s: str) -> int:
+def hash_str_u64(s: str, salt: int = 0) -> int:
     """Scalar convenience wrapper over :func:`hash_bytes_u64`."""
     b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
     return int(
-        hash_bytes_u64(b, np.zeros(1, dtype=np.int64), np.array([len(b)], dtype=np.int64))[0]
+        hash_bytes_u64(
+            b, np.zeros(1, dtype=np.int64), np.array([len(b)], dtype=np.int64), salt=salt
+        )[0]
     )
 
 

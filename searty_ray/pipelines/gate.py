@@ -4472,6 +4472,118 @@ SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
 # ===========================================================================
+# DSIR importance resampling (stages/textstats.py; Xie et al. 2023)
+# ===========================================================================
+
+DSIR_SELECT_N = 100
+
+
+def q_dsir_weights(sf_dir: str):
+    """Hashed-feature importance weights for data selection (DSIR): two
+    bag-of-words LMs (target = lang='en' docs, raw = all docs) over 4096
+    hashed unigram buckets; per-doc log-ratio weight in exact micro-log
+    int64 units.  Pass 1 = combiner bucket counts (≤ B rows shuffle);
+    the B-int lam table broadcasts once; scoring streams — zero shuffle."""
+    from ..stages import textstats
+
+    return (
+        textstats.dsir_weights(_docs(sf_dir, ["doc_id", "lang", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_dsir_select(sf_dir: str):
+    """Temperature-0 DSIR selection: global top-N docs by importance weight
+    (per-batch head-N partials bound the driver merge)."""
+    from ..stages import textstats
+
+    return textstats.dsir_select(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), DSIR_SELECT_N
+    )
+
+
+def _dsir_sql() -> tuple[str, str]:
+    from ..functions.hashing import sql_hash_expr
+    from ..stages.textstats import DSIR_BUCKETS, DSIR_SALT
+
+    B = DSIR_BUCKETS
+    h = sql_hash_expr("word", DSIR_SALT)
+
+    def lnm(x: str) -> str:
+        return f"floor(ln({x}) * 1e6 + 0.5)::BIGINT"
+
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, lang, (({h}) % {B})::BIGINT AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+),
+rawc AS (SELECT bucket, count(*)::BIGINT AS cr FROM toks GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*)::BIGINT AS ct FROM toks WHERE lang = 'en' GROUP BY bucket),
+lam AS (SELECT r.bucket,
+               ({lnm('coalesce(t.ct, 0) + 1')} - {lnm('r.cr + 1')}) AS lam_micro
+        FROM rawc r LEFT JOIN tgtc t USING (bucket)),
+tots AS (SELECT (SELECT count(*) FROM toks) AS cr_tot,
+                (SELECT count(*) FROM toks WHERE lang = 'en') AS ct_tot),
+kk AS (SELECT ({lnm(f'cr_tot + {B}')} - {lnm(f'ct_tot + {B}')}) AS k_micro FROM tots),
+per_doc AS (SELECT t.doc_id, sum(l.lam_micro)::BIGINT AS s, count(*)::BIGINT AS n
+            FROM toks t JOIN lam l USING (bucket) GROUP BY t.doc_id),
+w AS (SELECT d.doc_id,
+             coalesce(p.n, 0)::BIGINT AS n_tokens,
+             (coalesce(p.s, 0) + coalesce(p.n, 0) * kk.k_micro)::BIGINT AS dsir_weight_micro
+      FROM documents d LEFT JOIN per_doc p USING (doc_id) CROSS JOIN kk)
+"""
+    return (
+        base + "SELECT doc_id, n_tokens, dsir_weight_micro FROM w ORDER BY doc_id",
+        base
+        + f"SELECT doc_id, n_tokens, dsir_weight_micro FROM w "
+        f"ORDER BY dsir_weight_micro DESC, doc_id LIMIT {DSIR_SELECT_N}",
+    )
+
+
+SQL_DSIR_WEIGHTS, SQL_DSIR_SELECT = _dsir_sql()
+
+
+# ===========================================================================
+# deterministic global shuffle for training-shard export (stages/sample.py)
+# ===========================================================================
+
+SHUFFLE_SHARDS = 16
+
+
+def q_shuffle_export(sf_dir: str):
+    """Deterministic global shuffle (shard, pos) assignment — the final
+    export step of a training pipeline; permutation is a pure function of
+    mix64(doc_id), so shards rebuild byte-identically after a failure."""
+    from ..stages import sample
+
+    return (
+        sample.shuffle_export(_docs(sf_dir, ["doc_id"]), shards=SHUFFLE_SHARDS)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+def _sql_shuffle_export() -> str:
+    from ..stages.sample import sql_key_hash
+
+    h = f"({sql_key_hash('doc_id')})"
+    return f"""
+WITH hh AS (SELECT doc_id, {h}::UBIGINT AS h FROM documents)
+SELECT doc_id, (h % {SHUFFLE_SHARDS})::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM hh ORDER BY shard, pos
+"""
+
+
+SQL_SHUFFLE_EXPORT = _sql_shuffle_export()
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -4502,6 +4614,9 @@ QUERIES = {
     "blocklist": q_blocklist,  # never reached
     "blocklist_multi": q_blocklist_multi,  # new in r5 (Rabin-Karp banks)
     "word_cooc_capped": q_word_cooc_capped,  # new in r5 (df-capped vocab)
+    "dsir_weights": q_dsir_weights,  # new in r5 (DSIR importance weights)
+    "dsir_select": q_dsir_select,  # new in r5 (DSIR top-N selection)
+    "shuffle_export": q_shuffle_export,  # new in r5 (deterministic shuffle)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -4674,6 +4789,9 @@ ORACLE_SQL = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "word_cooc": SQL_WORD_COOC,
     "word_cooc_capped": SQL_WORD_COOC_CAPPED,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
+    "shuffle_export": SQL_SHUFFLE_EXPORT,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -277,3 +277,66 @@ def mix_sources(
         return out.drop(columns="__rank")
 
     return ranked.map_batches(trim, batch_format="pandas")
+
+
+def shuffle_export(
+    ds: ray.data.Dataset,
+    *,
+    shards: int,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+) -> ray.data.Dataset:
+    """Deterministic GLOBAL shuffle for training-shard export — the final
+    step of every training-data pipeline: assign each row a shard and a
+    position such that reading shards in order yields a fixed pseudo-random
+    permutation of the corpus.
+
+    Shard and position are pure functions of ``mix64(key ^ salt)`` (shard =
+    h % shards; position = rank of (h, key) within the shard), so the
+    permutation is identical at any parallelism, block layout, or resume
+    point — rerunning after a failure reproduces every shard byte-for-byte
+    (no ``random_shuffle`` nondeterminism), and the DuckDB mirror is
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, key)``.
+
+    SCALE: ONE hash shuffle (groupby shard); ranks are a per-shard lexsort.
+    Contract: one shard's rows fit a worker — shards is chosen as
+    corpus_rows / rows_per_output_file, which is exactly the training-shard
+    file-size contract (e.g. 100 TB / 1 GB files = 10⁵ shards), so the
+    bound holds by construction.  Hash keys are uniform, so shard skew is
+    binomial-tight.  → (key…, shard, pos) rows, pos 0-based within shard.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt)
+        batch = batch.append_column("__h", pa.array(h.astype(np.uint64), type=pa.uint64()))
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(shards)).astype(np.int64), type=pa.int64())
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=pa.int64()),
+                    "shard": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        h = g["__h"].to_numpy(zero_copy_only=False)
+        ids = g[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {
+                key: pa.array(ids, type=pa.int64()),
+                "shard": g["shard"],
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )

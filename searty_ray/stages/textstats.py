@@ -1429,3 +1429,193 @@ def blocklist_filter_multipattern(
         concurrency=concurrency,
         fn_constructor_kwargs={"phrases_ref": ref, "text_col": text_col},
     )
+
+
+# ===========================================================================
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+# ===========================================================================
+
+DSIR_SALT = 0xD512_0A17
+DSIR_BUCKETS = 4096
+
+
+def _hash_word_array(words: np.ndarray, salt: int) -> np.ndarray:
+    """uint64 chunk-fold splitmix64 of an object array of strings —
+    zero-copy over the Arrow buffers (the ``sample._str_key_hash`` shape);
+    SQL mirror: ``hashing.sql_hash_expr(word, salt)``."""
+    from ..functions.hashing import hash_bytes_u64
+    from .encode_stage import _binary_offsets, _binary_values
+
+    col = pa.array(words, type=pa.large_string())
+    buf = np.frombuffer(_binary_values(col), dtype=np.uint8)
+    offs = _binary_offsets(col)
+    return hash_bytes_u64(
+        buf, offs[:-1].astype(np.int64), np.diff(offs).astype(np.int64), salt=salt
+    )
+
+
+def _ln_micro(x) -> np.ndarray:
+    """``round(ln(x) · 1e6)`` half-away as int64 for x ≥ 1 — the
+    ``idf_micro`` house pattern, mirrored in SQL as
+    ``floor(ln(x)*1e6 + 0.5)::BIGINT``."""
+    v = np.log(np.asarray(x, dtype=np.float64)) * 1e6
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def _dsir_tokens(b: pd.DataFrame, text_col: str, buckets: int, salt: int):
+    """Per-batch (row-major) hashed-feature stream: returns (n_tokens per
+    row, bucket id per token).  findall preserves document order, so the
+    exploded token stream is row-major and per-doc reductions are exact
+    int64 prefix-sum slices."""
+    lists = b[text_col].str.findall(WORD_RE)
+    n = lists.str.len().fillna(0).to_numpy(np.int64)
+    toks = lists.explode().dropna()
+    if len(toks):
+        codes, uniq = pd.factorize(toks.to_numpy())  # C-level, hash each word once
+        bucket = (_hash_word_array(uniq, salt) % np.uint64(buckets)).astype(np.int64)[codes]
+    else:
+        bucket = np.array([], dtype=np.int64)
+    return n, bucket
+
+
+def dsir_bucket_counts(
+    docs,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    salt: int = DSIR_SALT,
+):
+    """ONE corpus scan emitting hashed-feature counts for BOTH the raw and
+    the target (``target_col == target_value``) corpus: per-batch bincount
+    partials (≤ ``buckets`` rows per batch — the combiner), one groupby
+    over bucket ids.  The result is ≤ ``buckets`` rows — broadcastable by
+    construction at any corpus size (that bound is the whole point of
+    DSIR's hashed features)."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n, bucket = _dsir_tokens(b, text_col, buckets, salt)
+        is_tgt = np.repeat((b[target_col] == target_value).to_numpy(), n)
+        cr = np.bincount(bucket, minlength=buckets)
+        ct = np.bincount(bucket[is_tgt], minlength=buckets)
+        nz = np.flatnonzero(cr)
+        return pd.DataFrame(
+            {"bucket": nz, "cr": cr[nz].astype(np.int64), "ct": ct[nz].astype(np.int64)}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("cr", alias_name="cr"), Sum("ct", alias_name="ct"))
+    )
+
+
+def dsir_weights(
+    docs,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    salt: int = DSIR_SALT,
+):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram bag-of-words
+    LMs for the target and raw corpus; per-doc log importance weight
+
+        w(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]
+
+    with add-one smoothing, kept EXACT-INTEGER in micro-log units
+    (``_ln_micro``) so the DuckDB oracle pins every value:
+
+        lam[b]  = ln_micro(ct[b]+1) − ln_micro(cr[b]+1)
+        k_micro = ln_micro(Cr+B)    − ln_micro(Ct+B)
+        w_micro = Σ lam[bucket(tok)] + n_tokens · k_micro
+
+    SCALE: pass 1 is :func:`dsir_bucket_counts` (combiner partials, one
+    ``buckets``-row groupby); the ``lam`` table is B int64s broadcast ONCE
+    via ``ray.put``; pass 2 streams — zero shuffle, nothing corpus-scale
+    ever leaves the workers.  Returns (id, n_tokens, dsir_weight_micro)."""
+    import ray as _ray
+
+    counts = dsir_bucket_counts(
+        docs,
+        target_col=target_col,
+        target_value=target_value,
+        text_col=text_col,
+        buckets=buckets,
+        salt=salt,
+    ).to_pandas()  # ≤ buckets rows — bounded by construction
+    cr = np.zeros(buckets, dtype=np.int64)
+    ct = np.zeros(buckets, dtype=np.int64)
+    cr[counts["bucket"].to_numpy()] = counts["cr"].to_numpy(np.int64)
+    ct[counts["bucket"].to_numpy()] = counts["ct"].to_numpy(np.int64)
+    lam = _ln_micro(ct + 1) - _ln_micro(cr + 1)
+    k_micro = int(_ln_micro(cr.sum() + buckets)[()] - _ln_micro(ct.sum() + buckets)[()])
+    lam_ref = _ray.put(lam)
+
+    class Score:
+        def __init__(self):
+            self.lam = _ray.get(lam_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            n, bucket = _dsir_tokens(b, text_col, buckets, salt)
+            vals = self.lam[bucket]
+            c = np.concatenate([[0], np.cumsum(vals)])
+            ends = np.cumsum(n)
+            starts = ends - n
+            s = c[ends] - c[starts]  # exact int64 per-doc prefix-sum slice
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "n_tokens": n,
+                    "dsir_weight_micro": s + n * k_micro,
+                }
+            )
+
+    from ..functions.resources import actor_pool
+
+    return docs.map_batches(Score, batch_format="pandas", concurrency=actor_pool())
+
+
+def dsir_select(
+    docs,
+    n: int,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    salt: int = DSIR_SALT,
+) -> pd.DataFrame:
+    """Temperature-0 DSIR selection: global top-``n`` docs by importance
+    weight (ties break ascending on the id).  Per-batch head-``n`` partials
+    bound the driver merge at n·blocks rows (the ``sum_topk`` contract).
+    The paper's Gumbel-top-k resampling variant is the same kernel with
+    mix64-derived noise added to ``dsir_weight_micro`` — a one-line swap
+    kept out so the gate stays integer-exact."""
+    w = dsir_weights(
+        docs,
+        target_col=target_col,
+        target_value=target_value,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        salt=salt,
+    )
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["dsir_weight_micro", id_col], ascending=[False, True]
+        ).head(n)
+
+    cand = w.map_batches(head, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["dsir_weight_micro", id_col], ascending=[False, True])
+        .head(n)
+        .reset_index(drop=True)
+    )

@@ -4584,6 +4584,61 @@ SQL_SHUFFLE_EXPORT = _sql_shuffle_export()
 
 
 # ===========================================================================
+# integer Gram matrix + PCA over embeddings (stages/knn.py)
+# ===========================================================================
+
+PCA_K = 4
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact-integer second-moment matrix of the embedding column (the
+    one-pass statistic under PCA/whitening): per-batch QᵀQ int64 partials,
+    one (i,j) groupby — the shuffle is d²·batches tiny rows, never the
+    vectors.  Fixed-point quantization makes the sums order-independent,
+    so the SQL self-join oracle pins every value."""
+    from ..stages import knn
+
+    return (
+        knn.embedding_gram(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
+        .to_pandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection (rows-only gate: the eigenbasis comes
+    from LAPACK eigh on the driver — not SQL-expressible; the moment pass
+    feeding it IS value-hash oracled via embedding_gram, and
+    tests/test_pca.py pins the projection against a direct full-data
+    numpy reference)."""
+    from ..stages import knn
+
+    return (
+        knn.embedding_pca(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), PCA_K)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH q AS (
+  SELECT vec_id, (i - 1)::BIGINT AS i,
+         (CASE WHEN x >= 0 THEN floor(x * 1000 + 0.5)
+               ELSE -floor(-x * 1000 + 0.5) END)::BIGINT AS qx
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)
+SELECT a.i AS i, b.i AS j, sum(a.qx * b.qx)::BIGINT AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -4617,6 +4672,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,  # new in r5 (DSIR importance weights)
     "dsir_select": q_dsir_select,  # new in r5 (DSIR top-N selection)
     "shuffle_export": q_shuffle_export,  # new in r5 (deterministic shuffle)
+    "embedding_gram": q_embedding_gram,  # new in r5 (integer moment matrix)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -4718,6 +4774,9 @@ QUERIES = {
     "assemble_sequences": q_assemble_sequences,
     "contamination": q_contamination,
     "sample_bernoulli": q_sample_bernoulli,
+    # rows-only by design (LAPACK eigenbasis; the feeding moment pass is
+    # value-hash oracled as embedding_gram) — kept past the driver budget
+    "embedding_pca": q_embedding_pca,
 }
 
 ORACLE_SQL = {
@@ -4792,6 +4851,7 @@ ORACLE_SQL = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -1030,3 +1030,137 @@ def knn_pq_adc(
         fn_constructor_kwargs={"books_ref": bref, "queries_ref": qref, "k": k},
     ).to_pandas()
     return _topk_merge(partial, k)
+
+
+# ===========================================================================
+# integer Gram matrix + distributed PCA over the embedding column
+# ===========================================================================
+
+GRAM_SCALE = 1000
+
+
+def _milli_quantize(mat: np.ndarray, scale: int = GRAM_SCALE) -> np.ndarray:
+    """Half-away-from-zero fixed-point quantization (== DuckDB
+    ``round(x · scale)``), so integer products are bit-reproducible at any
+    summation order — the float-determinism house rule for shuffled sums."""
+    return (np.sign(mat) * np.floor(np.abs(mat) * scale + 0.5)).astype(np.int64)
+
+
+def embedding_gram(
+    embeddings: ray.data.Dataset, *, scale: int = GRAM_SCALE
+) -> ray.data.Dataset:
+    """EXACT-INTEGER second-moment (Gram) matrix of the embedding column —
+    the one-pass statistic under PCA / whitening / covariance dedup.
+
+    Per batch: quantize to fixed-point, one ``QᵀQ`` int64 matmul, emit the
+    d(d+1)/2 upper-triangle rows (i, j, s).  One groupby over (i, j) merges
+    partials — the shuffle is O(d² · batches) rows of 24 B, NEVER the
+    embeddings.  Sums are exact int64, so the result is identical at any
+    parallelism and fully value-hash oracled in SQL (pairwise self-join on
+    vec_id).  Magnitude contract: |q| ≤ scale·max|x|; Σ q_i·q_j over N rows
+    needs N · (scale·max|x|)² < 2⁶³ — at 10¹² rows drop ``scale`` to 100
+    (the bound is documented, not silent)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], type=pa.int64()),
+                    "j": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                }
+            )
+        q = _milli_quantize(mat, scale)
+        g = q.T @ q  # exact int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "s": pa.array(g[iu, ju]),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+def _gram_moments(
+    embeddings: ray.data.Dataset, scale: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(S = Σ qqᵀ, m = Σ q, n) in one streaming pass — d×d int64 partials
+    per batch, merged on the driver (d² ints, constant-size)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        q = _milli_quantize(mat, scale)
+        d = q.shape[1] if q.size else 0
+        g = (q.T @ q).ravel() if d else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "d": pa.array([d], type=pa.int64()),
+                "n": pa.array([len(q)], type=pa.int64()),
+                "g": pa.array([g.tobytes()], type=pa.large_binary()),
+                "m": pa.array([q.sum(axis=0, dtype=np.int64).tobytes()], type=pa.large_binary()),
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["d"] > 0]
+    d = int(parts["d"].iloc[0])
+    S = np.zeros((d, d), dtype=np.int64)
+    m = np.zeros(d, dtype=np.int64)
+    for g, mm in zip(parts["g"], parts["m"]):
+        S += np.frombuffer(g, dtype=np.int64).reshape(d, d)
+        m += np.frombuffer(mm, dtype=np.int64)
+    return S, m, int(parts["n"].sum())
+
+
+def embedding_pca(
+    embeddings: ray.data.Dataset, k: int, *, scale: int = GRAM_SCALE
+) -> ray.data.Dataset:
+    """Distributed PCA projection: covariance from ONE streaming
+    moment pass (:func:`_gram_moments` — exact-int partials, so the fitted
+    basis is identical at any parallelism), eigh of the d×d matrix on the
+    driver (d² floats — trivially driver-scale), components broadcast once,
+    projection streams with zero shuffle.
+
+    Sign convention: each component's largest-|coefficient| entry is made
+    positive, so the basis is unique despite eigh's sign ambiguity.  The
+    BASIS is bitwise layout-stable; the float projection is BLAS-blocked
+    per batch shape, so cross-layout agreement is to rounding (~1e-15),
+    not bitwise — the reason this op is a rows-only gate while its moment
+    pass (embedding_gram) carries the value-hash oracle.
+    → (vec_id, pc0..pc{k-1}) float columns."""
+    import ray as _ray
+
+    S, m, n = _gram_moments(embeddings, scale)
+    mu = m.astype(np.float64) / (n * scale)
+    cov = S.astype(np.float64) / (n * scale * scale) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order]  # (d, k)
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    flip[flip == 0] = 1.0
+    comp = comp * flip
+    comp_ref = _ray.put((mu, comp))
+
+    class Project:
+        def __init__(self):
+            self.mu, self.comp = _ray.get(comp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            proj = (mat - self.mu) @ self.comp
+            cols = {"vec_id": pa.array(ids)}
+            for c in range(self.comp.shape[1]):
+                cols[f"pc{c}"] = pa.array(proj[:, c], type=pa.float64())
+            return pa.table(cols)
+
+    return embeddings.map_batches(Project, batch_format="pyarrow", concurrency=actor_pool())

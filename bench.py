@@ -368,6 +368,27 @@ def main() -> None:
     word_cooccurrence(docs, window=3, top_k=20)
     timings["word_cooc"] = time.monotonic() - t0
 
+    # DSIR data selection: bucket-count scan + broadcast lam + streaming
+    # score + top-N merge (two corpus passes, zero shuffle)
+    from searty_ray.stages.textstats import dsir_select
+
+    docs_lang = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    t0 = time.monotonic()
+    dsir_select(docs_lang, 1000)
+    timings["dsir_select"] = time.monotonic() - t0
+
+    # deterministic training-shard permutation: one hash shuffle + ranks
+    from searty_ray.stages.sample import shuffle_export
+
+    t0 = time.monotonic()
+    shuffle_export(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]),
+        shards=64,
+    ).count()
+    timings["shuffle_export"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -307,6 +307,10 @@ def shuffle_export(
     """
 
     def assign(batch: pa.Table) -> pa.Table:
+        # drop parquet/pandas schema metadata: the sort's reduce phase
+        # tries to hash schemas for deduplication and warns on the
+        # (unhashable) metadata dict every merge — pure log spam
+        batch = batch.replace_schema_metadata(None)
         h = _key_hash(batch, key, salt)
         batch = batch.append_column("__h", pa.array(h.astype(np.uint64), type=pa.uint64()))
         return batch.append_column(

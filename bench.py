@@ -389,6 +389,14 @@ def main() -> None:
     ).count()
     timings["shuffle_export"] = time.monotonic() - t0
 
+    # BPE tokenizer train (distributed word-count reduction + vocab-scale
+    # driver merge loop) + apply (broadcast merges, per-actor word cache)
+    from searty_ray.stages import bpe as _bpe
+
+    t0 = time.monotonic()
+    _bpe.bpe_apply(docs, _bpe.bpe_train(docs, 200)).count()
+    timings["bpe_train_apply"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -4622,6 +4622,27 @@ def q_embedding_pca(sf_dir: str):
     )
 
 
+BPE_MERGES = 200
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer training + apply (rows-only gate: the merge loop is
+    iterative — not SQL-expressible; tests/test_bpe.py pins training AND
+    encoding against a naive recount-per-round reference, and the one
+    corpus-scale pass feeding it is the same combiner shape as the oracled
+    topk_words)."""
+    from ..stages import bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe.bpe_train(docs, BPE_MERGES)
+    return (
+        bpe.bpe_apply(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 SQL_EMBEDDING_GRAM = f"""
 WITH q AS (
   SELECT vec_id, (i - 1)::BIGINT AS i,
@@ -4777,6 +4798,9 @@ QUERIES = {
     # rows-only by design (LAPACK eigenbasis; the feeding moment pass is
     # value-hash oracled as embedding_gram) — kept past the driver budget
     "embedding_pca": q_embedding_pca,
+    # rows-only by design (iterative merge loop; pinned vs a naive
+    # reference in tests/test_bpe.py) — kept past the driver budget
+    "bpe_tokens": q_bpe_tokens,
 }
 
 ORACLE_SQL = {

@@ -318,8 +318,11 @@ def main() -> None:
     import shutil as _sh
 
     _sh.rmtree(ivf_dir, ignore_errors=True)
+    # build-once / search-many split (the pq_fit / ann_pq shape, r4 verdict)
     t0 = time.monotonic()
     knn.IVFIndex.build(emb, ivf_dir, nlist=16)
+    timings["ivf_build"] = time.monotonic() - t0
+    t0 = time.monotonic()
     knn.knn_ivf_search_batch(ivf_dir, emb.limit(64), k=10, nprobe=4).count()
     timings["ann_ivf"] = time.monotonic() - t0
 

@@ -4623,6 +4623,53 @@ def q_embedding_pca(sf_dir: str):
 
 
 BPE_MERGES = 200
+EXACT_N = 100
+CHUNK_WINDOW, CHUNK_STRIDE = 120, 90
+
+
+def q_sample_exact_n(sf_dir: str):
+    """Global exact-n uniform sample without replacement: the n smallest
+    mix64 ranks — deterministic, layout/resume-stable, per-batch bottom-n
+    partials bound the driver merge."""
+    from ..stages import sample
+
+    return sample.exact_n_sample(_docs(sf_dir, ["doc_id"]), EXACT_N)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping-window chunk boundaries (RAG / training-window
+    splitter): stateless integer kernel, zero shuffle, ~32 B out per chunk
+    regardless of doc size."""
+    from ..stages import packing
+
+    return (
+        packing.chunk_offsets(
+            _docs(sf_dir, ["doc_id", "text"]), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _sql_sample_exact_n() -> str:
+    from ..stages.sample import sql_key_hash
+
+    return (
+        f"SELECT doc_id FROM documents "
+        f"ORDER BY ({sql_key_hash('doc_id')})::UBIGINT, doc_id LIMIT {EXACT_N}"
+    )
+
+
+SQL_SAMPLE_EXACT_N = _sql_sample_exact_n()
+
+SQL_DOC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, n, unnest(range(0, (n + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS k FROM d)
+SELECT doc_id, k::BIGINT AS chunk_id, (k * {CHUNK_STRIDE})::BIGINT AS start,
+       least({CHUNK_WINDOW}, n - k * {CHUNK_STRIDE})::BIGINT AS length
+FROM c ORDER BY doc_id, chunk_id
+"""
 
 
 def q_bpe_tokens(sf_dir: str):
@@ -4694,6 +4741,8 @@ QUERIES = {
     "dsir_select": q_dsir_select,  # new in r5 (DSIR top-N selection)
     "shuffle_export": q_shuffle_export,  # new in r5 (deterministic shuffle)
     "embedding_gram": q_embedding_gram,  # new in r5 (integer moment matrix)
+    "sample_exact_n": q_sample_exact_n,  # new in r5 (exact-n uniform sample)
+    "doc_chunks": q_doc_chunks,  # new in r5 (RAG chunk boundaries)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -4876,6 +4925,8 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR_SELECT,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
     "embedding_gram": SQL_EMBEDDING_GRAM,
+    "sample_exact_n": SQL_SAMPLE_EXACT_N,
+    "doc_chunks": SQL_DOC_CHUNKS,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

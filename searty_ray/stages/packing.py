@@ -212,3 +212,53 @@ def assemble_sequences(
         return out
 
     return frags.groupby("__sp").map_groups(assemble, batch_format="pandas")
+
+
+def chunk_offsets(
+    docs: "ray.data.Dataset",
+    *,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Overlapping-window chunk boundaries per document — the RAG /
+    training-window splitter: chunk k covers codepoints
+    [k·stride, k·stride + min(window, n − k·stride)) for k < ceil(n/stride)
+    (zero chunks for empty docs).  Offsets are CODEPOINT units (the line
+    extractor's rune convention), so extraction composes with the existing
+    slice machinery; DuckDB's length()/substr() mirror them exactly.
+
+    SCALE: stateless per-batch integer kernel (utf8_length + one repeat /
+    cumsum-slice pass), zero shuffle, no text movement — the output is
+    ~32 B per chunk regardless of document size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = -(-n // stride)  # ceil; 0 for empty docs
+        row = np.repeat(np.arange(len(n)), k)
+        # chunk_id = position within each row's run (cumsum-of-run trick)
+        ends = np.cumsum(k)
+        starts_run = ends - k
+        cid = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            starts_run, k
+        )
+        start = cid * stride
+        length = np.minimum(window, n[row] - start)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[row]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_id": pa.array(cid),
+                "start": pa.array(start),
+                "length": pa.array(length),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")

@@ -344,3 +344,31 @@ def shuffle_export(
         .groupby("shard")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+def exact_n_sample(
+    ds: ray.data.Dataset,
+    n: int,
+    *,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+) -> "pd.DataFrame":
+    """GLOBAL exact-``n`` uniform sample without replacement: the ``n``
+    smallest ``mix64(key ^ salt)`` ranks (ties break ascending on the key).
+    Unlike :func:`bernoulli_sample` the size is exact, and unlike a
+    reservoir it is deterministic and layout/resume-stable — the same salt
+    always picks the same rows.
+
+    SCALE: per-batch bottom-``n`` partials bound the driver merge at
+    n·blocks rows (the sum_topk contract); the corpus never moves."""
+    import pandas as pd
+
+    def head(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, key, salt)
+        order = np.lexsort((batch[key].to_numpy(zero_copy_only=False), h))[:n]
+        out = batch.take(pa.array(order))
+        return out.append_column("__h", pa.array(h[order].astype(np.uint64), type=pa.uint64()))
+
+    cand = ds.map_batches(head, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["__h", key]).head(n)
+    return cand.drop(columns="__h").reset_index(drop=True)

@@ -120,3 +120,45 @@ def test_shuffle_export_permutation_and_layout_stability(ray_session):
     merged = out.merge(ref[["doc_id", "shard", "pos"]], on="doc_id", suffixes=("", "_ref"))
     assert (merged["shard"] == merged["shard_ref"]).all()
     assert (merged["pos"] == merged["pos_ref"]).all()
+
+
+def test_exact_n_sample_deterministic(ray_session):
+    rows = [{"doc_id": i} for i in range(500)]
+    outs = []
+    for parts in (2, 9):
+        ds = ray.data.from_items(rows).repartition(parts)
+        outs.append(sample.exact_n_sample(ds, 50))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 50 and outs[0]["doc_id"].is_unique
+    # exactly the 50 smallest mix64 ranks (independent recomputation)
+    h = mix64(np.arange(500, dtype=np.int64).view(np.uint64) ^ np.uint64(sample.DEFAULT_SALT))
+    want = set(np.argsort(h, kind="stable")[:50].tolist())
+    assert set(outs[0]["doc_id"]) == want
+
+
+def test_chunk_offsets_cover_and_overlap(ray_session):
+    from searty_ray.stages import packing
+
+    rows = [
+        {"doc_id": 0, "text": "a" * 250},
+        {"doc_id": 1, "text": ""},          # zero chunks
+        {"doc_id": 2, "text": "b" * 90},    # exactly one stride
+        {"doc_id": 3, "text": "c" * 91},    # spills into a second chunk
+        {"doc_id": 4, "text": "é" * 130},   # multibyte: offsets are codepoints
+    ]
+    out = (
+        packing.chunk_offsets(ray.data.from_items(rows), window=120, stride=90)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    lens = {r["doc_id"]: len(r["text"]) for r in rows}
+    for doc_id, g in out.groupby("doc_id"):
+        n = lens[doc_id]
+        assert list(g["chunk_id"]) == list(range(-(-n // 90)))
+        assert (g["start"] == g["chunk_id"] * 90).all()
+        assert (g["length"] == np.minimum(120, n - g["start"])).all()
+        # full coverage: union of [start, start+length) is [0, n)
+        assert int((g["start"] + g["length"]).max()) == n
+    assert 1 not in set(out["doc_id"])  # empty doc yields no chunks
+    assert list(out[out["doc_id"] == 4]["length"]) == [120, 40]

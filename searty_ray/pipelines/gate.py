@@ -4690,6 +4690,79 @@ def q_bpe_tokens(sf_dir: str):
     )
 
 
+CM_WIDTH, CM_DEPTH, CM_EST_KEYS = 256, 4, 20
+
+
+def _events_for_cm(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+
+def q_events_cm_sketch(sf_dir: str):
+    """Count-min sketch of per-user event counts — the mergeable-sketch
+    path for per-key counts at unbounded key cardinality (the KMV
+    approx-distinct sibling): ≤ depth·width partial rows per batch shuffle
+    at ANY cardinality, cells merge by sum."""
+    from ..stages import analytics
+
+    return (
+        analytics.cm_sketch(_events_for_cm(sf_dir), "user_id", width=CM_WIDTH, depth=CM_DEPTH)
+        .to_pandas()
+        .sort_values(["d", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_cm_estimates(sf_dir: str):
+    """Point queries over the sketch: est(k) = min_d cell[d][h_d(k)] —
+    deterministic overestimates, identical in SQL."""
+    import numpy as np
+
+    from ..stages import analytics
+
+    sk = analytics.cm_sketch(
+        _events_for_cm(sf_dir), "user_id", width=CM_WIDTH, depth=CM_DEPTH
+    ).to_pandas()  # ≤ depth×width rows by construction
+    est = analytics.cm_estimate(
+        sk, np.arange(CM_EST_KEYS, dtype=np.int64), width=CM_WIDTH, depth=CM_DEPTH
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"user_id": np.arange(CM_EST_KEYS, dtype=np.int64), "est_count": est}
+    )
+
+
+def _cm_sql() -> tuple[str, str]:
+    from ..stages.analytics import _cm_salts, CM_SALT
+    from ..stages.sample import sql_key_hash
+
+    salts = _cm_salts(CM_DEPTH, CM_SALT)
+    cells_parts = " UNION ALL ".join(
+        f"SELECT {d} AS d, (({sql_key_hash('user_id', s)})::UBIGINT % {CM_WIDTH})::BIGINT AS bucket FROM events"
+        for d, s in enumerate(salts)
+    )
+    sketch = (
+        f"SELECT d, bucket, count(*)::BIGINT AS cnt FROM ({cells_parts}) "
+        f"GROUP BY d, bucket ORDER BY d, bucket"
+    )
+    lk_parts = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, (({sql_key_hash('user_id', s)})::UBIGINT % {CM_WIDTH})::BIGINT AS bucket FROM users"
+        for d, s in enumerate(salts)
+    )
+    est = f"""
+WITH cells AS (SELECT d, bucket, count(*)::BIGINT AS cnt FROM ({cells_parts}) GROUP BY d, bucket),
+users AS (SELECT unnest(range(0, {CM_EST_KEYS}))::BIGINT AS user_id),
+lk AS ({lk_parts})
+SELECT lk.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+FROM lk LEFT JOIN cells c USING (d, bucket)
+GROUP BY lk.user_id ORDER BY user_id
+"""
+    return sketch, est
+
+
+SQL_EVENTS_CM_SKETCH, SQL_EVENTS_CM_ESTIMATES = _cm_sql()
+
+
 SQL_EMBEDDING_GRAM = f"""
 WITH q AS (
   SELECT vec_id, (i - 1)::BIGINT AS i,
@@ -4743,6 +4816,8 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,  # new in r5 (integer moment matrix)
     "sample_exact_n": q_sample_exact_n,  # new in r5 (exact-n uniform sample)
     "doc_chunks": q_doc_chunks,  # new in r5 (RAG chunk boundaries)
+    "events_cm_sketch": q_events_cm_sketch,  # new in r5 (count-min sketch)
+    "events_cm_estimates": q_events_cm_estimates,  # new in r5 (CM queries)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -4927,6 +5002,8 @@ ORACLE_SQL = {
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "sample_exact_n": SQL_SAMPLE_EXACT_N,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "events_cm_sketch": SQL_EVENTS_CM_SKETCH,
+    "events_cm_estimates": SQL_EVENTS_CM_ESTIMATES,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

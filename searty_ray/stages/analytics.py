@@ -597,3 +597,92 @@ def approx_group_quantiles(
         .groupby("__pk")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: approximate per-key counts at UNBOUNDED key cardinality
+# ---------------------------------------------------------------------------
+
+CM_SALT = 0xC0117_817
+CM_STEP = 0x9E3779B9  # per-depth salt stride (golden-ratio odd constant)
+
+
+def _cm_salts(depth: int, salt: int) -> list[int]:
+    return [(salt + d * CM_STEP) & ((1 << 64) - 1) for d in range(depth)]
+
+
+def cm_sketch(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    salt: int = CM_SALT,
+) -> ray.data.Dataset:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an integer key
+    column → (d, bucket, cnt) rows, nonzero cells only.
+
+    The per-key-count sibling of the KMV approx-distinct sketch: exact
+    per-key counts at billion-key cardinality need a corpus-scale shuffle;
+    the sketch bounds EVERYTHING at depth×width cells.  Per batch: depth
+    bincounts (a combiner — ≤ depth·width partial rows per batch shuffle at
+    ANY cardinality); one (d, bucket) groupby merges partials.  Cells are a
+    SEMIGROUP (elementwise sum), so sketches also merge across snapshots /
+    streams.  mix64 hashing makes the sketch deterministic and bit-exactly
+    SQL-mirrorable; estimates overcount by ≤ εN with ε ≈ e/width at
+    standard depths."""
+    from ..functions.hashing import mix64
+
+    salts = _cm_salts(depth, salt)
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ds_, ws_, cs_ = [], [], []
+        for d, s in enumerate(salts):
+            cols = (mix64(ids ^ np.uint64(s)) % np.uint64(width)).astype(np.int64)
+            cnt = np.bincount(cols, minlength=width)
+            nz = np.flatnonzero(cnt)
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            ws_.append(nz)
+            cs_.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate(ds_)),
+                "bucket": pa.array(np.concatenate(ws_)),
+                "cnt": pa.array(np.concatenate(cs_)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: pd.DataFrame,
+    keys: np.ndarray,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    salt: int = CM_SALT,
+) -> np.ndarray:
+    """Point-query the sketch (driver-side: the sketch is ≤ depth×width
+    rows BY CONSTRUCTION): estimate(k) = min over d of cell[d][h_d(k)]."""
+    from ..functions.hashing import mix64
+
+    cells = np.zeros((depth, width), dtype=np.int64)
+    cells[sketch["d"].to_numpy(np.int64), sketch["bucket"].to_numpy(np.int64)] = (
+        sketch["cnt"].to_numpy(np.int64)
+    )
+    ids = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    est = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, s in enumerate(_cm_salts(depth, salt)):
+        cols = (mix64(ids ^ np.uint64(s)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cells[d, cols])
+    return est

@@ -4763,6 +4763,33 @@ GROUP BY lk.user_id ORDER BY user_id
 SQL_EVENTS_CM_SKETCH, SQL_EVENTS_CM_ESTIMATES = _cm_sql()
 
 
+def q_events_retention(sf_dir: str):
+    """Retention-cohort matrix over the event stream: one distinct-pair
+    reduction + one guarded hash join + a cohort²-scale count."""
+    from ..stages import analytics
+
+    return (
+        analytics.retention_cohorts(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        )
+        .to_pandas()
+        .sort_values(["cohort", "bucket"])
+        .reset_index(drop=True)
+        .astype({"cohort": "int64", "bucket": "int64", "n_users": "int64"})
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {86_400_000_000}) AS bucket FROM events
+),
+f AS (SELECT user_id, min(bucket) AS cohort FROM pairs GROUP BY user_id)
+SELECT f.cohort::BIGINT AS cohort, p.bucket::BIGINT AS bucket, count(*)::BIGINT AS n_users
+FROM pairs p JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SQL_EMBEDDING_GRAM = f"""
 WITH q AS (
   SELECT vec_id, (i - 1)::BIGINT AS i,
@@ -4818,6 +4845,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,  # new in r5 (RAG chunk boundaries)
     "events_cm_sketch": q_events_cm_sketch,  # new in r5 (count-min sketch)
     "events_cm_estimates": q_events_cm_estimates,  # new in r5 (CM queries)
+    "events_retention": q_events_retention,  # new in r5 (cohort matrix)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -5004,6 +5032,7 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "events_cm_sketch": SQL_EVENTS_CM_SKETCH,
     "events_cm_estimates": SQL_EVENTS_CM_ESTIMATES,
+    "events_retention": SQL_EVENTS_RETENTION,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -686,3 +686,62 @@ def cm_estimate(
         cols = (mix64(ids ^ np.uint64(s)) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, cells[d, cols])
     return est
+
+
+RETENTION_SPAN_US = 86_400_000_000  # day buckets
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    span_us: int = RETENTION_SPAN_US,
+) -> ray.data.Dataset:
+    """Retention-cohort matrix: users grouped by FIRST-active time bucket
+    (cohort), counted in every bucket they are active → (cohort, bucket,
+    n_users), bucket ≥ cohort.
+
+    SCALE: ONE events pass reduces to distinct (user, bucket) pairs
+    (per-batch dedup combiner — only distinct pairs shuffle, never the
+    stream); cohorts derive from the SAME pair table (groupby(user).min —
+    identical to a min over raw events); one guarded native hash join
+    co-locates a user's pairs with its cohort; the final (cohort, bucket)
+    count is cohort²-scale.  Nothing user-scale touches the driver."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Min
+
+    from .joins import adaptive_join_partitions, hash_join
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        b = us.astype("datetime64[us]").view(np.int64) // span_us
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([u, b], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({user_col: pa.array(uniq[:, 0]), "bucket": pa.array(uniq[:, 1])})
+
+    pair_ds = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby([user_col, "bucket"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    # materialize at every stage boundary around the native join: the
+    # join's aggregator pool must not coexist with another pool (NOTES
+    # item 6), and the pool must be sized to the DATA and the session —
+    # the 64-actor default deadlocks a 4-cpu session (measured on this
+    # exact chain; the line_dedup lesson)
+    pair_mat = pair_ds.materialize()
+    first = pair_mat.groupby(user_col).aggregate(
+        Min("bucket", alias_name="cohort")
+    ).materialize()
+    jp = adaptive_join_partitions(first.count(), pair_mat.count())
+    joined = hash_join(
+        pair_mat, first, on=user_col, num_partitions=jp
+    ).materialize()
+    return (
+        joined.groupby(["cohort", "bucket"])
+        .aggregate(Count(alias_name="n_users"))
+    )

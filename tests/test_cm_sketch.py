@@ -72,3 +72,40 @@ def test_cm_estimates_overcount_only(keyed_rows, ray_session):
     pd.testing.assert_frame_equal(
         merged, sk.sort_values(["d", "bucket"]).reset_index(drop=True)
     )
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    # user u first appears on day u % 5, then is active every u%3+1 days
+    for u in range(30):
+        for k in range(6):
+            day = (u % 5) + k * (u % 3 + 1)
+            rows.append({"user_id": u, "ts": base + datetime.timedelta(days=day, seconds=u)})
+    ds = ray.data.from_items(rows).repartition(5)
+    got = (
+        analytics.retention_cohorts(ds)
+        .to_pandas()
+        .sort_values(["cohort", "bucket"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    df = pd.DataFrame(rows)
+    df["bucket"] = (df["ts"].astype("datetime64[us]").astype(np.int64) // analytics.RETENTION_SPAN_US)
+    pairs = df[["user_id", "bucket"]].drop_duplicates()
+    first = pairs.groupby("user_id")["bucket"].min().rename("cohort")
+    want = (
+        pairs.join(first, on="user_id")
+        .groupby(["cohort", "bucket"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort", "bucket"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # diagonal completeness: every cohort counts itself at bucket == cohort
+    diag = got[got["cohort"] == got["bucket"]]
+    assert set(diag["cohort"]) == set(first.unique())

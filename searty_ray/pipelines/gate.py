@@ -4504,7 +4504,9 @@ def q_dsir_select(sf_dir: str):
     )
 
 
-def _dsir_sql() -> tuple[str, str]:
+def _dsir_ctes(src: str) -> str:
+    """The DSIR weight computation as a reusable CTE chain over relation
+    ``src`` (must expose doc_id, lang, text); ends with CTE ``w``."""
     from ..functions.hashing import sql_hash_expr
     from ..stages.textstats import DSIR_BUCKETS, DSIR_SALT
 
@@ -4514,12 +4516,11 @@ def _dsir_sql() -> tuple[str, str]:
     def lnm(x: str) -> str:
         return f"floor(ln({x}) * 1e6 + 0.5)::BIGINT"
 
-    base = f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, lang, (({h}) % {B})::BIGINT AS bucket
   FROM (SELECT doc_id, lang,
                unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-        FROM documents)
+        FROM {src})
 ),
 rawc AS (SELECT bucket, count(*)::BIGINT AS cr FROM toks GROUP BY bucket),
 tgtc AS (SELECT bucket, count(*)::BIGINT AS ct FROM toks WHERE lang = 'en' GROUP BY bucket),
@@ -4534,8 +4535,11 @@ per_doc AS (SELECT t.doc_id, sum(l.lam_micro)::BIGINT AS s, count(*)::BIGINT AS 
 w AS (SELECT d.doc_id,
              coalesce(p.n, 0)::BIGINT AS n_tokens,
              (coalesce(p.s, 0) + coalesce(p.n, 0) * kk.k_micro)::BIGINT AS dsir_weight_micro
-      FROM documents d LEFT JOIN per_doc p USING (doc_id) CROSS JOIN kk)
-"""
+      FROM {src} d LEFT JOIN per_doc p USING (doc_id) CROSS JOIN kk)"""
+
+
+def _dsir_sql() -> tuple[str, str]:
+    base = "WITH " + _dsir_ctes("documents") + "\n"
     return (
         base + "SELECT doc_id, n_tokens, dsir_weight_micro FROM w ORDER BY doc_id",
         base
@@ -4763,6 +4767,44 @@ GROUP BY lk.user_id ORDER BY user_id
 SQL_EVENTS_CM_SKETCH, SQL_EVENTS_CM_ESTIMATES = _cm_sql()
 
 
+TRAIN_EXPORT_N, TRAIN_EXPORT_SHARDS = 150, 8
+
+
+def q_training_export(sf_dir: str):
+    """Composed data-selection flagship: exact dedup → DSIR weights →
+    distributed top-N cutoff filter → deterministic shard export.  Every
+    stage is an individually-gated operator; the composition is mirrored
+    end-to-end in SQL so a regression anywhere breaks the value hash."""
+    from . import prep
+
+    return prep.training_export(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), TRAIN_EXPORT_N, TRAIN_EXPORT_SHARDS
+    )
+
+
+def _sql_training_export() -> str:
+    from ..stages.sample import sql_key_hash
+
+    h = f"({sql_key_hash('doc_id')})"
+    return f"""
+WITH winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY {_hash_sql('text')}, {_hash_sql('text', salt=dedup.EXACT_DEDUP_SALT)}
+),
+dd AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN winners USING (doc_id)),
+{_dsir_ctes('dd')},
+sel AS (SELECT doc_id FROM w
+        ORDER BY dsir_weight_micro DESC, doc_id LIMIT {TRAIN_EXPORT_N}),
+hh AS (SELECT doc_id, {h}::UBIGINT AS h FROM sel)
+SELECT doc_id, (h % {TRAIN_EXPORT_SHARDS})::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY h % {TRAIN_EXPORT_SHARDS} ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM hh ORDER BY shard, pos
+"""
+
+
+SQL_TRAINING_EXPORT = _sql_training_export()
+
+
 def q_events_retention(sf_dir: str):
     """Retention-cohort matrix over the event stream: one distinct-pair
     reduction + one guarded hash join + a cohort²-scale count."""
@@ -4846,6 +4888,7 @@ QUERIES = {
     "events_cm_sketch": q_events_cm_sketch,  # new in r5 (count-min sketch)
     "events_cm_estimates": q_events_cm_estimates,  # new in r5 (CM queries)
     "events_retention": q_events_retention,  # new in r5 (cohort matrix)
+    "training_export": q_training_export,  # new in r5 (composed selection)
     "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
@@ -5033,6 +5076,7 @@ ORACLE_SQL = {
     "events_cm_sketch": SQL_EVENTS_CM_SKETCH,
     "events_cm_estimates": SQL_EVENTS_CM_ESTIMATES,
     "events_retention": SQL_EVENTS_RETENTION,
+    "training_export": SQL_TRAINING_EXPORT,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

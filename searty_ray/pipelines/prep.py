@@ -128,3 +128,65 @@ def prep_corpus_to_parquet(
     with open(marker, "w") as f:
         f.write("ok\n")
     return out_dir
+
+
+def training_export(
+    docs: ray.data.Dataset,
+    top_n: int,
+    shards: int,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """The composed DATA-SELECTION flagship: exact dedup → DSIR importance
+    weights → top-``top_n`` selection → deterministic shard export.
+    ``docs`` needs (doc_id, <target_col>, text).  → (doc_id, shard, pos).
+
+    Every stage is an individually-gated operator, and the SELECTION stays
+    DISTRIBUTED: the driver receives only the bounded head-merge used to
+    find the top-n CUTOFF (two ints broadcast back), the kept set is a
+    streaming filter over the weights dataset, and the export is
+    shuffle_export's one hash exchange.  At a 10⁹-row selection budget
+    nothing changes — the cutoff is still two ints.
+
+    Boundary materializes around the semi join per the aggregator-pool
+    rule (NOTES item 6); the join pool sizes adaptively."""
+    from ..stages import sample, textstats
+    from ..stages.dedup import exact_dedup
+    from ..stages.joins import adaptive_join_partitions, semi_join
+
+    winners = exact_dedup(docs).select_columns(["doc_id"]).materialize()
+    jp = num_partitions or adaptive_join_partitions(winners.count())
+    deduped = semi_join(docs, winners, on="doc_id", num_partitions=jp).materialize()
+
+    w = textstats.dsir_weights(
+        deduped, target_col=target_col, target_value=target_value
+    ).materialize()
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["dsir_weight_micro", "doc_id"], ascending=[False, True]
+        ).head(top_n)
+
+    cand = (
+        w.map_batches(head, batch_format="pandas")
+        .to_pandas()  # ≤ top_n·blocks rows — the bounded cutoff merge
+        .sort_values(["dsir_weight_micro", "doc_id"], ascending=[False, True])
+        .head(top_n)
+    )
+    cut_w = int(cand["dsir_weight_micro"].iloc[-1])
+    cut_id = int(cand["doc_id"].iloc[-1])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ww = b["dsir_weight_micro"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ww > cut_w) | ((ww == cut_w) & (ids <= cut_id))))
+
+    selected = w.map_batches(keep, batch_format="pyarrow").select_columns(["doc_id"])
+    return (
+        sample.shuffle_export(selected, shards=shards)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )

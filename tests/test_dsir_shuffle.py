@@ -162,3 +162,33 @@ def test_chunk_offsets_cover_and_overlap(ray_session):
         assert int((g["start"] + g["length"]).max()) == n
     assert 1 not in set(out["doc_id"])  # empty doc yields no chunks
     assert list(out[out["doc_id"] == 4]["length"]) == [120, 40]
+
+
+def test_training_export_composition(dsir_docs, ray_session):
+    from searty_ray.pipelines import prep
+
+    # plant exact duplicates: higher ids re-using doc 0 and 3's text
+    rows = list(dsir_docs)
+    rows.append({"doc_id": 100, "lang": "en", "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "lang": "xx", "text": rows[3]["text"]})
+    ds = ray.data.from_items(rows).repartition(6)
+    out = prep.training_export(ds, 12, 4)
+    # output is a permutation of 12 selected ids over 4 shards
+    assert len(out) == 12 and out["doc_id"].is_unique
+    for _, g in out.groupby("shard"):
+        assert list(g["pos"]) == list(range(len(g)))
+    # duplicates lose to their min-id winner: the planted copies never export
+    assert not {100, 101} & set(out["doc_id"])
+    # the selected set is exactly the DSIR top-12 over the deduped corpus
+    # (the fixture itself contains repeated texts — dedup by min id first,
+    # exactly what exact_dedup elects)
+    seen: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        seen.setdefault(r["text"], r["doc_id"])
+    dd = [r for r in rows if seen[r["text"]] == r["doc_id"]]
+    w = (
+        textstats.dsir_weights(ray.data.from_items(dd))
+        .to_pandas()
+        .sort_values(["dsir_weight_micro", "doc_id"], ascending=[False, True])
+    )
+    assert set(out["doc_id"]) == set(w.head(12)["doc_id"])

@@ -4848,6 +4848,48 @@ ORDER BY i, j
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event sequences: LEAD() pairs
+    counted globally, conditional probability in exact integer micro units
+    (stages/windows.transition_counts — ≤ |types|² rows leave the combiner)."""
+    import pandas as pd
+
+    from ..stages.windows import transition_counts
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("int64"),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    return transition_counts(ev.map_batches(prep, batch_format="pandas"))
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH e AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src, next_type AS dst, count(*)::BIGINT AS n_trans
+  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT src, sum(n_trans) AS tot FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n_trans,
+       (c.n_trans * 1000000 // t.tot)::BIGINT AS p_micro
+FROM c JOIN t USING (src)
+ORDER BY src, dst
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4889,7 +4931,7 @@ QUERIES = {
     "events_cm_estimates": q_events_cm_estimates,  # new in r5 (CM queries)
     "events_retention": q_events_retention,  # new in r5 (cohort matrix)
     "training_export": q_training_export,  # new in r5 (composed selection)
-    "ann_pq": q_ann_pq,  # never reached; rows-only (engine k-means)
+    "events_transitions": q_events_transitions,  # new in r5 (Markov matrix)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -4975,6 +5017,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    # rows-only by design (engine k-means codebooks; measured recall logged
+    # per run, fully-oracled sibling knn_quantized) — kept past the budget
+    "ann_pq": q_ann_pq,
     "dedup_embedding_grid": q_dedup_embedding_grid,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
@@ -5077,6 +5122,7 @@ ORACLE_SQL = {
     "events_cm_estimates": SQL_EVENTS_CM_ESTIMATES,
     "events_retention": SQL_EVENTS_RETENTION,
     "training_export": SQL_TRAINING_EXPORT,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

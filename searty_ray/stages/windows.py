@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 from ray.data.aggregate import Sum
+import pyarrow as pa
 
 
 def tumbling_aggregate(
@@ -820,3 +821,71 @@ def cumulative_sum_ranged(
         return s
 
     return tagged.groupby("__pk").map_groups(roll, batch_format="pandas")
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    state: str = "event_type",
+    num_partitions: int = 64,
+    prob_unit: int = 1_000_000,
+) -> pd.DataFrame:
+    """Markov transition matrix over per-key event sequences:
+    ``(state, next-state)`` successor pairs under ``LEAD(state) OVER
+    (PARTITION BY key ORDER BY order)``, globally counted, with the
+    row-conditional probability in exact integer micro units
+    (``n_trans · 1e6 // total_from_src`` — integer division, so the SQL
+    mirror pins every value).
+
+    Shape: ONE hash shuffle of the key over coarse partitions; inside each
+    partition a vectorized sort + C-level groupby shift produces pairs and
+    immediately reduces them to per-partition (src, dst) partial counts —
+    ≤ |states|² rows per partition leave the stage, so the global groupby
+    and the final probability pass run at transition-matrix scale.
+
+    Partitioning contract: one key's rows fit one partition (the
+    :func:`lag_delta` contract); the OUTPUT is |states|²-bounded, which is
+    the documented driver-side contract (state alphabets are
+    dimension-scale — event kinds, languages, shard labels)."""
+    from ray.data.aggregate import Sum
+
+    from .analytics import _pk_any
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def pairs_partial(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values([by, *order], kind="mergesort")
+        nxt = s.groupby(by, sort=False)[state].shift(-1)
+        keep = nxt.notna().to_numpy()
+        part = (
+            pd.DataFrame({"src": s[state].to_numpy()[keep], "dst": nxt.to_numpy()[keep]})
+            .groupby(["src", "dst"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "src": pa.array(part["src"], type=pa.large_string()),
+                "dst": pa.array(part["dst"], type=pa.large_string()),
+                "n": pa.array(part["n"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(pairs_partial, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n_trans"))
+        .to_pandas()  # |states|² rows by construction — bounded contract
+    )
+    counts = counts.sort_values(["src", "dst"], kind="mergesort").reset_index(drop=True)
+    tot = counts.groupby("src", sort=False)["n_trans"].transform("sum").to_numpy(np.int64)
+    n = counts["n_trans"].to_numpy(np.int64)
+    counts["p_micro"] = n * np.int64(prob_unit) // tot
+    counts["n_trans"] = n
+    return counts

@@ -255,3 +255,37 @@ def test_multipattern_blocklist_matches_scalar_path(ray_session):
     big = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     got = run(big, pats)
     assert got["n_hits"].sum() > 0  # the comparison exercised real matches
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    from searty_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts_us": rng.integers(0, 86_400_000_000, n),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase", "signup"], n),
+        }
+    )
+    got = transition_counts(ray.data.from_pandas(df, override_num_blocks=5))
+    ref = duckdb.sql(
+        """
+        WITH e AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+          FROM df
+        ),
+        c AS (SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n_trans
+              FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT src, sum(n_trans) AS tot FROM c GROUP BY src)
+        SELECT c.src, c.dst, c.n_trans, (c.n_trans * 1000000 // t.tot)::BIGINT AS p_micro
+        FROM c JOIN t USING (src) ORDER BY src, dst
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref.astype({"n_trans": "int64", "p_micro": "int64"}).reset_index(drop=True),
+    )

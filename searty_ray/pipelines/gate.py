@@ -4890,6 +4890,111 @@ ORDER BY src, dst
 """
 
 
+PR_SUPP_OFFSET = 1_000_000
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (stages/graph.pagerank) over the
+    symmetrised customer–supplier trade graph: ONE order-key hash join +
+    distinct-pair combiner derives the edges, then 5 Pregel iterations
+    (vertex-scale join + pre-combined contribution exchange per step).
+    Every rank is an exact int64 micro value — the SQL mirror is 5 chained
+    CTEs over the identical integer recurrence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import pagerank
+    from ..stages.joins import adaptive_join_partitions, hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    joined = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_partitions=adaptive_join_partitions(n_orders, n_li),
+    ).materialize()
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([c, s], axis=1), axis=0)
+        return pa.table(
+            {
+                "c": pa.array(uniq[:, 0], type=pa.int64()),
+                "s": pa.array(uniq[:, 1], type=pa.int64()),
+            }
+        )
+
+    pair_ds = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["c", "s"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64) + np.int64(
+            PR_SUPP_OFFSET
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), type=pa.int64()),
+            }
+        )
+
+    edges = pair_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    return (
+        pagerank(edges)
+        .to_pandas()  # vertex-scale output of a 5-iteration fixed budget;
+        # sorted for the compare — dimension-bounded at gate scale
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "rank_micro": "int64"})
+    )
+
+
+def _sql_pagerank() -> str:
+    from ..stages.graph import PR_BASE_MICRO, PR_DAMP_PCT, PR_INIT_MICRO, PR_ITERATIONS
+
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {PR_SUPP_OFFSET} AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, {PR_INIT_MICRO}::BIGINT AS r FROM deg)"""
+    prev = "r0"
+    for t in range(1, PR_ITERATIONS + 1):
+        sql += f""",
+r{t} AS (SELECT e.dst AS node,
+               ({PR_BASE_MICRO} + sum((r.r * {PR_DAMP_PCT}) // (100 * d.deg)))::BIGINT AS r
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst)"""
+        prev = f"r{t}"
+    sql += f"\nSELECT node, r AS rank_micro FROM {prev} ORDER BY node"
+    return sql
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4932,6 +5037,7 @@ QUERIES = {
     "events_retention": q_events_retention,  # new in r5 (cohort matrix)
     "training_export": q_training_export,  # new in r5 (composed selection)
     "events_transitions": q_events_transitions,  # new in r5 (Markov matrix)
+    "graph_pagerank": q_graph_pagerank,  # new in r5 (integer Pregel loop)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5123,6 +5229,7 @@ ORACLE_SQL = {
     "events_retention": SQL_EVENTS_RETENTION,
     "training_export": SQL_TRAINING_EXPORT,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

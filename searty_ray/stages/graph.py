@@ -1,0 +1,179 @@
+"""Iterative vertex-program operators over edge tables — PageRank in exact
+integer fixed-point arithmetic.
+
+The reference engine has no graph surface (its only transitive structure is
+the merge-time docId remap); this is net-new training-data machinery: link-
+graph page scoring is a standard web-corpus quality prior (the original
+PageRank use), and the same Pregel shape carries label propagation.
+
+Algorithm: power iteration in MICRO-UNIT int64 arithmetic so every value is
+bit-exact and the DuckDB oracle pins the whole matrix:
+
+    r_0(v)     = 1_000_000
+    r_{t+1}(v) = base_micro + Σ_{(u,v)∈E}  (r_t(u) · damp_pct) // (100 · outdeg(u))
+
+(integer floor division — both sides compute the identical int64, no float
+ever enters).  With base_micro = 150_000 and damp_pct = 85 this is the
+standard d=0.85 PageRank up to the 1e6 scale factor.
+
+Scale shape (the Pregel split):
+
+* adjacency build: ONE edge-scale hash shuffle groups out-edges by source;
+  inside each coarse partition the per-source destination lists are sliced
+  zero-copy out of one sorted int64 buffer into a ``large_binary`` column
+  (Acero joins reject list-typed payloads — NOTES item 6 — and bytes round-
+  trip exactly).  One adjacency ROW per vertex, edge bytes as payload.
+* per iteration: ONE vertex-scale hash join (ranks ⋈ adjacency on the
+  vertex id) and ONE exchange of (dst, contribution) partials back to
+  vertex scale.  The emit stage pre-combines per batch (factorize +
+  bincount), so the exchange carries ≤ distinct-dst rows per batch, not
+  one row per edge.  Iteration boundaries ``materialize()`` — re-executing
+  a lazy 5-deep join lineage would be quadratic, and >1 live native-join
+  aggregator pool deadlocks small sessions (NOTES item 6).
+* nothing vertex- or edge-scale ever reaches the driver; the loop is a
+  fixed iteration count (the classic fixed-budget production shape).
+
+Partitioning contract: every vertex must have outdeg ≥ 1 (true for
+symmetrised/undirected edge sets, which is how the gate derives its graph;
+for directed graphs with sinks, pre-drop or self-loop them).  Dangling
+mass is NOT redistributed — both the engine and the SQL mirror drop it,
+which keeps the arithmetic exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+PR_ITERATIONS = 5
+PR_DAMP_PCT = 85
+PR_BASE_MICRO = 150_000
+PR_INIT_MICRO = 1_000_000
+NUM_PARTITIONS = 64
+
+
+def _adjacency(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """(src, dst) edges → one row per src: (node, deg, dst_bytes) with the
+    destination ids packed little-endian int64 into ``large_binary``."""
+    from .analytics import _pk_any
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["src", "dst"]].copy()
+        out["__pk"] = _pk_any(b["src"], num_partitions)
+        return out
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes, starts = np.unique(src, return_index=True)
+        ends = np.append(starts[1:], len(src))
+        # zero-copy large_binary: the sorted dst buffer IS the values
+        # buffer; per-node byte ranges are the int64 offsets × 8
+        offsets = np.append(starts, len(src)).astype(np.int64) * 8
+        vals = pa.py_buffer(dst.tobytes())
+        adj = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(nodes), [None, pa.py_buffer(offsets.tobytes()), vals]
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "deg": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+                "dst_bytes": adj,
+            }
+        )
+
+    return (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iterations: int = PR_ITERATIONS,
+    damp_pct: int = PR_DAMP_PCT,
+    base_micro: int = PR_BASE_MICRO,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Integer fixed-point PageRank over an edge Dataset with columns
+    ``(src, dst)`` (int64 vertex ids, outdeg ≥ 1 per the module contract).
+    Returns a Dataset of ``(node, rank_micro)``."""
+    from .joins import adaptive_join_partitions, hash_join
+
+    adj = _adjacency(edges, num_partitions).materialize()
+    n_nodes = adj.count()
+    jp = adaptive_join_partitions(n_nodes)
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "r": pa.array(
+                    np.full(b.num_rows, PR_INIT_MICRO, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    ranks = adj.select_columns(["node"]).map_batches(
+        init_ranks, batch_format="pyarrow"
+    ).materialize()
+
+    def emit(b: pa.Table) -> pa.Table:
+        # per-vertex share, fanned to out-neighbors, pre-combined per batch
+        if b.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            )
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share = (r * np.int64(damp_pct)) // (np.int64(100) * deg)
+        col = b["dst_bytes"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # decode the packed int64 neighbor lists zero-copy off the buffers
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+        counts = np.diff(offs[: len(arr) + 1])
+        dst_all = buf[offs[0] : offs[len(arr)]]
+        share_all = np.repeat(share, counts)
+        # batch-local combine in EXACT int64 (sorted reduceat, no float):
+        # ≤ distinct-dst rows leave the stage
+        order = np.argsort(dst_all, kind="stable")
+        dst_srt = dst_all[order]
+        uniq, bounds = np.unique(dst_srt, return_index=True)
+        exact = np.add.reduceat(share_all[order], bounds)
+        return pa.table(
+            {
+                "dst": pa.array(uniq, type=pa.int64()),
+                "c": pa.array(exact.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        joined = hash_join(ranks, adj, on="node", num_partitions=jp)
+        sums = (
+            joined.map_batches(emit, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+
+        def next_ranks(b: pa.Table) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": b["dst"],
+                    "r": pa.array(s + np.int64(base_micro), type=pa.int64()),
+                }
+            )
+
+        ranks = sums.map_batches(next_ranks, batch_format="pyarrow").materialize()
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "rank_micro": b["r"]})
+
+    return ranks.map_batches(out, batch_format="pyarrow")

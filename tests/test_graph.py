@@ -1,0 +1,90 @@
+"""PageRank (stages/graph.py) vs an independent DuckDB chained-CTE mirror of
+the identical integer recurrence, plus structural invariants."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+from searty_ray.stages.graph import (
+    PR_BASE_MICRO,
+    PR_DAMP_PCT,
+    PR_INIT_MICRO,
+    pagerank,
+)
+
+
+def _ref_sql(iterations: int) -> str:
+    sql = f"""
+WITH edges AS (SELECT src, dst FROM edf),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, {PR_INIT_MICRO}::BIGINT AS r FROM deg)"""
+    prev = "r0"
+    for t in range(1, iterations + 1):
+        sql += f""",
+r{t} AS (SELECT e.dst AS node,
+               ({PR_BASE_MICRO} + sum((r.r * {PR_DAMP_PCT}) // (100 * d.deg)))::BIGINT AS r
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst)"""
+        prev = f"r{t}"
+    return sql + f"\nSELECT node, r AS rank_micro FROM {prev} ORDER BY node"
+
+
+def _undirected(pairs: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pd.concat(
+            [
+                pairs.rename(columns={"a": "src", "b": "dst"}),
+                pairs.rename(columns={"b": "src", "a": "dst"})[["src", "dst"]],
+            ]
+        )
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+
+
+def _run(edges: pd.DataFrame, iterations: int = 5, blocks: int = 4) -> pd.DataFrame:
+    ds = ray.data.from_pandas(edges, override_num_blocks=blocks)
+    return (
+        pagerank(ds, iterations=iterations)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "rank_micro": "int64"})
+    )
+
+
+def test_pagerank_matches_duckdb(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = pd.DataFrame(
+        {"a": rng.integers(0, 30, 400), "b": rng.integers(100, 140, 400)}
+    ).drop_duplicates()
+    edf = _undirected(pairs)
+    got = _run(edf)
+    ref = duckdb.sql(_ref_sql(5)).df().astype({"node": "int64", "rank_micro": "int64"})
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_pagerank_layout_stable_and_sparse(ray_session):
+    # a near-degenerate graph (3 edges) exercises empty hash partitions in
+    # the adjacency groupby and the per-iteration exchange; layouts must
+    # not change a single int
+    pairs = pd.DataFrame({"a": [1, 2, 3], "b": [10, 10, 11]})
+    edf = _undirected(pairs)
+    a = _run(edf, blocks=1)
+    b = _run(edf, blocks=6)
+    pd.testing.assert_frame_equal(a, b)
+    ref = duckdb.sql(_ref_sql(5)).df().astype({"node": "int64", "rank_micro": "int64"})
+    pd.testing.assert_frame_equal(a, ref)
+
+
+def test_pagerank_star_graph_mass(ray_session):
+    # K-star: hub 0 <-> leaves 1..k.  After any number of iterations every
+    # leaf has the same rank and the hub dominates.
+    k = 12
+    pairs = pd.DataFrame({"a": np.zeros(k, dtype=np.int64), "b": np.arange(1, k + 1)})
+    out = _run(_undirected(pairs))
+    hub = out.loc[out["node"] == 0, "rank_micro"].iloc[0]
+    leaves = out.loc[out["node"] != 0, "rank_micro"]
+    assert leaves.nunique() == 1
+    assert hub > leaves.iloc[0]

@@ -4995,6 +4995,82 @@ r{t} AS (SELECT e.dst AS node,
 SQL_GRAPH_PAGERANK = _sql_pagerank()
 
 
+def q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over the Q1 keys (analytics.rollup_sums): measures
+    quantized to exact centi-units so detail rows, subtotals and the grand
+    total are the SAME integers at every level (float sums would drift
+    between levels); ``lvl`` mirrors DuckDB's grouping() bitmask."""
+    import pandas as pd
+
+    from ..stages.analytics import rollup_sums
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_centi": np.floor(b["l_quantity"].to_numpy() * 100.0 + 0.5).astype(
+                    np.int64
+                ),
+                "price_centi": np.floor(
+                    b["l_extendedprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return rollup_sums(
+        li.map_batches(quantize, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        measures=["qty_centi", "price_centi"],
+    )
+
+
+SQL_PRICING_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100.0 + 0.5)::BIGINT)::BIGINT AS qty_centi,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS price_centi,
+       count(*)::BIGINT AS n_rows,
+       grouping(l_returnflag, l_linestatus)::BIGINT AS lvl
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+NTILE_N = 4
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(4) per event_type over (value, event_id) order
+    (stages/windows.group_ntile) — exact integer tile sizing, one shuffle."""
+    import pandas as pd
+
+    from ..stages.windows import group_ntile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = group_ntile(ev, n_tiles=NTILE_N).to_pandas()
+    out["value"] = out["value"].round(6)
+    out["tile"] = out["tile"].astype("int64")
+    return out[["event_id", "event_type", "value", "tile"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+SQL_EVENTS_NTILE = f"""
+SELECT event_id, event_type, round(value, 6) AS value,
+       ntile({NTILE_N}) OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS tile
+FROM events
+ORDER BY event_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5038,6 +5114,8 @@ QUERIES = {
     "training_export": q_training_export,  # new in r5 (composed selection)
     "events_transitions": q_events_transitions,  # new in r5 (Markov matrix)
     "graph_pagerank": q_graph_pagerank,  # new in r5 (integer Pregel loop)
+    "pricing_rollup": q_pricing_rollup,  # new in r5 (ROLLUP levels)
+    "events_ntile": q_events_ntile,  # new in r5 (exact NTILE sizing)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5230,6 +5308,8 @@ ORACLE_SQL = {
     "training_export": SQL_TRAINING_EXPORT,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "pricing_rollup": SQL_PRICING_ROLLUP,
+    "events_ntile": SQL_EVENTS_NTILE,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -745,3 +745,54 @@ def retention_cohorts(
         joined.groupby(["cohort", "bucket"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def rollup_sums(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    measures: list[str],
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys): the finest-level aggregate runs distributed
+    (per-batch multi-measure partial sums — one combiner row per key tuple
+    per batch shuffles, never the rows); every coarser ROLLUP level is then
+    an exact re-aggregation OF THE FINEST LEVEL, which is dimension-scale
+    by definition — so the driver-side derivation is a bounded contract and
+    the measures must be INTEGERS (exact under re-aggregation; float sums
+    would drift between levels).  ``lvl`` mirrors DuckDB's
+    ``grouping(keys...)`` bitmask (0 = detail … 2^k−1 = grand total)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False, as_index=False, observed=True)[measures].sum()
+        n = b.groupby(keys, sort=False, observed=True).size().reset_index(name="n_rows")
+        return g.merge(n, on=keys)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False, observed=True)[
+            measures + ["n_rows"]
+        ].sum()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()  # dimension-scale by definition of a grouped rollup
+    )
+    levels = [finest.assign(lvl=np.int64(0))]
+    for j in range(1, len(keys) + 1):
+        kept = keys[: len(keys) - j]
+        mask = (1 << j) - 1
+        if kept:
+            lv = finest.groupby(kept, as_index=False, observed=True)[
+                measures + ["n_rows"]
+            ].sum()
+        else:
+            lv = finest[measures + ["n_rows"]].sum().to_frame().T
+        for dropped in keys[len(keys) - j :]:
+            lv[dropped] = None
+        lv["lvl"] = np.int64(mask)
+        levels.append(lv)
+    out = pd.concat(levels, ignore_index=True)[keys + measures + ["n_rows", "lvl"]]
+    for m in measures + ["n_rows", "lvl"]:
+        out[m] = out[m].astype("int64")
+    return out.sort_values(["lvl", *keys], na_position="last").reset_index(drop=True)

@@ -889,3 +889,45 @@ def transition_counts(
     counts["p_micro"] = n * np.int64(prob_unit) // tot
     counts["n_trans"] = n
     return counts
+
+
+def group_ntile(
+    events: ray.data.Dataset,
+    by: str = "event_type",
+    order: tuple[str, ...] = ("value", "event_id"),
+    n_tiles: int = 4,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY order)``: per-key rank →
+    tile id via the exact SQL sizing rule (the first ``cnt % n`` tiles get
+    ``cnt // n + 1`` rows) — pure integer arithmetic, so the mirror pins
+    every value.
+
+    Shape: ONE hash shuffle of the key over coarse partitions; rank AND
+    per-key count both come from the partition-local sort (one key lives
+    in one partition — the :func:`lag_delta` contract), so no second pass
+    or broadcast is needed."""
+    from .analytics import _pk_any
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort").drop(columns="__pk")
+        grp = s.groupby(by, sort=False)
+        r = grp.cumcount().to_numpy(np.int64)  # 0-based rank
+        cnt = grp[order[0]].transform("size").to_numpy(np.int64)
+        q, rem = cnt // n_tiles, cnt % n_tiles
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        in_big = r < big
+        safe_q = np.maximum(q, 1)  # q==0 only when every row is in a big tile
+        s["tile"] = np.where(in_big, r // (q + 1), rem + (r - big) // safe_q) + 1
+        return s
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(tile, batch_format="pandas")
+    )

@@ -695,3 +695,68 @@ def test_approx_quantiles_skips_nulls_like_sql(ray_session):
         exp = np.quantile(arr, 0.5, method="linear")
         got = out.loc[out["g"] == grp, "q50"].iloc[0]
         assert got == exp
+
+
+def test_rollup_sums_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.analytics import rollup_sums
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "f": rng.choice(["A", "N", "R"], 300),
+            "s": rng.choice(["O", "F"], 300),
+            "m1": rng.integers(0, 1000, 300).astype(np.int64),
+            "m2": rng.integers(-50, 50, 300).astype(np.int64),
+        }
+    )
+    got = rollup_sums(
+        ray.data.from_pandas(df, override_num_blocks=4), keys=["f", "s"], measures=["m1", "m2"]
+    )
+    ref = duckdb.sql(
+        """
+        SELECT f, s, sum(m1)::BIGINT AS m1, sum(m2)::BIGINT AS m2,
+               count(*)::BIGINT AS n_rows, grouping(f, s)::BIGINT AS lvl
+        FROM df GROUP BY ROLLUP (f, s)
+        ORDER BY lvl, f NULLS LAST, s NULLS LAST
+        """
+    ).df()
+    for c in ("m1", "m2", "n_rows", "lvl"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref.reset_index(drop=True))
+
+
+def test_group_ntile_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.windows import group_ntile
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            # n=3 keys with ~166 rows each: exercises both tile sizes; also
+            # plant a tiny key (fewer rows than tiles)
+            "value": rng.random(n).round(4),
+        }
+    )
+    df.loc[: n - 4, "event_type"] = rng.choice(["a", "b"], n - 3)
+    for tiles in (4, 7):
+        got = (
+            group_ntile(ray.data.from_pandas(df, override_num_blocks=5), n_tiles=tiles)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "event_type", "value", "tile"]]
+        )
+        got["tile"] = got["tile"].astype("int64")
+        ref = duckdb.sql(
+            f"""
+            SELECT event_id, event_type, value,
+                   ntile({tiles}) OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS tile
+            FROM df ORDER BY event_id
+            """
+        ).df().astype({"event_id": "int64", "tile": "int64"})
+        pd.testing.assert_frame_equal(got, ref)

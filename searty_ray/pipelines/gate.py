@@ -5071,6 +5071,61 @@ ORDER BY event_id
 """
 
 
+def q_word_entropy(sf_dir: str):
+    """Per-doc word-distribution entropy in exact integer micro-nats
+    (textstats.word_entropy) — zero-shuffle quality/repetition signal."""
+    return (
+        textstats.word_entropy(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"n_words": "int64", "entropy_micro": "int64"})
+    )
+
+
+SQL_WORD_ENTROPY = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(c)::BIGINT AS n,
+             sum(c * floor(ln(c) * 1000000 + 0.5)::BIGINT)::BIGINT AS sc
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_words,
+       coalesce((s.n * floor(ln(s.n) * 1000000 + 0.5)::BIGINT - s.sc) // s.n, 0)::BIGINT
+         AS entropy_micro
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_vocab_zipf(sf_dir: str):
+    """Zipf rank–frequency OLS slope over the documents vocabulary in exact
+    integer milli-log sums (textstats.vocab_zipf — no global rank shuffle:
+    tie runs make Σln(rank) computable from the count histogram)."""
+    return textstats.vocab_zipf(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_VOCAB_ZIPF = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word),
+r AS (SELECT row_number() OVER (ORDER BY c DESC, word) AS rnk, c FROM wc),
+m AS (SELECT floor(ln(rnk) * 1000 + 0.5)::BIGINT AS x,
+             floor(ln(c) * 1000 + 0.5)::BIGINT AS y FROM r),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy FROM m)
+SELECT n AS n_vocab, sx, sy, sxx, sxy,
+       ((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx))::BIGINT AS slope_micro
+FROM s
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5116,6 +5171,8 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,  # new in r5 (integer Pregel loop)
     "pricing_rollup": q_pricing_rollup,  # new in r5 (ROLLUP levels)
     "events_ntile": q_events_ntile,  # new in r5 (exact NTILE sizing)
+    "word_entropy": q_word_entropy,  # new in r5 (integer micro-nats)
+    "vocab_zipf": q_vocab_zipf,  # new in r5 (histogram-rank Zipf fit)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5310,6 +5367,8 @@ ORACLE_SQL = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "pricing_rollup": SQL_PRICING_ROLLUP,
     "events_ntile": SQL_EVENTS_NTILE,
+    "word_entropy": SQL_WORD_ENTROPY,
+    "vocab_zipf": SQL_VOCAB_ZIPF,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -1619,3 +1619,163 @@ def dsir_select(
         .head(n)
         .reset_index(drop=True)
     )
+
+
+def word_entropy(docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy of the word distribution in EXACT
+    integer micro-nats — a repetition/quality signal (low entropy = boilerplate
+    or degenerate repetition; complements ``doc_repetition``'s n-gram view):
+
+        H_micro = (n · ln_micro(n) − Σ_w c_w · ln_micro(c_w)) // n
+
+    (``ln_micro`` = the idf_micro house rounding, integer division — both
+    sides compute identical int64s).  Zero-shuffle stateless batch map: the
+    per-(row, word) counts factorize inside the batch; nothing leaves the
+    stage but one row per document."""
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        lists = b[text_col].str.findall(WORD_RE)
+        n = lists.str.len().fillna(0).to_numpy(np.int64)
+        toks = lists.explode().dropna()
+        sums = np.zeros(len(b), dtype=np.int64)
+        if len(toks):
+            rid = toks.index.to_numpy(np.int64)
+            codes, uniq = pd.factorize(toks.to_numpy())
+            comp = rid * np.int64(len(uniq)) + codes
+            cu, cc = np.unique(comp, return_counts=True)
+            contrib = cc.astype(np.int64) * _ln_micro(cc)
+            # bincount's float64 accumulation is exact here: per-doc sums
+            # are bounded by n_tokens · ln_micro(n_tokens) ≪ 2^53
+            sums = np.bincount(
+                (cu // np.int64(len(uniq))).astype(np.int64),
+                weights=contrib.astype(np.float64),
+                minlength=len(b),
+            ).astype(np.int64)
+        safe_n = np.maximum(n, 1)
+        ent = np.where(n > 0, (n * _ln_micro(safe_n) - sums) // safe_n, 0)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_words": n,
+                "entropy_micro": ent.astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def vocab_zipf(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    log_unit: int = 1000,
+    run_chunk: int = 1 << 20,
+) -> pd.DataFrame:
+    """Zipf rank–frequency OLS fit over the corpus vocabulary in EXACT
+    integer arithmetic: slope of y = ln(count) on x = ln(rank), both in
+    milli-log units (``floor(ln·1e3 + 0.5)``), summed as int64 and divided
+    ONCE with C-truncation semantics — bit-identical to the SQL mirror.
+
+    The trick that keeps it distributed WITHOUT a global rank shuffle:
+    ranks are only needed inside Σ-terms, and words tied on count occupy a
+    CONTIGUOUS rank interval whose Σ ln(r) is order-independent.  So:
+
+    1. word counts: one corpus scan with a per-batch factorize/bincount
+       combiner → groupby(word) sum (the only vocabulary-scale shuffle);
+    2. count histogram (count value → #words): vocabulary scan reduced to
+       DISTINCT-COUNT scale (O(√total_tokens) rows by Zipf itself — the
+       bounded driver contract);
+    3. the driver prefix-sums the histogram into rank intervals, splits
+       long intervals into ≤ ``run_chunk`` chunks, and ships the chunk
+       table back as a Dataset;
+    4. per-chunk Σ ln_milli(r), Σ ln_milli(r)² run vectorized and
+       distributed (total work O(vocab), spread over tasks);
+    5. five int64 aggregates reach the driver; the final slope is one
+       arbitrary-precision integer division.
+
+    int64 bound: Σx² ≤ vocab · ln_milli(vocab)² — safe to ~10^10 words.
+    Returns a ONE-ROW DataFrame (n_vocab, sx, sy, sxx, sxy, slope_micro)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    unit = float(log_unit)
+
+    def _ln_u(x) -> np.ndarray:
+        v = np.log(np.asarray(x, dtype=np.float64)) * unit
+        return np.floor(v + 0.5).astype(np.int64)
+
+    def wc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.findall(WORD_RE).explode().dropna()
+        if not len(toks):
+            return pd.DataFrame(
+                {"word": pd.Series(dtype="object"), "c": pd.Series(dtype="int64")}
+            )
+        codes, uniq = pd.factorize(toks.to_numpy())
+        return pd.DataFrame(
+            {"word": uniq, "c": np.bincount(codes).astype(np.int64)}
+        )
+
+    wc = (
+        docs.map_batches(wc_partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cu, cm = np.unique(b["c"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"c": cu, "m": cm.astype(np.int64)})
+
+    hist = (
+        wc.map_batches(hist_partial, batch_format="pandas")
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()  # distinct-count scale — the bounded contract above
+        .sort_values("c", ascending=False)
+    )
+    cs = hist["c"].to_numpy(np.int64)
+    ms = hist["m"].to_numpy(np.int64)
+    starts = np.cumsum(ms) - ms  # exclusive rank prefix per count value
+    ys = _ln_u(cs)
+    rows = []
+    for s0, m0, y0 in zip(starts, ms, ys):
+        s, left = int(s0), int(m0)
+        while left > 0:
+            take = min(left, run_chunk)
+            rows.append((s, take, int(y0)))
+            s += take
+            left -= take
+    runs = pd.DataFrame(rows, columns=["start", "cnt", "y"]).astype("int64")
+
+    def run_sums(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros((len(b), 5), dtype=np.int64)  # n, sx, sy, sxx, sxy
+        for i, (s, cnt, y) in enumerate(
+            zip(b["start"].to_numpy(), b["cnt"].to_numpy(), b["y"].to_numpy())
+        ):
+            x = _ln_u(np.arange(s + 1, s + cnt + 1, dtype=np.int64))
+            sx = int(x.sum())
+            out[i] = (cnt, sx, y * cnt, int((x * x).sum()), y * sx)
+        return pd.DataFrame(
+            {"n": out[:, 0], "sx": out[:, 1], "sy": out[:, 2], "sxx": out[:, 3], "sxy": out[:, 4]}
+        )
+
+    parts = (
+        ray.data.from_pandas(runs)
+        .map_batches(run_sums, batch_format="pandas")
+        .to_pandas()  # one row per chunk — run-table scale
+    )
+    n, sx, sy, sxx, sxy = (int(parts[k].sum()) for k in ("n", "sx", "sy", "sxx", "sxy"))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    # C-truncating division (DuckDB's `//` on negatives), exact Python ints
+    slope_micro = 0 if den == 0 else (abs(num * 1_000_000) // den) * (1 if num >= 0 else -1)
+    return pd.DataFrame(
+        {
+            "n_vocab": [n],
+            "sx": [sx],
+            "sy": [sy],
+            "sxx": [sxx],
+            "sxy": [sxy],
+            "slope_micro": [slope_micro],
+        }
+    ).astype("int64")

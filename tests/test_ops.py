@@ -981,3 +981,92 @@ def test_weighted_sample_rate_tracks_weight(ray_session):
     long_ = (kept_a["n_chars"] == 400).sum() / (df["n_chars"] == 400).sum()
     assert 0.07 < short < 0.13, short
     assert 0.35 < long_ < 0.45, long_
+
+
+def test_word_entropy_matches_scalar_reference(ray_session):
+    import math
+
+    from searty_ray.stages.textstats import word_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a a a a",                      # zero entropy
+                "a b c d",                      # max entropy (uniform)
+                "a a b b b c",                  # mixed
+                "",                             # empty
+                "word",                         # single token
+                "x y x y x z  z\tz\nq",         # whitespace variety
+            ],
+        }
+    )
+    got = (
+        word_entropy(ray.data.from_pandas(docs, override_num_blocks=3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def ln_micro(x: int) -> int:
+        return int(np.floor(np.log(np.float64(x)) * 1e6 + 0.5))
+
+    for _, row in docs.iterrows():
+        toks = row["text"].split()
+        n = len(toks)
+        if n == 0:
+            exp = 0
+        else:
+            from collections import Counter
+
+            sc = sum(c * ln_micro(c) for c in Counter(toks).values())
+            exp = (n * ln_micro(n) - sc) // n
+        r = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert r["n_words"] == n
+        assert r["entropy_micro"] == exp, (row["text"], r["entropy_micro"], exp)
+    # uniform doc has strictly higher entropy than the mixed one
+    e = got.set_index("doc_id")["entropy_micro"]
+    assert e[1] > e[2] > e[0] == 0
+
+
+def test_vocab_zipf_matches_duckdb_and_layouts(ray_session):
+    import duckdb
+
+    from searty_ray.stages.textstats import vocab_zipf
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    p = (1.0 / np.arange(1, 41)) ** 1.1
+    p /= p.sum()
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, size=30, p=p)) for _ in range(50)],
+        }
+    )
+    got = vocab_zipf(ray.data.from_pandas(docs, override_num_blocks=4))
+    # tiny run_chunk exercises interval splitting; result must be identical
+    got_chunked = vocab_zipf(
+        ray.data.from_pandas(docs, override_num_blocks=1), run_chunk=3
+    )
+    pd.testing.assert_frame_equal(got, got_chunked)
+    ref = duckdb.sql(
+        """
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+          FROM docs
+        ),
+        wc AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word),
+        r AS (SELECT row_number() OVER (ORDER BY c DESC, word) AS rnk, c FROM wc),
+        m AS (SELECT floor(ln(rnk) * 1000 + 0.5)::BIGINT AS x,
+                     floor(ln(c) * 1000 + 0.5)::BIGINT AS y FROM r),
+        s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy FROM m)
+        SELECT n AS n_vocab, sx, sy, sxx, sxy,
+               ((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx))::BIGINT AS slope_micro
+        FROM s
+        """
+    ).df().astype("int64")
+    pd.testing.assert_frame_equal(got, ref)
+    # a zipf-sampled corpus has slope < -0.5 (sanity on the sign/scale)
+    assert got["slope_micro"].iloc[0] < -500_000

@@ -5126,6 +5126,136 @@ FROM s
 """
 
 
+def q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK per event_type over (value, event_id) order in exact
+    integer micro units (stages/windows.group_percent_rank)."""
+    import pandas as pd
+
+    from ..stages.windows import group_percent_rank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = group_percent_rank(ev).to_pandas()
+    out["value"] = out["value"].round(6)
+    return (
+        out[["event_id", "event_type", "value", "pct_rank_micro"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype({"pct_rank_micro": "int64"})
+    )
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type, round(value, 6) AS value,
+       ((row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)) - 1)
+         * 1000000
+         // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1) AS pct_rank_micro
+FROM events
+ORDER BY event_id
+"""
+
+
+MKT_NATION = "NATION_0"
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per order-year, one nation's share of total trade
+    volume.  ONE order-key hash join (the two event-scale tables), supplier
+    and nation broadcast once; volume quantized to exact centi-units at the
+    row level so the year sums and the share division are pure integers."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import adaptive_join_partitions, broadcast_join, hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=adaptive_join_partitions(n_ord, n_li),
+    ).materialize()
+    enriched = broadcast_join(joined, supp, on="l_suppkey", right_on="s_suppkey")
+    enriched = broadcast_join(enriched, nat, on="s_nationkey", right_on="n_nationkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vol = np.floor(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        year = b["o_orderdate"].dt.year.to_numpy(np.int64)
+        is_nat = (b["n_name"] == MKT_NATION).to_numpy()
+        g = pd.DataFrame(
+            {
+                "o_year": year,
+                "nation_vol_centi": np.where(is_nat, vol, 0),
+                "total_vol_centi": vol,
+            }
+        )
+        return g.groupby("o_year", sort=False, as_index=False).sum()
+
+    out = (
+        enriched.map_batches(partial, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_vol_centi", alias_name="nation_vol_centi"),
+            Sum("total_vol_centi", alias_name="total_vol_centi"),
+        )
+        .to_pandas()  # one row per order-year — dimension-scale
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    num = out["nation_vol_centi"].to_numpy(np.int64)
+    den = out["total_vol_centi"].to_numpy(np.int64)
+    out["share_micro"] = num * np.int64(1_000_000) // den
+    return out.astype(
+        {
+            "o_year": "int64",
+            "nation_vol_centi": "int64",
+            "total_vol_centi": "int64",
+            "share_micro": "int64",
+        }
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH v AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)::BIGINT AS vol,
+         n_name
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+s AS (
+  SELECT o_year,
+         sum(CASE WHEN n_name = '{MKT_NATION}' THEN vol ELSE 0 END)::BIGINT AS nation_vol_centi,
+         sum(vol)::BIGINT AS total_vol_centi
+  FROM v GROUP BY o_year
+)
+SELECT o_year, nation_vol_centi, total_vol_centi,
+       (nation_vol_centi * 1000000 // total_vol_centi)::BIGINT AS share_micro
+FROM s ORDER BY o_year
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5173,6 +5303,8 @@ QUERIES = {
     "events_ntile": q_events_ntile,  # new in r5 (exact NTILE sizing)
     "word_entropy": q_word_entropy,  # new in r5 (integer micro-nats)
     "vocab_zipf": q_vocab_zipf,  # new in r5 (histogram-rank Zipf fit)
+    "events_percent_rank": q_events_percent_rank,  # new in r5
+    "market_share": q_market_share,  # new in r5 (Q8 shape, integer volume)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5369,6 +5501,8 @@ ORACLE_SQL = {
     "events_ntile": SQL_EVENTS_NTILE,
     "word_entropy": SQL_WORD_ENTROPY,
     "vocab_zipf": SQL_VOCAB_ZIPF,
+    "events_percent_rank": SQL_EVENTS_PERCENT_RANK,
+    "market_share": SQL_MARKET_SHARE,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -931,3 +931,38 @@ def group_ntile(
         .groupby("__pk")
         .map_groups(tile, batch_format="pandas")
     )
+
+
+def group_percent_rank(
+    events: ray.data.Dataset,
+    by: str = "event_type",
+    order: tuple[str, ...] = ("value", "event_id"),
+    num_partitions: int = 64,
+    unit: int = 1_000_000,
+) -> ray.data.Dataset:
+    """``PERCENT_RANK() OVER (PARTITION BY key ORDER BY order)`` in exact
+    integer micro units: ``(rank − 1) · 1e6 // (cnt − 1)`` (singleton keys
+    → 0, the SQL convention).  Same one-shuffle partition-local shape as
+    :func:`group_ntile`; note SQL ``rank()`` gives TIES the same rank —
+    the ``order`` columns here include a unique tiebreaker by contract, so
+    row_number == rank (assert-free: document at the call site)."""
+    from .analytics import _pk_any
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([by, *order], kind="mergesort").drop(columns="__pk")
+        grp = s.groupby(by, sort=False)
+        r = grp.cumcount().to_numpy(np.int64)  # rank − 1
+        cnt = grp[order[0]].transform("size").to_numpy(np.int64)
+        s["pct_rank_micro"] = np.where(cnt > 1, r * np.int64(unit) // np.maximum(cnt - 1, 1), 0)
+        return s
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(pr, batch_format="pandas")
+    )

@@ -760,3 +760,36 @@ def test_group_ntile_matches_duckdb(ray_session):
             """
         ).df().astype({"event_id": "int64", "tile": "int64"})
         pd.testing.assert_frame_equal(got, ref)
+
+
+def test_group_percent_rank_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.windows import group_percent_rank
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "lonely"], n, p=[0.5, 0.497, 0.003]),
+            "value": rng.integers(0, 20, n).astype("float64"),  # heavy ties
+        }
+    )
+    got = (
+        group_percent_rank(ray.data.from_pandas(df, override_num_blocks=4))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "event_type", "value", "pct_rank_micro"]]
+        .astype({"pct_rank_micro": "int64"})
+    )
+    ref = duckdb.sql(
+        """
+        SELECT event_id, event_type, value,
+               ((row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)) - 1)
+                 * 1000000
+                 // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1) AS pct_rank_micro
+        FROM df ORDER BY event_id
+        """
+    ).df().astype({"event_id": "int64", "pct_rank_micro": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

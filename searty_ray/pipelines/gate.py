@@ -5256,6 +5256,108 @@ FROM s ORDER BY o_year
 """
 
 
+BLOOM_M, BLOOM_K = 2048, 4
+
+
+def q_orders_bloom(sf_dir: str):
+    """Bloom-filter bits over the orders customer keys
+    (analytics.bloom_bits — k·m-bounded mergeable membership sketch)."""
+    from ..stages import analytics
+
+    return (
+        analytics.bloom_bits(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+            "o_custkey",
+            m_bits=BLOOM_M,
+            k=BLOOM_K,
+        )
+        .to_pandas()  # ≤ k·m rows by construction
+        .sort_values(["d", "bit"])
+        .reset_index(drop=True)
+        .astype({"d": "int64", "bit": "int64"})
+    )
+
+
+def q_customer_bloom_hits(sf_dir: str):
+    """Customers testing positive against the orders-custkey bloom filter
+    (analytics.bloom_prefilter) — the deterministic candidate superset a
+    semi join would verify; false positives included BY DESIGN and pinned
+    by the SQL mirror."""
+    from ..stages import analytics
+
+    bits = q_orders_bloom(sf_dir)
+    out = analytics.bloom_prefilter(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        bits,
+        "c_custkey",
+        m_bits=BLOOM_M,
+        k=BLOOM_K,
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True).astype({"c_custkey": "int64"})
+
+
+def _bloom_sql() -> tuple[str, str]:
+    from ..stages.analytics import _cm_salts, BLOOM_SALT
+    from ..stages.sample import sql_key_hash
+
+    salts = _cm_salts(BLOOM_K, BLOOM_SALT)
+    bit_parts = " UNION ALL ".join(
+        f"SELECT {d} AS d, (({sql_key_hash('o_custkey', s)})::UBIGINT % {BLOOM_M})::BIGINT AS bit FROM orders"
+        for d, s in enumerate(salts)
+    )
+    bits = f"SELECT DISTINCT d, bit FROM ({bit_parts}) ORDER BY d, bit"
+    lk_parts = " UNION ALL ".join(
+        f"SELECT c_custkey, {d} AS d, (({sql_key_hash('c_custkey', s)})::UBIGINT % {BLOOM_M})::BIGINT AS bit FROM customer"
+        for d, s in enumerate(salts)
+    )
+    hits = f"""
+WITH bits AS (SELECT DISTINCT d, bit FROM ({bit_parts})),
+lk AS ({lk_parts})
+SELECT lk.c_custkey
+FROM lk JOIN bits USING (d, bit)
+GROUP BY lk.c_custkey HAVING count(*) = {BLOOM_K}
+ORDER BY c_custkey
+"""
+    return bits, hits
+
+
+SQL_ORDERS_BLOOM, SQL_CUSTOMER_BLOOM_HITS = _bloom_sql()
+
+
+def q_events_mode(sf_dir: str):
+    """Per-user most frequent event_type (analytics.group_mode): two
+    narrow shuffles, deterministic lexicographic tiebreak."""
+    from ..stages import analytics
+
+    return (
+        analytics.group_mode(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+            ),
+            "user_id",
+            "event_type",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "mode_value", "n_mode"]]
+        .astype({"user_id": "int64", "n_mode": "int64"})
+    )
+
+
+SQL_EVENTS_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type AS mode_value, n AS n_mode,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, mode_value, n_mode FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5305,6 +5407,9 @@ QUERIES = {
     "vocab_zipf": q_vocab_zipf,  # new in r5 (histogram-rank Zipf fit)
     "events_percent_rank": q_events_percent_rank,  # new in r5
     "market_share": q_market_share,  # new in r5 (Q8 shape, integer volume)
+    "orders_bloom": q_orders_bloom,  # new in r5 (membership sketch)
+    "customer_bloom_hits": q_customer_bloom_hits,  # new in r5 (prefilter)
+    "events_mode": q_events_mode,  # new in r5 (grouped mode)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5503,6 +5608,9 @@ ORACLE_SQL = {
     "vocab_zipf": SQL_VOCAB_ZIPF,
     "events_percent_rank": SQL_EVENTS_PERCENT_RANK,
     "market_share": SQL_MARKET_SHARE,
+    "orders_bloom": SQL_ORDERS_BLOOM,
+    "customer_bloom_hits": SQL_CUSTOMER_BLOOM_HITS,
+    "events_mode": SQL_EVENTS_MODE,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

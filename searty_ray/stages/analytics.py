@@ -796,3 +796,132 @@ def rollup_sums(
     for m in measures + ["n_rows", "lvl"]:
         out[m] = out[m].astype("int64")
     return out.sort_values(["lvl", *keys], na_position="last").reset_index(drop=True)
+
+
+BLOOM_SALT = 0xB100F_117
+
+
+def bloom_bits(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    m_bits: int = 2048,
+    k: int = 4,
+    salt: int = BLOOM_SALT,
+) -> ray.data.Dataset:
+    """Bloom filter of an integer key column → (d, bit) rows, the set bits
+    of k salted hash planes — the MEMBERSHIP sibling of cm_sketch: bounded
+    at k·m_bits cells at ANY key cardinality, mergeable across shards by
+    set union (the groupby here), no false negatives ever.  Per batch: k
+    vectorized hash+dedup partials (≤ k·m_bits rows per batch shuffle);
+    one (d, bit) groupby unions them.  mix64 hashing keeps it bit-exactly
+    SQL-mirrorable."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import mix64
+    from .analytics import _cm_salts
+
+    salts = _cm_salts(k, salt)
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ds_, bs_ = [], []
+        for d, s in enumerate(salts):
+            bits = np.unique((mix64(ids ^ np.uint64(s)) % np.uint64(m_bits)).astype(np.int64))
+            ds_.append(np.full(len(bits), d, dtype=np.int64))
+            bs_.append(bits)
+        return pa.table(
+            {"d": pa.array(np.concatenate(ds_)), "bit": pa.array(np.concatenate(bs_))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "bit"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+def bloom_prefilter(
+    probe: ray.data.Dataset,
+    bits: pd.DataFrame,
+    key: str,
+    *,
+    m_bits: int = 2048,
+    k: int = 4,
+    salt: int = BLOOM_SALT,
+) -> ray.data.Dataset:
+    """Keep probe rows whose key tests POSITIVE against a built bloom
+    filter (``bits`` = the k·m_bits-bounded output of :func:`bloom_bits` —
+    broadcast once via ray.put, read per actor).  Deterministic superset of
+    the true matches (false positives possible, never negatives): the
+    cheap pre-filter before an exact semi join, cutting the probe-side
+    exchange to candidates only."""
+    import ray as _ray
+
+    from ..functions.hashing import mix64
+
+    salts = _cm_salts(k, salt)
+    table = np.zeros((k, m_bits), dtype=bool)
+    table[bits["d"].to_numpy(np.int64), bits["bit"].to_numpy(np.int64)] = True
+    ref = _ray.put(table)
+    _cache: dict = {}
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if "t" not in _cache:
+            _cache["t"] = _ray.get(ref)
+        t = _cache["t"]
+        ids = batch[key].to_numpy().astype(np.int64).view(np.uint64)
+        ok = np.ones(len(batch), dtype=bool)
+        for d, s in enumerate(salts):
+            ok &= t[d, (mix64(ids ^ np.uint64(s)) % np.uint64(m_bits)).astype(np.int64)]
+        return batch[ok]
+
+    return probe.map_batches(keep, batch_format="pandas")
+
+
+def group_mode(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Most frequent ``value`` per ``key`` (ties → lexicographically
+    smallest value, so reruns and the SQL mirror agree): per-batch
+    (key, value) count combiner → one (key, value) groupby sum → one
+    key-partitioned argmax pass (vectorized first-row-per-key after a
+    (key, −count, value) sort).  Two narrow shuffles, output key-scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([key, value], sort=False, observed=True)
+            .size()
+            .reset_index(name="c")
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, value])
+        .aggregate(Sum("c", alias_name="n_mode"))
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__pk"] = _pk_any(b[key], num_partitions)
+        return out
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            [key, "n_mode", value], ascending=[True, False, True], kind="mergesort"
+        )
+        first = s.groupby(key, sort=False).head(1).drop(columns="__pk")
+        return first.rename(columns={value: "mode_value"})
+
+    return (
+        counts.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(argmax, batch_format="pandas")
+    )

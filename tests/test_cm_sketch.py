@@ -109,3 +109,74 @@ def test_retention_cohorts_matches_pandas(ray_session):
     # diagonal completeness: every cohort counts itself at bucket == cohort
     diag = got[got["cohort"] == got["bucket"]]
     assert set(diag["cohort"]) == set(first.unique())
+
+
+def test_bloom_no_false_negatives_and_layout_stable(ray_session):
+    from searty_ray.stages.analytics import bloom_bits, bloom_prefilter
+
+    rng = np.random.default_rng(21)
+    build_keys = np.unique(rng.integers(0, 10_000, 800).astype(np.int64))
+    probe_keys = np.arange(0, 12_000, dtype=np.int64)
+    build_df = pd.DataFrame({"k": build_keys})
+    probe_df = pd.DataFrame({"k": probe_keys})
+
+    bits = (
+        bloom_bits(ray.data.from_pandas(build_df, override_num_blocks=4), "k", m_bits=512, k=3)
+        .to_pandas()
+        .sort_values(["d", "bit"])
+        .reset_index(drop=True)
+    )
+    bits2 = (
+        bloom_bits(ray.data.from_pandas(build_df, override_num_blocks=1), "k", m_bits=512, k=3)
+        .to_pandas()
+        .sort_values(["d", "bit"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bits, bits2)  # layout-invariant bit set
+
+    hits = set(
+        bloom_prefilter(
+            ray.data.from_pandas(probe_df, override_num_blocks=3), bits, "k", m_bits=512, k=3
+        )
+        .to_pandas()["k"]
+        .tolist()
+    )
+    members = set(build_keys.tolist())
+    assert members <= hits  # NO false negatives, ever
+    # 512 bits / ~760 keys is saturated enough to see false positives but
+    # still reject a meaningful share of non-members
+    non_members = set(probe_keys.tolist()) - members
+    fp = len(hits - members) / len(non_members)
+    assert fp < 1.0 and len(hits - members) > 0
+
+
+def test_group_mode_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.analytics import group_mode
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, 900).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "buy"], 900),
+        }
+    )
+    got = (
+        group_mode(ray.data.from_pandas(df, override_num_blocks=4), "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "mode_value", "n_mode"]]
+        .astype({"user_id": "int64", "n_mode": "int64"})
+    )
+    ref = duckdb.sql(
+        """
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                   FROM df GROUP BY user_id, event_type),
+        r AS (SELECT user_id, event_type AS mode_value, n AS n_mode,
+                     row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+              FROM c)
+        SELECT user_id, mode_value, n_mode FROM r WHERE rk = 1 ORDER BY user_id
+        """
+    ).df().astype({"user_id": "int64", "n_mode": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

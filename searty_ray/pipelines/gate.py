@@ -5358,6 +5358,72 @@ SELECT user_id, mode_value, n_mode FROM r WHERE rk = 1 ORDER BY user_id
 """
 
 
+def q_events_mad(sf_dir: str):
+    """Per-type median absolute deviation of event values
+    (analytics.group_mad — two quantile_disc passes, no interpolation)."""
+    from ..stages import analytics
+
+    return analytics.group_mad(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        "event_type",
+        "value",
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS median
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, quantile_disc(abs(e.value - m.median), 0.5) AS mad
+  FROM events e JOIN m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT m.event_type, round(m.median, 6) AS median, round(d.mad, 6) AS mad
+FROM m JOIN d USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_events_paths(sf_dir: str):
+    """Common 3-step event paths per user (stages/windows.path_counts —
+    the k-gram generalization of the transition matrix)."""
+    import pandas as pd
+
+    from ..stages.windows import path_counts
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].astype("int64"),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    return path_counts(ev.map_batches(prep, batch_format="pandas"), length=3)
+
+
+SQL_EVENTS_PATHS = """
+WITH e AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS n_paths
+FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY e1, e2, e3
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5410,6 +5476,8 @@ QUERIES = {
     "orders_bloom": q_orders_bloom,  # new in r5 (membership sketch)
     "customer_bloom_hits": q_customer_bloom_hits,  # new in r5 (prefilter)
     "events_mode": q_events_mode,  # new in r5 (grouped mode)
+    "events_mad": q_events_mad,  # new in r5 (robust scale stat)
+    "events_paths": q_events_paths,  # new in r5 (3-gram paths)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5611,6 +5679,8 @@ ORACLE_SQL = {
     "orders_bloom": SQL_ORDERS_BLOOM,
     "customer_bloom_hits": SQL_CUSTOMER_BLOOM_HITS,
     "events_mode": SQL_EVENTS_MODE,
+    "events_mad": SQL_EVENTS_MAD,
+    "events_paths": SQL_EVENTS_PATHS,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -925,3 +925,74 @@ def group_mode(
         .groupby("__pk")
         .map_groups(argmax, batch_format="pandas")
     )
+
+
+def group_mad(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    num_partitions: int = NUM_PARTITIONS,
+) -> pd.DataFrame:
+    """Median absolute deviation per group — the robust-scale statistic —
+    as two discrete-quantile passes (``quantile_disc`` semantics:
+    sorted[ceil(0.5·n)−1], an ACTUAL element, so no interpolation float
+    enters the compare):
+
+    pass 1: per-group disc median (one hash shuffle, dimension-scale out);
+    pass 2: broadcast the medians, disc median of |value − median| (one
+    more shuffle of the same shape).
+
+    Partitioning contract: one group fits one partition (the
+    group_quantiles contract); group count is dimension-scale, so the
+    broadcast dict is a bounded contract."""
+    import ray as _ray
+
+    def _disc_median(s: np.ndarray) -> float:
+        arr = np.sort(s)
+        return float(arr[max(int(np.ceil(0.5 * len(arr))) - 1, 0)])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[group, value]].copy()
+        out["__pk"] = _pk_any(out[group], num_partitions)
+        return out
+
+    def medians(g: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (key, _disc_median(vals.to_numpy(np.float64)))
+            for key, vals in g.groupby(group, sort=False)[value]
+        ]
+        return pd.DataFrame(rows, columns=[group, "median"])
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    med = (
+        tagged.groupby("__pk").map_groups(medians, batch_format="pandas").to_pandas()
+    )  # dimension-scale
+    med_ref = _ray.put(dict(zip(med[group], med["median"])))
+    _cache: dict = {}
+
+    def dev_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = _ray.get(med_ref)
+        out = batch[[group]].copy()
+        m = batch[group].map(_cache["m"]).to_numpy(np.float64)
+        out["__dev"] = np.abs(batch[value].to_numpy(np.float64) - m)
+        out["__pk"] = _pk_any(out[group], num_partitions)
+        return out
+
+    def mads(g: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (key, _disc_median(vals.to_numpy(np.float64)))
+            for key, vals in g.groupby(group, sort=False)["__dev"]
+        ]
+        return pd.DataFrame(rows, columns=[group, "mad"])
+
+    mad = (
+        ds.map_batches(dev_tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(mads, batch_format="pandas")
+        .to_pandas()
+    )
+    out = med.merge(mad, on=group)
+    out["median"] = out["median"].round(6)
+    out["mad"] = out["mad"].round(6)
+    return out.sort_values(group).reset_index(drop=True)

@@ -966,3 +966,58 @@ def group_percent_rank(
         .groupby("__pk")
         .map_groups(pr, batch_format="pandas")
     )
+
+
+def path_counts(
+    events: ray.data.Dataset,
+    by: str = "user_id",
+    order: tuple[str, ...] = ("ts_us", "event_id"),
+    state: str = "event_type",
+    length: int = 3,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Common event PATHS: every length-``length`` window of consecutive
+    states per key (LEAD chains), globally counted — the k-gram
+    generalization of :func:`transition_counts`, same combiner contract
+    (≤ |states|^length partial rows leave each partition; state alphabets
+    are dimension-scale)."""
+    from ray.data.aggregate import Sum
+
+    from .analytics import _pk_any
+
+    cols = [f"e{i + 1}" for i in range(length)]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def partial(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values([by, *order], kind="mergesort")
+        grp = s.groupby(by, sort=False)[state]
+        frame = {cols[0]: s[state]}
+        keep = np.ones(len(s), dtype=bool)
+        for i in range(1, length):
+            nxt = grp.shift(-i)
+            frame[cols[i]] = nxt
+            keep &= nxt.notna().to_numpy()
+        df = pd.DataFrame(frame)[keep]
+        part = df.groupby(cols, sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                **{c: pa.array(part[c], type=pa.large_string()) for c in cols},
+                "n": pa.array(part["n"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(partial, batch_format="pandas")
+        .groupby(cols)
+        .aggregate(Sum("n", alias_name="n_paths"))
+        .to_pandas()  # ≤ |states|^length rows — bounded contract
+        .sort_values(cols)
+        .reset_index(drop=True)
+        .astype({"n_paths": "int64"})
+    )

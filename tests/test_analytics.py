@@ -793,3 +793,60 @@ def test_group_percent_rank_matches_duckdb(ray_session):
         """
     ).df().astype({"event_id": "int64", "pct_rank_micro": "int64"})
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_group_mad_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.analytics import group_mad
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 500),
+            "v": np.round(rng.normal(10, 3, 500), 3),
+        }
+    )
+    got = group_mad(ray.data.from_pandas(df, override_num_blocks=4), "g", "v")
+    ref = duckdb.sql(
+        """
+        WITH m AS (SELECT g, quantile_disc(v, 0.5) AS median FROM df GROUP BY g),
+        d AS (SELECT e.g, quantile_disc(abs(e.v - m.median), 0.5) AS mad
+              FROM df e JOIN m USING (g) GROUP BY e.g)
+        SELECT m.g, round(m.median, 6) AS median, round(d.mad, 6) AS mad
+        FROM m JOIN d USING (g) ORDER BY g
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_path_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.windows import path_counts
+
+    rng = np.random.default_rng(23)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts_us": rng.integers(0, 10_000_000, n),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    got = path_counts(ray.data.from_pandas(df, override_num_blocks=5), length=3)
+    ref = duckdb.sql(
+        """
+        WITH e AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+        SELECT e1, e2, e3, count(*)::BIGINT AS n_paths
+        FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1, e2, e3 ORDER BY e1, e2, e3
+        """
+    ).df().astype({"n_paths": "int64"})
+    pd.testing.assert_frame_equal(got, ref)

@@ -5424,6 +5424,117 @@ ORDER BY e1, e2, e3
 """
 
 
+MIX_TEMP_N = 200
+
+
+def q_mix_temperature(sf_dir: str):
+    """Temperature-scaled (τ=0.5) source mixing (sample.mix_temperature):
+    per-source quotas ∝ √count, realized by deterministic hash-rank
+    bottom-k — the multilingual-upsampling shape of multi-domain mixes."""
+    from ..stages.sample import mix_temperature
+
+    out = mix_temperature(
+        _docs(sf_dir, ["doc_id", "source"]), MIX_TEMP_N, group="source"
+    ).to_pandas()
+    out = out.reindex(columns=["doc_id", "source", "rank"])
+    out = out.astype({"doc_id": "int64", "rank": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_mix_temperature() -> str:
+    from ..stages.sample import sql_key_hash
+
+    return f"""
+WITH cnt AS (SELECT source AS grp, count(*)::BIGINT AS n FROM documents GROUP BY source),
+w AS (SELECT grp, n, floor(sqrt(n) * 1000000 + 0.5)::BIGINT AS wt FROM cnt),
+q AS (SELECT grp, least(n, {MIX_TEMP_N} * wt // (SELECT sum(wt) FROM w))::BIGINT AS quota FROM w),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ({sql_key_hash('doc_id')})::UBIGINT, doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rn AS "rank"
+FROM r JOIN q ON r.source = q.grp
+WHERE r.rn <= q.quota
+ORDER BY doc_id
+"""
+
+
+SQL_MIX_TEMPERATURE = _sql_mix_temperature()
+
+
+def q_events_bounce(sf_dir: str):
+    """Daily bounce rate over gap sessions (stages/windows.sessionize →
+    day-bucket aggregate): share of single-event sessions per day in exact
+    integer micro units."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    sess = sessionize(ev, gap_s=1800)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["session_start_us"].to_numpy(np.int64) // 86_400_000_000).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "day": day,
+                "n_sessions": np.ones(len(b), dtype=np.int64),
+                "n_bounce": (b["n_events"].to_numpy(np.int64) == 1).astype(np.int64),
+            }
+        ).groupby("day", sort=False, as_index=False).sum()
+
+    out = (
+        sess.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_bounce", alias_name="n_bounce"),
+        )
+        .to_pandas()  # one row per day — dimension-scale
+        .sort_values("day")
+        .reset_index(drop=True)
+        .astype({"day": "int64", "n_sessions": "int64", "n_bounce": "int64"})
+    )
+    out["bounce_micro"] = (
+        out["n_bounce"].to_numpy(np.int64) * np.int64(1_000_000)
+        // out["n_sessions"].to_numpy(np.int64)
+    )
+    return out
+
+
+SQL_EVENTS_BOUNCE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+grouped AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+  FROM grouped GROUP BY user_id, sid
+),
+d AS (
+  SELECT (session_start_us // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS n_sessions,
+         sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce
+  FROM sess GROUP BY 1
+)
+SELECT day, n_sessions, n_bounce,
+       (n_bounce * 1000000 // n_sessions)::BIGINT AS bounce_micro
+FROM d ORDER BY day
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5478,6 +5589,8 @@ QUERIES = {
     "events_mode": q_events_mode,  # new in r5 (grouped mode)
     "events_mad": q_events_mad,  # new in r5 (robust scale stat)
     "events_paths": q_events_paths,  # new in r5 (3-gram paths)
+    "mix_temperature": q_mix_temperature,  # new in r5 (tau=0.5 mixing)
+    "events_bounce": q_events_bounce,  # new in r5 (session bounce rate)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5681,6 +5794,8 @@ ORACLE_SQL = {
     "events_mode": SQL_EVENTS_MODE,
     "events_mad": SQL_EVENTS_MAD,
     "events_paths": SQL_EVENTS_PATHS,
+    "mix_temperature": SQL_MIX_TEMPERATURE,
+    "events_bounce": SQL_EVENTS_BOUNCE,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -372,3 +372,68 @@ def exact_n_sample(
     cand = ds.map_batches(head, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["__h", key]).head(n)
     return cand.drop(columns="__h").reset_index(drop=True)
+
+
+def mix_temperature(
+    ds: ray.data.Dataset,
+    n_out: int,
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Temperature-scaled source mixing (the multinomial τ-sampling of
+    multilingual/multi-domain pretraining, τ = 0.5): per-source quotas
+    ∝ √count — upweights small sources relative to proportional mixing —
+    realized as deterministic hash-rank selection.
+
+    τ is FIXED at 0.5 because IEEE sqrt is correctly rounded (a general
+    ``pow`` is not), so the weight quantization
+    ``w = floor(sqrt(n)·1e6 + 0.5)`` and the integer quota
+    ``min(n, n_out·w // Σw)`` are bit-exact against the SQL mirror.
+
+    Scale shape: identical to :func:`mix_sources` — a combiner-first count
+    pass (one row per source per batch), then the mergeable bottom-k
+    kernel (≤ max-quota candidate rows per source per batch, never the
+    corpus).  → (key, group, rank) rows."""
+    import pandas as pd
+
+    from .analytics import topk_per_group
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(group, sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(cnt_partial, batch_format="pandas").to_pandas()
+    counts = parts.groupby(group)["n"].sum().to_dict()  # dimension-scale
+    w = {
+        g: int(np.floor(np.sqrt(np.float64(n)) * 1e6 + 0.5)) for g, n in counts.items()
+    }
+    tot_w = sum(w.values())
+    n_keep = {g: min(counts[g], n_out * w[g] // tot_w) for g in counts}
+    max_k = max(n_keep.values(), default=0)
+
+    def rank_col(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        ids = out[key].to_numpy().astype(np.int64).view(np.uint64)
+        out["__rank"] = mix64(ids ^ np.uint64(salt))
+        return out
+
+    kwargs = {} if num_partitions is None else {"num_partitions": num_partitions}
+    ranked = topk_per_group(
+        ds.map_batches(rank_col, batch_format="pandas"),
+        group=group,
+        order="__rank",
+        k=max(max_k, 1),
+        tie_col=key,
+        descending=False,
+        **kwargs,
+    )
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        cut = b[group].map(n_keep).fillna(0).to_numpy(dtype=np.int64)
+        out = b[b["rank"].to_numpy() <= cut]
+        return out.drop(columns="__rank")
+
+    return ranked.map_batches(trim, batch_format="pandas")

@@ -1070,3 +1070,39 @@ def test_vocab_zipf_matches_duckdb_and_layouts(ray_session):
     pd.testing.assert_frame_equal(got, ref)
     # a zipf-sampled corpus has slope < -0.5 (sanity on the sign/scale)
     assert got["slope_micro"].iloc[0] < -500_000
+
+
+def test_mix_temperature_quota_and_determinism(ray_session):
+    from searty_ray.stages.sample import mix_temperature
+
+    rng = np.random.default_rng(31)
+    sizes = {"big": 400, "mid": 100, "tiny": 25}
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(sum(sizes.values()), dtype=np.int64),
+            "source": np.repeat(list(sizes), list(sizes.values())),
+        }
+    )
+    n_out = 120
+    got = (
+        mix_temperature(ray.data.from_pandas(docs, override_num_blocks=4), n_out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact integer quotas: w = floor(sqrt(n)*1e6+0.5); q = n_out*w // sum(w)
+    w = {g: int(np.floor(np.sqrt(np.float64(n)) * 1e6 + 0.5)) for g, n in sizes.items()}
+    tw = sum(w.values())
+    expect = {g: min(sizes[g], n_out * w[g] // tw) for g in sizes}
+    assert got.groupby("source").size().to_dict() == expect
+    # temperature flattens: tiny source keeps a LARGER share than its raw
+    # proportion, big a smaller one
+    assert expect["tiny"] / sizes["tiny"] > expect["big"] / sizes["big"]
+    # layout-stable
+    got2 = (
+        mix_temperature(ray.data.from_pandas(docs, override_num_blocks=1), n_out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

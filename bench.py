@@ -400,6 +400,15 @@ def main() -> None:
     _bpe.bpe_apply(docs, _bpe.bpe_train(docs, 200)).count()
     timings["bpe_train_apply"] = time.monotonic() - t0
 
+    # iterative graph workload: 5 Pregel iterations of integer PageRank
+    # over the symmetrised customer-supplier trade graph (one order-key
+    # hash join + per-iteration vertex join & contribution exchange)
+    from searty_ray.pipelines.gate import q_graph_pagerank
+
+    t0 = time.monotonic()
+    q_graph_pagerank(SF_DIR)
+    timings["graph_pagerank"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -100,52 +100,40 @@ def pagerank(
     damp_pct: int = PR_DAMP_PCT,
     base_micro: int = PR_BASE_MICRO,
     num_partitions: int = NUM_PARTITIONS,
+    mode: str = "auto",
+    broadcast_below: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Integer fixed-point PageRank over an edge Dataset with columns
     ``(src, dst)`` (int64 vertex ids, outdeg ≥ 1 per the module contract).
-    Returns a Dataset of ``(node, rank_micro)``."""
+    Returns a Dataset of ``(node, rank_micro)``.
+
+    ``mode``: ``"join"`` runs each iteration as a vertex-scale hash join —
+    the any-scale path; ``"broadcast"`` ships the rank vector via
+    ``ray.put`` and looks it up with a searchsorted inside the adjacency
+    map — one join pool per iteration saved, rank state driver-resident
+    (the bounded contract: ≤ ``broadcast_below`` vertices, the ranged-
+    window-seed precedent).  ``"auto"`` picks broadcast below the
+    threshold.  Both modes are bit-identical (pinned by pytest)."""
+    import ray as _ray
+
     from .joins import adaptive_join_partitions, hash_join
 
     adj = _adjacency(edges, num_partitions).materialize()
     n_nodes = adj.count()
-    jp = adaptive_join_partitions(n_nodes)
+    use_bcast = mode == "broadcast" or (mode == "auto" and n_nodes <= broadcast_below)
 
-    def init_ranks(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": b["node"],
-                "r": pa.array(
-                    np.full(b.num_rows, PR_INIT_MICRO, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    ranks = adj.select_columns(["node"]).map_batches(
-        init_ranks, batch_format="pyarrow"
-    ).materialize()
-
-    def emit(b: pa.Table) -> pa.Table:
-        # per-vertex share, fanned to out-neighbors, pre-combined per batch
-        if b.num_rows == 0:
-            return pa.table(
-                {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
-            )
-        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        share = (r * np.int64(damp_pct)) // (np.int64(100) * deg)
-        col = b["dst_bytes"]
+    def _fan(share: np.ndarray, col) -> pa.Table:
+        # fan per-vertex shares to packed out-neighbors, combine batch-local
+        # in EXACT int64 (sorted reduceat, no float): ≤ distinct-dst rows
+        # leave the stage
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        # decode the packed int64 neighbor lists zero-copy off the buffers
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
         buf = np.frombuffer(arr.buffers()[2], dtype=np.int64)
         counts = np.diff(offs[: len(arr) + 1])
         dst_all = buf[offs[0] : offs[len(arr)]]
         share_all = np.repeat(share, counts)
-        # batch-local combine in EXACT int64 (sorted reduceat, no float):
-        # ≤ distinct-dst rows leave the stage
         order = np.argsort(dst_all, kind="stable")
-        dst_srt = dst_all[order]
-        uniq, bounds = np.unique(dst_srt, return_index=True)
+        uniq, bounds = np.unique(dst_all[order], return_index=True)
         exact = np.add.reduceat(share_all[order], bounds)
         return pa.table(
             {
@@ -154,24 +142,90 @@ def pagerank(
             }
         )
 
-    for _ in range(iterations):
-        joined = hash_join(ranks, adj, on="node", num_partitions=jp)
-        sums = (
-            joined.map_batches(emit, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="s"))
-        )
+    _EMPTY = pa.table(
+        {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+    )
 
-        def next_ranks(b: pa.Table) -> pa.Table:
-            s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if use_bcast:
+        nodes_df = (
+            adj.select_columns(["node"]).to_pandas()  # ≤ broadcast_below rows
+        )
+        nodes = np.sort(nodes_df["node"].to_numpy(np.int64))
+        r = np.full(len(nodes), PR_INIT_MICRO, dtype=np.int64)
+        for _ in range(iterations):
+            ref = _ray.put((nodes, r))
+            _cache: dict = {}
+
+            def emit_bcast(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return _EMPTY
+                if "nr" not in _cache:
+                    _cache["nr"] = _ray.get(ref)
+                bn, br = _cache["nr"]
+                node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+                rv = br[np.searchsorted(bn, node)]
+                share = (rv * np.int64(damp_pct)) // (np.int64(100) * deg)
+                return _fan(share, b["dst_bytes"])
+
+            # per-batch partials are already ≤ distinct-dst rows; in
+            # broadcast mode the rank state is driver-resident anyway, so
+            # the final combine is a vertex-scale bincount on the driver —
+            # no per-iteration aggregate pool (the join path keeps the
+            # distributed groupby for the any-scale contract)
+            parts = adj.map_batches(emit_bcast, batch_format="pyarrow").to_pandas()
+            r = np.full(len(nodes), base_micro, dtype=np.int64)
+            idx = np.searchsorted(nodes, parts["dst"].to_numpy(np.int64))
+            np.add.at(r, idx, parts["c"].to_numpy(np.int64))
+        ranks = ray.data.from_pandas(
+            pd.DataFrame({"node": nodes, "r": r})
+        )
+    else:
+        jp = adaptive_join_partitions(n_nodes)
+
+        def init_ranks(b: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "node": b["dst"],
-                    "r": pa.array(s + np.int64(base_micro), type=pa.int64()),
+                    "node": b["node"],
+                    "r": pa.array(
+                        np.full(b.num_rows, PR_INIT_MICRO, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
                 }
             )
 
-        ranks = sums.map_batches(next_ranks, batch_format="pyarrow").materialize()
+        ranks = (
+            adj.select_columns(["node"])
+            .map_batches(init_ranks, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def emit(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _EMPTY
+            r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            share = (r * np.int64(damp_pct)) // (np.int64(100) * deg)
+            return _fan(share, b["dst_bytes"])
+
+        for _ in range(iterations):
+            joined = hash_join(ranks, adj, on="node", num_partitions=jp)
+            sums = (
+                joined.map_batches(emit, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Sum("c", alias_name="s"))
+            )
+
+            def next_ranks(b: pa.Table) -> pa.Table:
+                s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {
+                        "node": b["dst"],
+                        "r": pa.array(s + np.int64(base_micro), type=pa.int64()),
+                    }
+                )
+
+            ranks = sums.map_batches(next_ranks, batch_format="pyarrow").materialize()
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "rank_micro": b["r"]})

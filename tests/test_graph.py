@@ -88,3 +88,27 @@ def test_pagerank_star_graph_mass(ray_session):
     leaves = out.loc[out["node"] != 0, "rank_micro"]
     assert leaves.nunique() == 1
     assert hub > leaves.iloc[0]
+
+
+def test_pagerank_broadcast_equals_join_mode(ray_session):
+    rng = np.random.default_rng(19)
+    pairs = pd.DataFrame(
+        {"a": rng.integers(0, 25, 300), "b": rng.integers(100, 130, 300)}
+    ).drop_duplicates()
+    edf = _undirected(pairs)
+    ds = ray.data.from_pandas(edf, override_num_blocks=4)
+    bc = (
+        pagerank(ds, mode="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "rank_micro": "int64"})
+    )
+    jn = (
+        pagerank(ray.data.from_pandas(edf, override_num_blocks=4), mode="join")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "rank_micro": "int64"})
+    )
+    pd.testing.assert_frame_equal(bc, jn)

@@ -109,6 +109,25 @@ def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
     return max(floor, 0.0)
 
 
+
+
+def _worker_setup():
+    """worker_process_setup_hook: mute Ray Data's per-block "Failed to
+    hash the schemas" warning in EVERY worker (pyarrow schemas carrying
+    parquet pandas metadata are unhashable — harmless, unfixable at the
+    source since the inputs are read-only; join/exchange inputs are also
+    metadata-stripped via joins.strip_schema_metadata so schema dedup
+    works where it matters).  Defined here (picklable by value from
+    __main__) because shuffle aggregator actors never import searty_ray."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_F())
+
+
 def main() -> None:
     import numpy as np
     import ray
@@ -119,6 +138,7 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _worker_setup},
     )
     import ray.data
 

@@ -302,6 +302,29 @@ def clean_join_side(ds: ray.data.Dataset) -> ray.data.Dataset:
     return out
 
 
+def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop arrow schema-level metadata (the pandas blob parquet readers
+    attach) before a native join: the join aggregators hash schemas for
+    deduplication, and metadata-carrying schemas fail that hash — one
+    warning line per aggregator per block ("Failed to hash the schemas")
+    and no schema dedup.  No-op unless the dataset's schema actually
+    carries metadata (the check is driver-side and free); the strip itself
+    is a zero-copy per-batch metadata replace."""
+    try:
+        meta = getattr(ds.schema().base_schema, "metadata", None)
+    except Exception:
+        meta = None
+    if not meta:
+        return ds
+
+    import pyarrow as pa
+
+    def _strip(t: "pa.Table") -> "pa.Table":
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -328,8 +351,8 @@ def hash_join(
     if guard:
         left = clean_join_side(left)
         right = clean_join_side(right)
-    return left.join(
-        right,
+    return strip_schema_metadata(left).join(
+        strip_schema_metadata(right),
         join_type=how,
         num_partitions=num_partitions,
         on=(on,),
@@ -364,8 +387,8 @@ def semi_join(
     if guard:
         left = clean_join_side(left)
         keys = clean_join_side(keys)
-    return left.join(
-        keys,
+    return strip_schema_metadata(left).join(
+        strip_schema_metadata(keys),
         join_type="left_anti" if anti else "left_semi",
         num_partitions=num_partitions,
         on=(on,),

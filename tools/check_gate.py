@@ -16,6 +16,20 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _worker_setup():
+    """worker_process_setup_hook: mute Ray Data's per-block "Failed to hash
+    the schemas" warning in every worker — see bench.py's twin for why."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_F())
+
+
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -42,7 +56,13 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env={"worker_process_setup_hook": _worker_setup},
+        )
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

@@ -5535,6 +5535,208 @@ FROM d ORDER BY day
 """
 
 
+def q_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the warehouse FKs — the data-QA
+    pass a pipeline runs before training export: per FK edge, total rows
+    and violations (child keys with no parent), via the distinct-key
+    anti-join combiner (stages/joins.semi_join(anti=True) reduces the
+    parent side to distinct keys per batch before ONE shuffle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import anti_join
+
+    edges = [
+        # (name, child table, child key, parent table, parent key)
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in edges:
+        c_ds = ray.data.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ck])
+        p_ds = ray.data.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        n_rows = pq.read_metadata(f"{sf_dir}/{child}.parquet").num_rows
+        n_viol = anti_join(c_ds, p_ds, on=ck, right_on=pk, num_partitions=4).count()
+        rows.append((name, n_rows, n_viol))
+    return pd.DataFrame(rows, columns=["fk", "n_rows", "n_violations"]).astype(
+        {"n_rows": "int64", "n_violations": "int64"}
+    )
+
+
+SQL_INTEGRITY_AUDIT = """
+SELECT 'orders->customer' AS fk, (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_violations
+UNION ALL
+SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+UNION ALL
+SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+UNION ALL
+SELECT 'lineitem->part', (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+UNION ALL
+SELECT 'customer->nation', (SELECT count(*) FROM customer)::BIGINT,
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+UNION ALL
+SELECT 'supplier->nation', (SELECT count(*) FROM supplier)::BIGINT,
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+"""
+
+
+def q_session_copairs(sf_dir: str):
+    """Pairwise event-type co-occurrence within gap sessions
+    (stages/windows.session_copairs — the frequent-itemset primitive)."""
+    import pandas as pd
+
+    from ..stages.windows import session_copairs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ts_us": b["ts"].astype("int64"),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    return session_copairs(ev.map_batches(prep, batch_format="pandas"))
+
+
+SQL_SESSION_COPAIRS = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+grouped AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM grouped)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_sessions
+FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+                    AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM quartile scoring per customer (recency day / order count /
+    centi-unit spend): aggregates run distributed (combiner-first), the
+    three quartile thresholds come from exact integer value histograms
+    (analytics.int_quantile_disc — the vocab_zipf distinct-value-scale
+    contract, no global sort), and score assignment is a stateless
+    threshold comparison: tile = 1 + Σ(v > q_p).  Threshold-based quartiles
+    (boundary ties all take the lower tile) — deterministic and mirrored
+    token-for-token in SQL via quantile_disc."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.analytics import int_quantile_disc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"],
+                "day": (b["o_orderdate"].astype("int64") // 86_400_000_000).astype(
+                    "int64"
+                ),
+                "price_centi": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    agg = (
+        orders.map_batches(prep, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="r_day"),
+            Count(alias_name="f_orders"),
+            Sum("price_centi", alias_name="m_centi"),
+        )
+        .materialize()
+    )
+    ps = (0.25, 0.5, 0.75)
+    qs = {c: int_quantile_disc(agg, c, ps) for c in ("r_day", "f_orders", "m_centi")}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c, short in (("r_day", "r"), ("f_orders", "f"), ("m_centi", "m")):
+            v = b[c].to_numpy(np.int64)
+            t = np.ones(len(b), dtype=np.int64)
+            for q in qs[c]:
+                t += (v > q).astype(np.int64)
+            out[f"{short}_score"] = t
+        return out
+
+    return (
+        agg.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "o_custkey": "int64",
+                "r_day": "int64",
+                "f_orders": "int64",
+                "m_centi": "int64",
+                "r_score": "int64",
+                "f_score": "int64",
+                "m_score": "int64",
+            }
+        )[
+            ["o_custkey", "r_day", "f_orders", "m_centi", "r_score", "f_score", "m_score"]
+        ]
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH a AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000)::BIGINT AS r_day,
+         count(*)::BIGINT AS f_orders,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS m_centi
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_disc(r_day, 0.25) AS r1, quantile_disc(r_day, 0.5) AS r2,
+         quantile_disc(r_day, 0.75) AS r3,
+         quantile_disc(f_orders, 0.25) AS f1, quantile_disc(f_orders, 0.5) AS f2,
+         quantile_disc(f_orders, 0.75) AS f3,
+         quantile_disc(m_centi, 0.25) AS m1, quantile_disc(m_centi, 0.5) AS m2,
+         quantile_disc(m_centi, 0.75) AS m3
+  FROM a
+)
+SELECT o_custkey, r_day, f_orders, m_centi,
+       (1 + (r_day > q.r1)::INT + (r_day > q.r2)::INT + (r_day > q.r3)::INT)::BIGINT AS r_score,
+       (1 + (f_orders > q.f1)::INT + (f_orders > q.f2)::INT + (f_orders > q.f3)::INT)::BIGINT AS f_score,
+       (1 + (m_centi > q.m1)::INT + (m_centi > q.m2)::INT + (m_centi > q.m3)::INT)::BIGINT AS m_score
+FROM a, q ORDER BY o_custkey
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5591,6 +5793,9 @@ QUERIES = {
     "events_paths": q_events_paths,  # new in r5 (3-gram paths)
     "mix_temperature": q_mix_temperature,  # new in r5 (tau=0.5 mixing)
     "events_bounce": q_events_bounce,  # new in r5 (session bounce rate)
+    "integrity_audit": q_integrity_audit,  # new in r5 (FK QA pass)
+    "session_copairs": q_session_copairs,  # new in r5 (itemset pairs)
+    "customer_rfm": q_customer_rfm,  # new in r5 (histogram-quantile scores)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -5796,6 +6001,9 @@ ORACLE_SQL = {
     "events_paths": SQL_EVENTS_PATHS,
     "mix_temperature": SQL_MIX_TEMPERATURE,
     "events_bounce": SQL_EVENTS_BOUNCE,
+    "integrity_audit": SQL_INTEGRITY_AUDIT,
+    "session_copairs": SQL_SESSION_COPAIRS,
+    "customer_rfm": SQL_CUSTOMER_RFM,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -996,3 +996,36 @@ def group_mad(
     out["median"] = out["median"].round(6)
     out["mad"] = out["mad"].round(6)
     return out.sort_values(group).reset_index(drop=True)
+
+
+def int_quantile_disc(
+    ds: ray.data.Dataset, col: str, ps: tuple[float, ...]
+) -> list[int]:
+    """EXACT global discrete quantiles (``quantile_disc`` semantics:
+    sorted[ceil(p·n)−1]) of an INTEGER column without a global sort: a
+    per-batch value-count combiner → one (value → count) groupby → the
+    distinct-value-scale histogram reaches the driver (the vocab_zipf
+    bounded contract — integer metric domains are orders of magnitude
+    below row counts), where a cumulative count finds each order
+    statistic."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vu, vc = np.unique(b[col].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"v": vu, "m": vc.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vs = hist["v"].to_numpy(np.int64)
+    cum = np.cumsum(hist["m"].to_numpy(np.int64))
+    n = int(cum[-1])
+    out = []
+    for p in ps:
+        k = max(int(np.ceil(p * n)), 1)  # 1-based position
+        out.append(int(vs[np.searchsorted(cum, k)]))
+    return out

@@ -1021,3 +1021,69 @@ def path_counts(
         .reset_index(drop=True)
         .astype({"n_paths": "int64"})
     )
+
+
+def session_copairs(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    by: str = "user_id",
+    ts: str = "ts_us",
+    state: str = "event_type",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Market-basket pairs over gap sessions: for every unordered pair of
+    distinct states, the number of SESSIONS containing both — the pairwise
+    frequent-itemset primitive.
+
+    Session identity depends only on per-key sorted timestamp gaps (ties
+    cannot create or destroy a gap), so the engine's partition-local sid
+    matches any ordering the SQL mirror picks.  Per partition: one sort,
+    vectorized gap/sid derivation, distinct (key, sid, state), then a
+    within-partition self-merge on the session id emits ≤ |states|²
+    partial pair counts (the transition_counts combiner contract — all of
+    one key's rows co-locate, so sessions never straddle partitions)."""
+    from ray.data.aggregate import Sum
+
+    from .analytics import _pk_any
+
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__pk"] = _pk_any(batch[by], num_partitions)
+        return out
+
+    def pairs_partial(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values([by, ts], kind="mergesort")
+        t = s[ts].to_numpy(np.int64)
+        u = s[by].to_numpy(np.int64)
+        new_user = np.empty(len(s), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        if len(s) > 1:
+            brk[1:] |= (t[1:] - t[:-1]) > gap_us
+        sid = np.cumsum(brk)  # globally unique within the partition
+        st = pd.DataFrame({"sid": sid, "st": s[state].to_numpy()}).drop_duplicates()
+        m = st.merge(st, on="sid")
+        m = m[m["st_x"] < m["st_y"]]
+        part = m.groupby(["st_x", "st_y"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "type_a": pa.array(part["st_x"], type=pa.large_string()),
+                "type_b": pa.array(part["st_y"], type=pa.large_string()),
+                "n": pa.array(part["n"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(pairs_partial, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_sessions"))
+        .to_pandas()  # ≤ |states|² rows — bounded contract
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+        .astype({"n_sessions": "int64"})
+    )

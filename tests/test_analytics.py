@@ -850,3 +850,58 @@ def test_path_counts_matches_duckdb(ray_session):
         """
     ).df().astype({"n_paths": "int64"})
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_session_copairs_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.windows import session_copairs
+
+    rng = np.random.default_rng(29)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "ts_us": rng.integers(0, 5 * 86_400_000_000, n).astype(np.int64),
+            "user_id": rng.integers(0, 10, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    got = session_copairs(ray.data.from_pandas(df, override_num_blocks=4), gap_s=1800)
+    ref = duckdb.sql(
+        """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts_us,
+                 CASE WHEN ts_us - lag(ts_us) OVER w > 1800 * 1000000
+                      OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ),
+        grouped AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM ordered
+        ),
+        st AS (SELECT DISTINCT user_id, sid, event_type FROM grouped)
+        SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_sessions
+        FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+                            AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df().astype({"n_sessions": "int64"})
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_int_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.analytics import int_quantile_disc
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"v": rng.integers(-50, 500, 777).astype(np.int64)})
+    got = int_quantile_disc(
+        ray.data.from_pandas(df, override_num_blocks=5), "v", (0.25, 0.5, 0.75, 0.9)
+    )
+    ref = duckdb.sql(
+        "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+        "quantile_disc(v, 0.75), quantile_disc(v, 0.9) FROM df"
+    ).fetchone()
+    assert got == [int(x) for x in ref]

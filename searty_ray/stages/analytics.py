@@ -798,6 +798,119 @@ def rollup_sums(
     return out.sort_values(["lvl", *keys], na_position="last").reset_index(drop=True)
 
 
+def cube_sums(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    measures: list[str],
+) -> pd.DataFrame:
+    """GROUP BY CUBE(keys) — all 2^k grouping sets, derived exactly like
+    :func:`rollup_sums`: ONE distributed finest-level aggregate (per-batch
+    combiner partials → key-tuple groupby), then every coarser grouping
+    set is an exact integer re-aggregation OF THE FINEST LEVEL on the
+    driver (dimension-scale by definition; measures must be integers so
+    the levels agree bit-for-bit).  ``lvl`` mirrors DuckDB's
+    ``grouping(keys...)`` bitmask — bit (k−1−i) set ⇔ keys[i] rolled up."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False, as_index=False, observed=True)[measures].sum()
+        n = b.groupby(keys, sort=False, observed=True).size().reset_index(name="n_rows")
+        return g.merge(n, on=keys)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False, observed=True)[
+            measures + ["n_rows"]
+        ].sum()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()  # dimension-scale by definition of a grouped cube
+    )
+    k = len(keys)
+    levels = []
+    for mask in range(1 << k):
+        kept = [keys[i] for i in range(k) if not (mask >> (k - 1 - i)) & 1]
+        if kept:
+            lv = finest.groupby(kept, as_index=False, observed=True)[
+                measures + ["n_rows"]
+            ].sum()
+        else:
+            lv = finest[measures + ["n_rows"]].sum().to_frame().T
+        for i in range(k):
+            if (mask >> (k - 1 - i)) & 1:
+                lv[keys[i]] = None
+        lv["lvl"] = np.int64(mask)
+        levels.append(lv)
+    out = pd.concat(levels, ignore_index=True)[keys + measures + ["n_rows", "lvl"]]
+    for m in measures + ["n_rows", "lvl"]:
+        out[m] = out[m].astype("int64")
+    return out.sort_values(["lvl", *keys], na_position="last").reset_index(drop=True)
+
+
+def weighted_quantiles(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    weight: str,
+    pcts: tuple[int, ...] = (25, 50, 75),
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Weighted discrete quantiles per group — for each percentile p the
+    SMALLEST value v whose cumulative weight reaches ceil(p·W/100) (the
+    lower weighted median generalized; all-integer, no interpolation, so
+    the SQL window mirror is bit-exact).
+
+    SCALE: per-batch combiner reduces to (group, value) weight partials —
+    only distinct (group, value) pairs shuffle, never the rows; the global
+    groupby sums them; ONE map_groups per group does the sorted cumsum +
+    searchsorted threshold scan.  PARTITIONING: the per-group distinct-
+    VALUE set must fit an actor (bounded-domain contract — quantized
+    prices/centi grids, not open floats; document per call site)."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group, value], sort=False, as_index=False, observed=True)[
+            weight
+        ].sum()
+        return g
+
+    def per_group(g: pd.DataFrame) -> "pa.Table":
+        # return ARROW: map_groups' empty hash partitions emit zero-column
+        # pandas blocks otherwise (NOTES empty-block pathology)
+        import pyarrow as pa
+
+        vals = g[value].to_numpy(np.int64)
+        wts = g["__w"].to_numpy(np.int64)
+        order = np.argsort(vals)
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        W = int(cum[-1])
+        # ceil(p·W/100) in exact ints; searchsorted('left') finds the
+        # smallest value whose cumweight >= threshold
+        thr = np.array([-(-p * W // 100) for p in pcts], dtype=np.int64)
+        idx = np.searchsorted(cum, thr, side="left")
+        return pa.table(
+            {
+                group: pa.array([g[group].iloc[0]] * len(pcts)),
+                "p": pa.array(np.array(pcts, dtype=np.int64)),
+                "wq": pa.array(vals[idx], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby([group, value])
+        .aggregate(Sum(weight, alias_name="__w"))
+        .groupby(group)
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()  # groups × pcts — dimension-scale
+    )
+    out["p"] = out["p"].astype("int64")
+    out["wq"] = out["wq"].astype("int64")
+    return out.sort_values([group, "p"]).reset_index(drop=True)
+
+
 BLOOM_SALT = 0xB100F_117
 
 

@@ -231,3 +231,150 @@ def pagerank(
         return pa.table({"node": b["node"], "rank_micro": b["r"]})
 
     return ranks.map_batches(out, batch_format="pyarrow")
+
+
+CC_ITERATIONS = 8
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    iterations: int = CC_ITERATIONS,
+    num_partitions: int = NUM_PARTITIONS,
+    mode: str = "auto",
+    broadcast_below: int = 2_000_000,
+    until_convergence: bool = False,
+) -> ray.data.Dataset:
+    """Connected components by min-label propagation — the label-propagation
+    sibling of :func:`pagerank` on the same Pregel split (one adjacency
+    build, one vertex-scale exchange per superstep).
+
+    ``label_0(v) = v``; each superstep takes the min over the vertex's own
+    label and its in-neighbors' labels, so ``label_K(v)`` is exactly the
+    minimum vertex id within K hops.  On a symmetric edge set the fixpoint
+    is the component's min id (the canonical cluster id — same contract as
+    ``cluster.duplicate_clusters`` on near-dup pairs, generalized to any
+    edge table).  ``until_convergence=True`` iterates to that fixpoint
+    (ONE int64 scalar — the number of changed labels — reaches the driver
+    per superstep); the default fixed budget keeps the result a pure
+    K-step recurrence a chained-CTE SQL oracle pins bit-exactly.
+
+    SCALE: identical to pagerank — per superstep the fan stage pre-combines
+    (sorted ``minimum.reduceat``), so the exchange carries ≤ distinct-dst
+    rows per batch, never one row per edge.  Broadcast mode holds the
+    label vector driver-resident (bounded contract: ≤ ``broadcast_below``
+    vertices); join mode is the any-scale path.  Bit-identical (pinned by
+    pytest).  Returns ``(node, comp)``."""
+    import ray as _ray
+
+    from ray.data.aggregate import Min
+
+    from .joins import adaptive_join_partitions, hash_join
+
+    adj = _adjacency(edges, num_partitions).materialize()
+    n_nodes = adj.count()
+    use_bcast = mode == "broadcast" or (mode == "auto" and n_nodes <= broadcast_below)
+
+    _EMPTY = pa.table(
+        {"dst": pa.array([], type=pa.int64()), "lbl": pa.array([], type=pa.int64())}
+    )
+
+    def _fan_min(lbl: np.ndarray, col) -> pa.Table:
+        # fan per-vertex labels to packed out-neighbors, min-combine
+        # batch-local: ≤ distinct-dst rows leave the stage
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+        counts = np.diff(offs[: len(arr) + 1])
+        dst_all = buf[offs[0] : offs[len(arr)]]
+        lbl_all = np.repeat(lbl, counts)
+        order = np.argsort(dst_all, kind="stable")
+        uniq, bounds = np.unique(dst_all[order], return_index=True)
+        mins = np.minimum.reduceat(lbl_all[order], bounds)
+        return pa.table(
+            {
+                "dst": pa.array(uniq, type=pa.int64()),
+                "lbl": pa.array(mins.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    if use_bcast:
+        nodes = np.sort(
+            adj.select_columns(["node"]).to_pandas()["node"].to_numpy(np.int64)
+        )
+        lbl = nodes.copy()
+        steps = iterations if not until_convergence else (1 << 30)
+        for _ in range(steps):
+            ref = _ray.put((nodes, lbl))
+            _cache: dict = {}
+
+            def emit_bcast(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return _EMPTY
+                if "nl" not in _cache:
+                    _cache["nl"] = _ray.get(ref)
+                bn, bl = _cache["nl"]
+                node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return _fan_min(bl[np.searchsorted(bn, node)], b["dst_bytes"])
+
+            parts = adj.map_batches(emit_bcast, batch_format="pyarrow").to_pandas()
+            new = lbl.copy()
+            idx = np.searchsorted(nodes, parts["dst"].to_numpy(np.int64))
+            np.minimum.at(new, idx, parts["lbl"].to_numpy(np.int64))
+            changed = int((new != lbl).sum())
+            lbl = new
+            if until_convergence and changed == 0:
+                break
+        labels = ray.data.from_pandas(pd.DataFrame({"node": nodes, "lbl": lbl}))
+    else:
+        jp = adaptive_join_partitions(n_nodes)
+
+        def init_labels(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["node"], "lbl": b["node"]})
+
+        labels = (
+            adj.select_columns(["node"])
+            .map_batches(init_labels, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def emit(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _EMPTY
+            lbl = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fan = _fan_min(lbl, b["dst_bytes"])
+            # the vertex's OWN label competes in the same min groupby —
+            # no second join needed
+            own = pa.table({"dst": b["node"], "lbl": b["lbl"]})
+            return pa.concat_tables([fan, own])
+
+        steps = iterations if not until_convergence else (1 << 30)
+        for _ in range(steps):
+            joined = hash_join(labels, adj, on="node", num_partitions=jp)
+            mins = (
+                joined.map_batches(emit, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Min("lbl", alias_name="m"))
+            )
+
+            def next_labels(b: pa.Table) -> pa.Table:
+                return pa.table({"node": b["dst"], "lbl": b["m"]})
+
+            new_labels = mins.map_batches(
+                next_labels, batch_format="pyarrow"
+            ).materialize()
+            if until_convergence:
+                # labels are monotonically non-increasing, so any change
+                # strictly lowers the total — ONE distributed-Sum scalar
+                # per superstep reaches the driver, nothing vertex-scale
+                old_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+                new_sum = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+                labels = new_labels
+                if new_sum == old_sum:
+                    break
+            else:
+                labels = new_labels
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "comp": b["lbl"]})
+
+    return labels.map_batches(out, batch_format="pyarrow")

@@ -119,6 +119,48 @@ def token_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+#: vowel-RUN syllable heuristic: one syllable per maximal [aeiouy]+ run in
+#: the lowercased text.  Runs never span whitespace (spaces are not
+#: vowels), so the whole-doc count equals the per-word sum — one C-level
+#: regex pass per doc, no word explode.
+SYLLABLE_RE = re.compile(r"[aeiouy]+")
+#: sentence boundaries: maximal terminal-punctuation runs ("..." = one)
+SENTENCE_RE = re.compile(r"[.!?]+")
+
+
+def readability_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc Flesch-reading-ease-shaped readability in EXACT milli-units
+    (the idf_micro house pattern): every count is an int64 regex-run tally
+    and the score is pure integer floor arithmetic, so the SQL mirror is
+    bit-identical —
+
+        flesch_milli = 206835 - (1015·words)//sentences - (84600·syll)//words
+
+    with words/sentences/syllables clamped to ≥1 (empty-doc guard, mirrored
+    by greatest(x, 1)).  The standard Flesch constants 206.835 / 1.015 /
+    84.6 scaled ×1000; floor-div replaces the float ratios, which keeps the
+    score an exact total order at the cost of ≤1 milli-unit quantization."""
+    text = batch["text"]
+    n_words = text.str.count(WORD_RE).astype("int64")
+    n_sents = text.str.count(SENTENCE_RE).astype("int64")
+    n_syll = text.str.lower().str.count(SYLLABLE_RE).astype("int64")
+    w = n_words.clip(lower=1).to_numpy(np.int64)
+    s = n_sents.clip(lower=1).to_numpy(np.int64)
+    y = n_syll.clip(lower=1).to_numpy(np.int64)
+    flesch_milli = (
+        np.int64(206835) - (np.int64(1015) * w) // s - (np.int64(84600) * y) // w
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "n_sentences": n_sents,
+            "n_syllables": n_syll,
+            "flesch_milli": flesch_milli,
+        }
+    )
+
+
 #: the Gopher rule-filter stopword list (Rae et al. 2021, table A1 — the
 #: "contains ≥2 of" rule), distinct from the ratio STOPWORDS above
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

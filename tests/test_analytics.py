@@ -905,3 +905,92 @@ def test_int_quantile_disc_matches_duckdb(ray_session):
         "quantile_disc(v, 0.75), quantile_disc(v, 0.9) FROM df"
     ).fetchone()
     assert got == [int(x) for x in ref]
+
+
+def test_cube_sums_matches_duckdb(ray_session):
+    import duckdb
+
+    from searty_ray.stages.analytics import cube_sums
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "f": rng.choice(["A", "N", "R"], 300),
+            "s": rng.choice(["O", "F"], 300),
+            "m1": rng.integers(0, 1000, 300).astype(np.int64),
+            "m2": rng.integers(-50, 50, 300).astype(np.int64),
+        }
+    )
+    got = cube_sums(
+        ray.data.from_pandas(df, override_num_blocks=4),
+        keys=["f", "s"],
+        measures=["m1", "m2"],
+    )
+    ref = duckdb.sql(
+        """
+        SELECT f, s, sum(m1)::BIGINT AS m1, sum(m2)::BIGINT AS m2,
+               count(*)::BIGINT AS n_rows, grouping(f, s)::BIGINT AS lvl
+        FROM df GROUP BY CUBE (f, s)
+        ORDER BY lvl, f NULLS LAST, s NULLS LAST
+        """
+    ).df()
+    for c in ("m1", "m2", "n_rows", "lvl"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref.reset_index(drop=True))
+
+
+def test_weighted_quantiles_matches_expansion(ray_session):
+    # independent reference: materialize each value `weight` times and take
+    # the ceil(p*W/100)-th smallest — the textbook lower weighted quantile
+    from searty_ray.stages.analytics import weighted_quantiles
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 400),
+            "v": rng.integers(0, 60, 400).astype(np.int64),
+            "w": rng.integers(1, 9, 400).astype(np.int64),
+        }
+    )
+    got = weighted_quantiles(
+        ray.data.from_pandas(df, override_num_blocks=5),
+        group="g",
+        value="v",
+        weight="w",
+        pcts=(25, 50, 75, 100),
+    )
+    rows = []
+    for g, sub in df.groupby("g"):
+        expanded = np.sort(np.repeat(sub["v"].to_numpy(), sub["w"].to_numpy()))
+        W = len(expanded)
+        for p in (25, 50, 75, 100):
+            k = -(-p * W // 100)  # ceil
+            rows.append({"g": g, "p": p, "wq": int(expanded[k - 1])})
+    ref = pd.DataFrame(rows).astype({"p": "int64", "wq": "int64"})
+    ref = ref.sort_values(["g", "p"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_readability_batch_matches_scalar():
+    import re as _re
+
+    from searty_ray.stages.textstats import readability_batch
+
+    texts = [
+        "The quick brown fox. It jumps! Over?",
+        "no terminal punctuation here",
+        "",
+        "aeiouy",  # one vowel run, no sentence, one word
+        "Ellipsis... counts as one sentence boundary run!!",
+        "Tabs\tand\nnewlines separate\twords",
+    ]
+    out = readability_batch(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    for i, t in enumerate(texts):
+        words = len(_re.findall(r"[^\t\n\f\r ]+", t))
+        sents = len(_re.findall(r"[.!?]+", t))
+        syll = len(_re.findall(r"[aeiouy]+", t.lower()))
+        w, s, y = max(words, 1), max(sents, 1), max(syll, 1)
+        flesch = 206835 - (1015 * w) // s - (84600 * y) // w
+        row = out.iloc[i]
+        assert row["n_words"] == words and row["n_sentences"] == sents
+        assert row["n_syllables"] == syll and row["flesch_milli"] == flesch

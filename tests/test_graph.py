@@ -112,3 +112,83 @@ def test_pagerank_broadcast_equals_join_mode(ray_session):
         .astype({"node": "int64", "rank_micro": "int64"})
     )
     pd.testing.assert_frame_equal(bc, jn)
+
+
+# --- connected components (min-label propagation) -------------------------
+
+
+def _union_find_comps(edges: pd.DataFrame) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(edges["src"], edges["dst"]):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+def _cc(edges: pd.DataFrame, blocks: int = 4, **kw) -> pd.DataFrame:
+    from searty_ray.stages.graph import connected_components
+
+    ds = ray.data.from_pandas(edges, override_num_blocks=blocks)
+    return (
+        connected_components(ds, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "comp": "int64"})
+    )
+
+
+def test_components_fixpoint_matches_union_find(ray_session):
+    # sparse random bipartite graph -> many components; fixpoint labels
+    # must equal a scalar union-find's canonical min ids
+    rng = np.random.default_rng(23)
+    pairs = pd.DataFrame(
+        {"a": rng.integers(0, 200, 120), "b": rng.integers(1000, 1200, 120)}
+    ).drop_duplicates()
+    edf = _undirected(pairs)
+    got = _cc(edf, until_convergence=True)
+    ref = _union_find_comps(edf)
+    assert dict(zip(got["node"], got["comp"])) == ref
+    assert got["comp"].nunique() > 5  # genuinely fragmented input
+
+
+def test_components_bounded_k_is_k_hop_min(ray_session):
+    # a path graph 0-1-2-...-9: after K supersteps node v's label is
+    # exactly min(0, v-K) = max(v-K, 0)
+    n = 10
+    pairs = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    edf = _undirected(pairs)
+    for k in (1, 3):
+        got = _cc(edf, iterations=k)
+        exp = {v: max(v - k, 0) for v in range(n)}
+        assert dict(zip(got["node"], got["comp"])) == exp
+
+
+def test_components_broadcast_equals_join_mode(ray_session):
+    rng = np.random.default_rng(31)
+    pairs = pd.DataFrame(
+        {"a": rng.integers(0, 40, 60), "b": rng.integers(500, 560, 60)}
+    ).drop_duplicates()
+    edf = _undirected(pairs)
+    bc = _cc(edf, mode="broadcast", iterations=4)
+    jn = _cc(edf, mode="join", iterations=4)
+    pd.testing.assert_frame_equal(bc, jn)
+    # join-mode convergence detection (distributed label-sum scalar)
+    jc = _cc(edf, mode="join", until_convergence=True)
+    assert dict(zip(jc["node"], jc["comp"])) == _union_find_comps(edf)
+
+
+def test_components_layout_stable(ray_session):
+    pairs = pd.DataFrame({"a": [1, 2, 3, 7], "b": [10, 10, 11, 12]})
+    edf = _undirected(pairs)
+    a = _cc(edf, blocks=1, iterations=6)
+    b = _cc(edf, blocks=6, iterations=6)
+    pd.testing.assert_frame_equal(a, b)

@@ -5985,6 +5985,143 @@ ORDER BY l_returnflag, p
 """
 
 
+# --- events_latest: latest-state compaction (CDC "current snapshot") ------
+
+
+def q_events_latest(sf_dir: str):
+    """Per-(user, event_type) latest row (analytics.latest_by_key):
+    argmax by (ts, event_id) — the upsert-compaction primitive, reduced
+    combiner-first so only per-batch winners ever shuffle."""
+    import pandas as pd
+
+    from ..stages.analytics import latest_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"],
+                "value": b["value"],
+            }
+        )
+
+    out = latest_by_key(
+        ev.map_batches(prep, batch_format="pandas"),
+        keys=["user_id", "event_type"],
+        order=["ts_us", "event_id"],
+    ).to_pandas()
+    out["value"] = out["value"].round(6)
+    return (
+        out.sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "ts_us": "int64", "event_id": "int64"})
+    )[["user_id", "event_type", "ts_us", "event_id", "value"]]
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, event_type, ts_us, event_id, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# --- graph_triangles: per-node triangle counts over the co-purchase graph -
+
+TRI_QTY_MIN = 40  # 226 / 1652 triangles at sf0.001 / sf0.01 (measured)
+
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts (stages/graph.triangle_counts) over the
+    part co-purchase projection (parts sharing an order, l_quantity ≥ 40):
+    oriented wedge generation + packed-key closure check — every triangle
+    counted once per corner.  PARTITIONING: per-order part lists co-locate
+    via the coarse order hash (the session_copairs combiner contract)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from ..stages.analytics import _pk_any
+    from ..stages.graph import triangle_counts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_quantity"] >= TRI_QTY_MIN]
+        out = b[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = out.copy()
+        out["__pk"] = _pk_any(out["l_orderkey"], 64)
+        return out
+
+    def order_pairs(g: pd.DataFrame) -> pa.Table:
+        it = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = it.merge(it, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        pairs = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(pairs["l_partkey_x"].to_numpy(np.int64)),
+                "v": pa.array(pairs["l_partkey_y"].to_numpy(np.int64)),
+            }
+        )
+
+    edges = (
+        li.map_batches(tag, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby(["u", "v"])  # distinct across orders
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .materialize()
+    )
+    return (
+        triangle_counts(edges)
+        .to_pandas()  # nodes-on-triangles — dimension-bounded at gate scale
+        .reindex(columns=["node", "n_tri"])  # empty-ds schema quirk
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "n_tri": "int64"})
+    )
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node ORDER BY node
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -6048,6 +6185,8 @@ QUERIES = {
     "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
     "readability": q_readability,  # new in r5 (integer Flesch milli-units)
     "lineitem_wq": q_lineitem_wq,  # new in r5 (weighted discrete quantiles)
+    "events_latest": q_events_latest,  # new in r5 (CDC latest-state compaction)
+    "graph_triangles": q_graph_triangles,  # new in r5 (wedge-closure counts)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,
@@ -6260,6 +6399,8 @@ ORACLE_SQL = {
     "pricing_cube": SQL_PRICING_CUBE,
     "readability": SQL_READABILITY,
     "lineitem_wq": SQL_LINEITEM_WQ,
+    "events_latest": SQL_EVENTS_LATEST,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

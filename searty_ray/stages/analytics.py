@@ -911,6 +911,49 @@ def weighted_quantiles(
     return out.sort_values([group, "p"]).reset_index(drop=True)
 
 
+def latest_by_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order: list[str],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Latest-state compaction — the CDC / upsert "current snapshot"
+    primitive: for each key tuple keep the single row that is maximal in
+    the ``order`` columns (e.g. ``["ts_us", "event_id"]`` — the id
+    tie-break makes the winner total-ordered and deterministic).
+
+    SCALE: argmax is associative, so a per-BATCH combiner (one mergesort +
+    ``duplicated(keep='last')`` C-pass) reduces each batch to ≤ one row
+    per key BEFORE the shuffle — only surviving candidates move; the
+    per-partition final pass applies the identical kernel.  PARTITIONING:
+    all candidates of one key co-locate via the coarse ``_pk_any`` hash
+    (the map_groups-cost rule: 64 partitions, vectorized inside)."""
+
+    def reduce_kernel(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values([*keys, *order], kind="mergesort")
+        return s[~s.duplicated(subset=keys, keep="last")]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = reduce_kernel(b)
+        out = out.copy()
+        out["__pk"] = _pk_any(out[keys[0]], num_partitions)
+        return out
+
+    def final(g: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        # return ARROW (empty-pandas-block pathology, NOTES)
+        return pa.Table.from_pandas(
+            reduce_kernel(g).drop(columns="__pk"), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 BLOOM_SALT = 0xB100F_117
 
 

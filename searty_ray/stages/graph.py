@@ -378,3 +378,166 @@ def connected_components(
         return pa.table({"node": b["node"], "comp": b["lbl"]})
 
     return labels.map_batches(out, batch_format="pyarrow")
+
+
+def _wedges(b: pa.Table) -> pa.Table:
+    """Oriented-adjacency batch → all wedges (u, v, w), v<w both higher
+    neighbors of u, as packed keys (v<<32)|w.  Banked GAP scan (the
+    Rabin-Karp banking idiom): one vectorized slice pass per neighbor
+    offset g — no per-node Python; the loop count is the batch's max
+    out-degree, which the degree-ordered orientation bounds by ~sqrt(m)."""
+    col = b["dst_bytes"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.int64)[
+        offs[0] : offs[len(arr)]
+    ]
+    starts = (offs[: len(arr) + 1] - offs[0])[:-1]
+    ends = (offs[: len(arr) + 1] - offs[0])[1:]
+    k = ends - starts
+    node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.arange(len(flat), dtype=np.int64)
+    node_of = np.repeat(node, k)
+    end_of = np.repeat(ends, k)
+    us, keys = [], []
+    g = 1
+    while True:
+        mask = pos + g < end_of
+        if not mask.any():
+            break
+        p = pos[mask]
+        us.append(node_of[mask])
+        keys.append((flat[p] << np.int64(32)) | flat[p + g])
+        g += 1
+    if not us:
+        return pa.table(
+            {"u": pa.array([], type=pa.int64()), "key": pa.array([], type=pa.int64())}
+        )
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate(us), type=pa.int64()),
+            "key": pa.array(np.concatenate(keys), type=pa.int64()),
+        }
+    )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    mode: str = "auto",
+    broadcast_below: int = 20_000_000,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Per-node triangle counts over a DISTINCT canonical edge list
+    ``(u, v)`` with ``u < v`` (int64 ids < 2^31 — pairs pack into one
+    int64 key).  → ``(node, n_tri)`` for every node on ≥1 triangle.
+
+    Node-iterator algorithm on the ORIENTED graph: each edge u→v points
+    low→high, so every triangle {u<v<w} is generated exactly once as a
+    wedge (v, w) out of its lowest vertex u, then closed by an edge-set
+    membership test on the packed key.  Wedge generation is the banked
+    gap scan in :func:`_wedges` (vectorized, no per-node Python).
+
+    SCALE: wedge volume is Σ C(outdeg, 2); orienting low→high by VERTEX ID
+    is worst-case quadratic on skewed graphs — the production swap point
+    is degree-ordered orientation (relabel by ascending degree; outdeg then
+    ≤ ~sqrt(m), the classic bound) which composes with this exact code.
+    Closure check: ``broadcast`` ships the sorted key array once via
+    ``ray.put`` (bounded contract: ≤ ``broadcast_below`` edges, 8 B/edge);
+    ``join`` is the any-scale path — wedges hash-join the edge key table,
+    nothing edge-scale reaches the driver.  Both bit-identical (pytest)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from .joins import adaptive_join_partitions, hash_join
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(u, v), type=pa.int64()),
+                "dst": pa.array(np.maximum(u, v), type=pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_edges = oriented.count()
+    adj = _adjacency(oriented, num_partitions).materialize()
+    use_bcast = mode == "broadcast" or (mode == "auto" and n_edges <= broadcast_below)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array((s << np.int64(32)) | d, type=pa.int64())})
+
+    def count_partial(u: np.ndarray, keys: np.ndarray) -> pa.Table:
+        # tally all three corners of each closed wedge, batch-combined
+        v = (keys >> np.int64(32)).astype(np.int64)
+        w = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+        nodes = np.concatenate([u, v, w])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {"node": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+    )
+
+    if use_bcast:
+        key_pd = (
+            oriented.map_batches(keyed, batch_format="pyarrow").to_pandas()
+        )  # ≤ broadcast_below rows, 8 B each
+        ref = _ray.put(np.sort(key_pd["key"].to_numpy(np.int64)))
+        _cache: dict = {}
+
+        def close_bcast(b: pa.Table) -> pa.Table:
+            wt = _wedges(b)
+            if wt.num_rows == 0:
+                return _EMPTY
+            if "k" not in _cache:
+                _cache["k"] = _ray.get(ref)
+            ek = _cache["k"]
+            if len(ek) == 0:
+                return _EMPTY
+            keys = wt["key"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ek, keys)
+            idx[idx == len(ek)] = 0
+            hit = ek[idx] == keys
+            if not hit.any():
+                return _EMPTY
+            return count_partial(
+                wt["u"].to_numpy(zero_copy_only=False)[hit], keys[hit]
+            )
+
+        parts = adj.map_batches(close_bcast, batch_format="pyarrow")
+    else:
+        wedges = adj.map_batches(_wedges, batch_format="pyarrow").materialize()
+        ekeys = (
+            oriented.map_batches(keyed, batch_format="pyarrow").materialize()
+        )
+        jp = adaptive_join_partitions(n_edges, wedges.count())
+        closed = hash_join(wedges, ekeys, on="key", num_partitions=jp).materialize()
+
+        def tally(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _EMPTY
+            return count_partial(
+                b["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+
+        parts = closed.map_batches(tally, batch_format="pyarrow")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "n_tri": b["s"]})
+
+    return (
+        parts.groupby("node")
+        .aggregate(Sum("c", alias_name="s"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -994,3 +994,62 @@ def test_readability_batch_matches_scalar():
         row = out.iloc[i]
         assert row["n_words"] == words and row["n_sentences"] == sents
         assert row["n_syllables"] == syll and row["flesch_milli"] == flesch
+
+
+def test_latest_by_key_matches_pandas(ray_session):
+    from searty_ray.stages.analytics import latest_by_key
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 20, n).astype(np.int64),
+            "k2": rng.choice(["a", "b", "c"], n),
+            "ts": rng.integers(0, 50, n).astype(np.int64),  # many ties
+            "id": np.arange(n, dtype=np.int64),
+            "val": rng.normal(size=n),
+        }
+    )
+    got = (
+        latest_by_key(
+            ray.data.from_pandas(df, override_num_blocks=5),
+            keys=["k1", "k2"],
+            order=["ts", "id"],
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["k1", "k2", "ts", "id"])
+        .drop_duplicates(subset=["k1", "k2"], keep="last")
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[ref.columns.tolist()], ref)
+
+
+def test_latest_by_key_layout_stable(ray_session):
+    from searty_ray.stages.analytics import latest_by_key
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 200).astype(np.int64),
+            "ts": rng.integers(0, 10, 200).astype(np.int64),
+            "id": np.arange(200, dtype=np.int64),
+        }
+    )
+    outs = []
+    for blocks in (1, 8):
+        outs.append(
+            latest_by_key(
+                ray.data.from_pandas(df, override_num_blocks=blocks),
+                keys=["k"],
+                order=["ts", "id"],
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

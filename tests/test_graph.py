@@ -192,3 +192,62 @@ def test_components_layout_stable(ray_session):
     a = _cc(edf, blocks=1, iterations=6)
     b = _cc(edf, blocks=6, iterations=6)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- triangle counts -------------------------------------------------------
+
+
+def _brute_triangles(edges: pd.DataFrame) -> dict:
+    es = set(map(tuple, edges[["u", "v"]].itertuples(index=False)))
+    nodes = sorted({x for e in es for x in e})
+    from collections import defaultdict
+
+    cnt: dict = defaultdict(int)
+    import itertools
+
+    for u, v, w in itertools.combinations(nodes, 3):
+        if (u, v) in es and (u, w) in es and (v, w) in es:
+            cnt[u] += 1
+            cnt[v] += 1
+            cnt[w] += 1
+    return dict(cnt)
+
+
+def _tri(edges: pd.DataFrame, blocks: int = 4, **kw) -> dict:
+    from searty_ray.stages.graph import triangle_counts
+
+    ds = ray.data.from_pandas(edges, override_num_blocks=blocks)
+    out = triangle_counts(ds, **kw).to_pandas()
+    out = out.reindex(columns=["node", "n_tri"])  # empty-ds schema quirk
+    return dict(zip(out["node"].astype(int), out["n_tri"].astype(int)))
+
+
+def test_triangles_match_brute_force(ray_session):
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 25, 150)
+    b = rng.integers(0, 25, 150)
+    df = pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+    df = df[df["u"] < df["v"]].drop_duplicates().reset_index(drop=True)
+    got = _tri(df)
+    assert got == _brute_triangles(df)
+
+
+def test_triangles_broadcast_equals_join_mode(ray_session):
+    rng = np.random.default_rng(43)
+    a = rng.integers(0, 20, 120)
+    b = rng.integers(0, 20, 120)
+    df = pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+    df = df[df["u"] < df["v"]].drop_duplicates().reset_index(drop=True)
+    assert _tri(df, mode="broadcast") == _tri(df, mode="join")
+
+
+def test_triangles_none_on_bipartite(ray_session):
+    # bipartite graphs have no odd cycles: the count must be empty
+    pairs = pd.DataFrame({"u": [0, 1, 2, 0, 1], "v": [10, 10, 11, 11, 12]})
+    assert _tri(pairs) == {}
+
+
+def test_triangles_accepts_unoriented_input(ray_session):
+    # (v, u) rows with u>v must orient, not crash or double-count
+    tri = pd.DataFrame({"u": [2, 1, 3], "v": [1, 3, 2]})
+    assert _tri(tri) == {1: 1, 2: 1, 3: 1}

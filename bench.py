@@ -429,6 +429,25 @@ def main() -> None:
     q_graph_pagerank(SF_DIR)
     timings["graph_pagerank"] = time.monotonic() - t0
 
+    # label-propagation components + triangle counting over the sparse
+    # lineitem-derived graphs (the r5 fourth-continuation graph surface)
+    from searty_ray.pipelines.gate import q_graph_components, q_graph_triangles
+
+    t0 = time.monotonic()
+    q_graph_components(SF_DIR)
+    timings["graph_components"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    q_graph_triangles(SF_DIR)
+    timings["graph_triangles"] = time.monotonic() - t0
+
+    # CDC latest-state compaction over the events stream (argmax combiner)
+    from searty_ray.pipelines.gate import q_events_latest
+
+    t0 = time.monotonic()
+    q_events_latest(SF_DIR)
+    timings["events_latest"] = time.monotonic() - t0
+
     _emit(timings, n_files, n_bytes, p50, p95, cores_used)
     ray.shutdown()
 

@@ -6181,12 +6181,16 @@ QUERIES = {
     "integrity_audit": q_integrity_audit,  # new in r5 (FK QA pass)
     "session_copairs": q_session_copairs,  # new in r5 (itemset pairs)
     "customer_rfm": q_customer_rfm,  # new in r5 (histogram-quantile scores)
+    # 52 candidates for the driver's 50-budget: the novel-machinery gates
+    # lead; pricing_cube (same derivation as the already-queued
+    # pricing_rollup, slot 51) takes the one overflow slot — it passes the
+    # full local sweep at sf0.001 AND sf0.01 like every other entry
     "graph_components": q_graph_components,  # new in r5 (min-label Pregel)
-    "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
     "readability": q_readability,  # new in r5 (integer Flesch milli-units)
-    "lineitem_wq": q_lineitem_wq,  # new in r5 (weighted discrete quantiles)
     "events_latest": q_events_latest,  # new in r5 (CDC latest-state compaction)
     "graph_triangles": q_graph_triangles,  # new in r5 (wedge-closure counts)
+    "lineitem_wq": q_lineitem_wq,  # new in r5 (weighted discrete quantiles)
+    "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
     # --- verified by the driver in r4 (CORRECTNESS_r04, all green) ---
     "span_dedup": q_span_dedup,
     "keyed_split": q_keyed_split,

@@ -541,3 +541,99 @@ def triangle_counts(
         .aggregate(Sum("c", alias_name="s"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+KCORE_ROUNDS = 6
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = KCORE_ROUNDS,
+    until_convergence: bool = False,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """k-core by iterative peeling over a SYMMETRIC edge Dataset
+    ``(src, dst)``: each round drops every vertex whose degree within the
+    surviving set is < k.  A fixed ``rounds`` budget keeps the result the
+    pure R-step recurrence a chained-CTE oracle pins (HAVING count ≥ k per
+    round); ``until_convergence`` peels to the true k-core (the survivor
+    COUNT is the per-round driver scalar).  Returns ``(node, deg)`` — the
+    survivors and their degree within the final surviving set.
+
+    SCALE: each round is ONE streaming pass over the edge Dataset — a
+    membership mask (searchsorted against the broadcast survivor array)
+    and a batch-local bincount partial; per-batch partials reduce
+    driver-side at vertex scale.  BOUNDED CONTRACT: the survivor id array
+    ships via ``ray.put`` (8 B/vertex — ≤ ~10⁹ vertices per 8 GB worker
+    heap); past that, swap the broadcast for the semi-join form (two
+    ``semi_join`` + one groupby-count per round — same recurrence, noted
+    here as the documented swap point)."""
+    import ray as _ray
+
+    _EMPTY = pa.table(
+        {"node": pa.array([], type=pa.int64()), "deg": pa.array([], type=pa.int64())}
+    )
+
+    def masked_degrees(surv: np.ndarray) -> pd.DataFrame:
+        ref = _ray.put(surv)
+        _cache: dict = {}
+
+        def deg_pass(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _EMPTY
+            if "s" not in _cache:
+                _cache["s"] = _ray.get(ref)
+            sv = _cache["s"]
+            if len(sv) == 0:
+                return _EMPTY
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            si = np.searchsorted(sv, s)
+            di = np.searchsorted(sv, d)
+            si[si == len(sv)] = 0
+            di[di == len(sv)] = 0
+            keep = (sv[si] == s) & (sv[di] == d)
+            uniq, cnt = np.unique(s[keep], return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(uniq, type=pa.int64()),
+                    "deg": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(deg_pass, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "deg": pd.Series([], dtype="int64")}
+            )
+        return parts.groupby("node", as_index=False)["deg"].sum()
+
+    def uniq_src(b: pa.Table) -> pa.Table:
+        u = np.unique(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(u, type=pa.int64())})
+
+    nodes_pd = (
+        edges.select_columns(["src"])
+        .map_batches(uniq_src, batch_format="pyarrow")
+        .to_pandas()
+    )
+    surv = np.unique(nodes_pd["node"].to_numpy(np.int64))
+    steps = rounds if not until_convergence else (1 << 30)
+    for _ in range(steps):
+        deg = masked_degrees(surv)
+        new = np.sort(deg.loc[deg["deg"] >= k, "node"].to_numpy(np.int64))
+        if until_convergence and len(new) == len(surv):
+            surv = new
+            break
+        if len(new) == 0:
+            surv = new
+            break
+        surv = new
+    final = masked_degrees(surv)
+    final = final.sort_values("node").reset_index(drop=True)
+    return ray.data.from_pandas(
+        final.astype({"node": "int64", "deg": "int64"})
+        if len(final)
+        else pd.DataFrame({"node": pd.Series([], dtype="int64"), "deg": pd.Series([], dtype="int64")})
+    )

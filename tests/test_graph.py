@@ -251,3 +251,73 @@ def test_triangles_accepts_unoriented_input(ray_session):
     # (v, u) rows with u>v must orient, not crash or double-count
     tri = pd.DataFrame({"u": [2, 1, 3], "v": [1, 3, 2]})
     assert _tri(tri) == {1: 1, 2: 1, 3: 1}
+
+
+# --- k-core peeling --------------------------------------------------------
+
+
+def _scalar_kcore(edges_sym: pd.DataFrame, k: int) -> dict:
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in zip(edges_sym["src"], edges_sym["dst"]):
+        adj[int(s)].add(int(d))
+    surv = set(adj)
+    while True:
+        drop = {v for v in surv if len(adj[v] & surv) < k}
+        if not drop:
+            break
+        surv -= drop
+    return {v: len(adj[v] & surv) for v in surv}
+
+
+def _kc(edges_sym: pd.DataFrame, k: int, blocks: int = 4, **kw) -> dict:
+    from searty_ray.stages.graph import kcore
+
+    ds = ray.data.from_pandas(edges_sym, override_num_blocks=blocks)
+    out = kcore(ds, k=k, **kw).to_pandas()
+    out = out.reindex(columns=["node", "deg"])
+    return dict(zip(out["node"].astype(int), out["deg"].astype(int)))
+
+
+def test_kcore_fixpoint_matches_scalar_peeling(ray_session):
+    rng = np.random.default_rng(47)
+    a = rng.integers(0, 40, 250)
+    b = rng.integers(0, 40, 250)
+    pairs = pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+    pairs = pairs[pairs["u"] < pairs["v"]].drop_duplicates()
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"u": "src", "v": "dst"}),
+            pairs.rename(columns={"v": "src", "u": "dst"})[["src", "dst"]],
+        ]
+    ).reset_index(drop=True)
+    for k in (2, 4):
+        assert _kc(sym, k, until_convergence=True) == _scalar_kcore(sym, k)
+
+
+def test_kcore_fixed_rounds_is_r_step_recurrence(ray_session):
+    # path 0-1-2-3-4 with k=2: round 1 drops endpoints 0 and 4, round 2
+    # drops 1 and 3, round 3 drops 2 -> empty.  A 1-round budget must stop
+    # after the FIRST peel (nodes 1..3 survive with in-set degrees 1,2,1).
+    pairs = pd.DataFrame({"u": [0, 1, 2, 3], "v": [1, 2, 3, 4]})
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"u": "src", "v": "dst"}),
+            pairs.rename(columns={"v": "src", "u": "dst"})[["src", "dst"]],
+        ]
+    ).reset_index(drop=True)
+    assert _kc(sym, 2, rounds=1) == {1: 1, 2: 2, 3: 1}
+    assert _kc(sym, 2, until_convergence=True) == {}
+
+
+def test_kcore_triangle_survives(ray_session):
+    # a triangle is its own 2-core regardless of pendant vertices
+    pairs = pd.DataFrame({"u": [0, 0, 1, 2, 3], "v": [1, 2, 2, 3, 4]})
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"u": "src", "v": "dst"}),
+            pairs.rename(columns={"v": "src", "u": "dst"})[["src", "dst"]],
+        ]
+    ).reset_index(drop=True)
+    assert _kc(sym, 2, until_convergence=True) == {0: 2, 1: 2, 2: 2}

@@ -861,29 +861,55 @@ def weighted_quantiles(
     lower weighted median generalized; all-integer, no interpolation, so
     the SQL window mirror is bit-exact).
 
-    SCALE: per-batch combiner reduces to (group, value) weight partials —
-    only distinct (group, value) pairs shuffle, never the rows; the global
-    groupby sums them; ONE map_groups per group does the sorted cumsum +
-    searchsorted threshold scan.  PARTITIONING: the per-group distinct-
-    VALUE set must fit an actor (bounded-domain contract — quantized
-    prices/centi grids, not open floats; document per call site)."""
-    from ray.data.aggregate import Sum
+    SCALE: ONE shuffle — per-batch lexsort+reduceat partials reduce to
+    (group, value, w) histogram rows (only distinct pairs leave a batch),
+    then the per-GROUP map_groups merges partials (sorted reduceat) and
+    scans the cumsum thresholds.  No row-cardinality hash aggregate: on
+    near-unique value domains (e.g. raw centi prices) the combiner can't
+    reduce, and routing 600k one-row groups through a keyed aggregate +
+    second exchange cost 48 s at bench scale (measured) vs one sort
+    exchange.  PARTITIONING: the per-group distinct-VALUE set must fit an
+    actor (bounded-domain contract — quantized grids, not open floats;
+    document per call site); group count is dimension-scale."""
+    import pyarrow as pa
 
-    def partials(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby([group, value], sort=False, as_index=False, observed=True)[
-            weight
-        ].sum()
-        return g
+    def partials(b: pd.DataFrame) -> "pa.Table":
+        codes, uniq_g = pd.factorize(b[group], sort=False)
+        v = b[value].to_numpy(np.int64)
+        w = b[weight].to_numpy(np.int64)
+        order = np.lexsort((v, codes))
+        c2, v2, w2 = codes[order], v[order], w[order]
+        change = np.empty(len(c2), dtype=bool)
+        if len(c2):
+            change[0] = True
+            change[1:] = (c2[1:] != c2[:-1]) | (v2[1:] != v2[:-1])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(w2, starts) if len(starts) else np.array([], np.int64)
+        return pa.table(
+            {
+                group: pa.array(
+                    np.asarray(uniq_g)[c2[starts]] if len(starts) else [],
+                    type=pa.large_string(),
+                ),
+                value: pa.array(v2[starts], type=pa.int64()),
+                "__w": pa.array(sums.astype(np.int64), type=pa.int64()),
+            }
+        )
 
     def per_group(g: pd.DataFrame) -> "pa.Table":
         # return ARROW: map_groups' empty hash partitions emit zero-column
         # pandas blocks otherwise (NOTES empty-block pathology)
-        import pyarrow as pa
-
         vals = g[value].to_numpy(np.int64)
         wts = g["__w"].to_numpy(np.int64)
-        order = np.argsort(vals)
+        order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], wts[order]
+        # merge duplicate values across batch partials
+        change = np.empty(len(vals), dtype=bool)
+        change[0] = True
+        change[1:] = vals[1:] != vals[:-1]
+        starts = np.flatnonzero(change)
+        vals = vals[starts]
+        wts = np.add.reduceat(wts, starts)
         cum = np.cumsum(wts)
         W = int(cum[-1])
         # ceil(p·W/100) in exact ints; searchsorted('left') finds the
@@ -892,7 +918,7 @@ def weighted_quantiles(
         idx = np.searchsorted(cum, thr, side="left")
         return pa.table(
             {
-                group: pa.array([g[group].iloc[0]] * len(pcts)),
+                group: pa.array([g[group].iloc[0]] * len(pcts), type=pa.large_string()),
                 "p": pa.array(np.array(pcts, dtype=np.int64)),
                 "wq": pa.array(vals[idx], type=pa.int64()),
             }
@@ -900,8 +926,6 @@ def weighted_quantiles(
 
     out = (
         ds.map_batches(partials, batch_format="pandas")
-        .groupby([group, value])
-        .aggregate(Sum(weight, alias_name="__w"))
         .groupby(group)
         .map_groups(per_group, batch_format="pandas")
         .to_pandas()  # groups × pcts — dimension-scale

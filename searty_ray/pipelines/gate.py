@@ -6293,6 +6293,60 @@ ORDER BY event_id
 """
 
 
+# --- graph_assortativity: degree-correlation moment sums ------------------
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree-assortativity moment sums (graph.degree_assortativity_sums)
+    over the symmetrised co-purchase graph: one row of exact int64 sums
+    (n, Σx, Σy, Σxy, Σx², Σy² over directed edges) — the float Pearson r
+    derives driver-side; the integers ARE the oracle contract (the
+    embedding_gram / vocab_zipf house pattern)."""
+    import pyarrow as pa
+
+    from ..stages.graph import degree_assortativity_sums
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    sym = (
+        _copurchase_edges(sf_dir)
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .materialize()
+    )
+    return degree_assortativity_sums(sym).reset_index(drop=True)
+
+
+SQL_GRAPH_ASSORTATIVITY = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}
+),
+edges0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM edges0
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges0
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src)
+SELECT count(*)::BIGINT AS n_edges,
+       sum(a.d)::BIGINT AS sx, sum(b.d)::BIGINT AS sy,
+       sum(a.d * b.d)::BIGINT AS sxy,
+       sum(a.d * a.d)::BIGINT AS sxx, sum(b.d * b.d)::BIGINT AS syy
+FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -6359,12 +6413,14 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,  # new in r5 (wedge-closure counts)
     "graph_kcore": q_graph_kcore,  # new in r5 (iterative peeling)
     "events_outliers": q_events_outliers,  # new in r5 (Tukey IQR fences)
+    "graph_assortativity": q_graph_assortativity,  # new in r5 (moment sums)
     "lineitem_wq": q_lineitem_wq,  # new in r5 (weighted discrete quantiles)
-    "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
     # overflow slots (51+): sibling gates whose execution shape is already
-    # driver-verified by an in-budget twin (prefilter ~ orders_bloom,
-    # estimates ~ events_cm_sketch, wildcard_docs ~ wildcard_terms) — all
-    # pass the full local sweep at sf0.001 AND sf0.01 like every entry
+    # driver-verified by an in-budget twin (cube ~ pricing_rollup,
+    # prefilter ~ orders_bloom, estimates ~ events_cm_sketch,
+    # wildcard_docs ~ wildcard_terms) — all pass the full local sweep at
+    # sf0.001 AND sf0.01 like every entry
+    "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
     "customer_bloom_hits": q_customer_bloom_hits,  # new in r5 (prefilter)
     "events_cm_estimates": q_events_cm_estimates,  # new in r5 (CM queries)
     "wildcard_docs": q_wildcard_docs,  # never reached
@@ -6584,6 +6640,7 @@ ORACLE_SQL = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "graph_kcore": SQL_GRAPH_KCORE,
     "events_outliers": SQL_EVENTS_OUTLIERS,
+    "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

@@ -543,6 +543,64 @@ def triangle_counts(
     )
 
 
+def degree_assortativity_sums(edges: ray.data.Dataset) -> pd.DataFrame:
+    """Degree-assortativity MOMENT SUMS over a symmetric edge Dataset
+    ``(src, dst)`` — one row of exact int64 sums over the directed edge
+    list: ``(n_edges, sx, sy, sxy, sxx, syy)`` where x/y are the
+    endpoint degrees.  The Pearson coefficient r = (n·sxy − sx·sy) /
+    √((n·sxx − sx²)(n·syy − sy²)) is driver-side float by definition —
+    the INTEGER sums are the oracle-pinned contract (the vocab_zipf /
+    embedding_gram house pattern: ship exact moments, not the float).
+
+    SCALE: degrees from one groupby-count pass; the vertex→degree array
+    ships ONCE via ``ray.put`` (8 B/vertex bounded contract — past ~10⁹
+    vertices swap the lookup for a degree hash join); per batch the six
+    sums reduce to ONE partial row, so the driver sees #batches rows."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+
+    deg_pd = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="deg"))
+        .to_pandas()  # vertex-scale, bounded contract (docstring)
+        .sort_values("src")
+    )
+    nodes = deg_pd["src"].to_numpy(np.int64)
+    degs = deg_pd["deg"].to_numpy(np.int64)
+    ref = _ray.put((nodes, degs))
+    _cache: dict = {}
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ["n_edges", "sx", "sy", "sxy", "sxx", "syy"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        if "nd" not in _cache:
+            _cache["nd"] = _ray.get(ref)
+        bn, bd = _cache["nd"]
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = bd[np.searchsorted(bn, s)]
+        y = bd[np.searchsorted(bn, d)]
+        vals = [
+            np.int64(len(x)),
+            x.sum(),
+            y.sum(),
+            (x * y).sum(),
+            (x * x).sum(),
+            (y * y).sum(),
+        ]
+        return pa.table(
+            {c: pa.array([np.int64(v)], type=pa.int64()) for c, v in zip(cols, vals)}
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sum().to_frame().T.astype("int64")
+        [["n_edges", "sx", "sy", "sxy", "sxx", "syy"]]
+    )
+
+
 KCORE_ROUNDS = 6
 
 

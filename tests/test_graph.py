@@ -321,3 +321,29 @@ def test_kcore_triangle_survives(ray_session):
         ]
     ).reset_index(drop=True)
     assert _kc(sym, 2, until_convergence=True) == {0: 2, 1: 2, 2: 2}
+
+
+def test_assortativity_sums_match_brute(ray_session):
+    from searty_ray.stages.graph import degree_assortativity_sums
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 30, 200)
+    b = rng.integers(0, 30, 200)
+    pairs = pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+    pairs = pairs[pairs["u"] < pairs["v"]].drop_duplicates()
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"u": "src", "v": "dst"}),
+            pairs.rename(columns={"v": "src", "u": "dst"})[["src", "dst"]],
+        ]
+    ).reset_index(drop=True)
+    got = degree_assortativity_sums(
+        ray.data.from_pandas(sym, override_num_blocks=4)
+    ).iloc[0]
+    deg = sym.groupby("src").size()
+    x = deg.loc[sym["src"]].to_numpy(np.int64)
+    y = deg.loc[sym["dst"]].to_numpy(np.int64)
+    assert got["n_edges"] == len(sym)
+    assert got["sx"] == x.sum() and got["sy"] == y.sum()
+    assert got["sxy"] == (x * y).sum()
+    assert got["sxx"] == (x * x).sum() and got["syy"] == (y * y).sum()

@@ -6347,6 +6347,117 @@ FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
 """
 
 
+# --- events_corr: grouped correlation moment sums -------------------------
+
+
+def q_events_corr(sf_dir: str):
+    """Per-event-type correlation moment sums between centi-quantized value
+    and hour-of-day (analytics.grouped_moment_sums): exact int64
+    (n, sx, sy, sxy, sxx, syy) — one partial row per group per batch
+    shuffles; the float Pearson r derives driver-side from the pinned
+    integers (the assortativity house pattern)."""
+    import pandas as pd
+
+    from ..stages.analytics import grouped_moment_sums
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "x": np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+                "y": (ts_us // 3_600_000_000) % 24,
+            }
+        )
+
+    return grouped_moment_sums(
+        ev.map_batches(prep, batch_format="pandas"), group="event_type", x="x", y="y"
+    )
+
+
+SQL_EVENTS_CORR = """
+WITH v AS (
+  SELECT event_type,
+         floor(value * 100.0 + 0.5)::BIGINT AS x,
+         ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS y
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       sum(x * y)::BIGINT AS sxy,
+       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- source_drift: chi-square histogram drift per corpus source -----------
+
+DRIFT_BUCKET_W, DRIFT_BUCKETS = 20, 20
+
+
+def q_source_drift(sf_dir: str):
+    """Distribution drift per `source`: chi-square of each source's
+    word-count histogram (width-20 buckets, capped at 20) against the
+    pooled corpus histogram, in exact integer micro-units
+    (analytics.chi2_drift — Python-int arithmetic over the dimension-scale
+    count table; the SQL mirror runs the identical expression in HUGEINT).
+    The (source, bucket) counts reduce combiner-first; rows never
+    shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.analytics import chi2_drift
+    from ..stages.textstats import WORD_RE
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b["text"].str.count(WORD_RE).to_numpy(np.int64)
+        bucket = np.minimum(nw // DRIFT_BUCKET_W, DRIFT_BUCKETS - 1)
+        g = (
+            pd.DataFrame({"source": b["source"], "bucket": bucket})
+            .groupby(["source", "bucket"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return g
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # dimension-scale: sources × 20 buckets
+    )
+    return chi2_drift(counts, "source").sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_DRIFT = f"""
+WITH w AS (
+  SELECT source, least(len(regexp_extract_all(text, '\\S+')) // {DRIFT_BUCKET_W},
+                       {DRIFT_BUCKETS - 1})::BIGINT AS bucket
+  FROM documents
+),
+c AS (SELECT source, bucket, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+d AS (SELECT bucket, sum(c)::BIGINT AS d FROM c GROUP BY bucket),
+tot AS (SELECT sum(c)::BIGINT AS m FROM c),
+ns AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source),
+cells AS (
+  SELECT s.source, s.n, d.bucket, d.d, coalesce(cc.c, 0)::BIGINT AS c
+  FROM ns s CROSS JOIN d
+  LEFT JOIN c cc ON cc.source = s.source AND cc.bucket = d.bucket
+)
+SELECT source, any_value(n)::BIGINT AS n_docs,
+       sum((1000000::HUGEINT * (c * t.m - d * n) * (c * t.m - d * n))
+           // (t.m::HUGEINT * d * n))::BIGINT AS chi2_micro
+FROM cells CROSS JOIN tot t
+GROUP BY source ORDER BY source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -6414,6 +6525,8 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,  # new in r5 (iterative peeling)
     "events_outliers": q_events_outliers,  # new in r5 (Tukey IQR fences)
     "graph_assortativity": q_graph_assortativity,  # new in r5 (moment sums)
+    "events_corr": q_events_corr,  # new in r5 (grouped moment sums)
+    "source_drift": q_source_drift,  # new in r5 (chi-square drift)
     "lineitem_wq": q_lineitem_wq,  # new in r5 (weighted discrete quantiles)
     # overflow slots (51+): sibling gates whose execution shape is already
     # driver-verified by an in-budget twin (cube ~ pricing_rollup,
@@ -6641,6 +6754,8 @@ ORACLE_SQL = {
     "graph_kcore": SQL_GRAPH_KCORE,
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
+    "events_corr": SQL_EVENTS_CORR,
+    "source_drift": SQL_SOURCE_DRIFT,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_multi": SQL_BLOCKLIST,  # same contract, multi-pattern engine
     "semdedup": SQL_SEMDEDUP,

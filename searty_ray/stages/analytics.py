@@ -935,6 +935,93 @@ def weighted_quantiles(
     return out.sort_values([group, "p"]).reset_index(drop=True)
 
 
+def grouped_moment_sums(
+    ds: ray.data.Dataset,
+    group: str,
+    x: str,
+    y: str,
+) -> pd.DataFrame:
+    """Per-group exact int64 correlation MOMENT SUMS: ``(group, n, sx, sy,
+    sxy, sxx, syy)`` — the Pearson r derives driver-side; the integers are
+    the oracle contract (the assortativity / embedding_gram house
+    pattern).  CALLER must pre-quantize x/y so n·max(x)² fits int64.
+
+    SCALE: factorize+reduceat per batch reduces to ONE partial row per
+    group per batch — only (group × batches) rows shuffle; the final
+    groupby sums them at dimension scale."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> "pa.Table":
+        codes, uniq_g = pd.factorize(b[group], sort=False)
+        xv = b[x].to_numpy(np.int64)
+        yv = b[y].to_numpy(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c2 = codes[order]
+        xs, ys = xv[order], yv[order]
+        change = np.empty(len(c2), dtype=bool)
+        if len(c2):
+            change[0] = True
+            change[1:] = c2[1:] != c2[:-1]
+        starts = np.flatnonzero(change)
+        red = lambda a: np.add.reduceat(a, starts) if len(starts) else np.array([], np.int64)
+        return pa.table(
+            {
+                group: pa.array(
+                    np.asarray(uniq_g)[c2[starts]] if len(starts) else [],
+                    type=pa.large_string(),
+                ),
+                "n": pa.array(red(np.ones(len(c2), np.int64)), type=pa.int64()),
+                "sx": pa.array(red(xs), type=pa.int64()),
+                "sy": pa.array(red(ys), type=pa.int64()),
+                "sxy": pa.array(red(xs * ys), type=pa.int64()),
+                "sxx": pa.array(red(xs * xs), type=pa.int64()),
+                "syy": pa.array(red(ys * ys), type=pa.int64()),
+            }
+        )
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()  # dimension-scale
+        .sort_values(group)
+        .reset_index(drop=True)
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[[group, *cols]]
+
+
+def chi2_drift(counts: pd.DataFrame, group: str) -> pd.DataFrame:
+    """Chi-square drift of each group's histogram against the pooled
+    one, in exact integer micro-units: for observed c_i, pooled d_i,
+    group total N and grand total M,
+
+        chi2_micro = Σ_i (10⁶ · (c_i·M − d_i·N)²) // (M · d_i · N)
+
+    computed with PYTHON ints (arbitrary precision — the squares overflow
+    int64 at corpus scale) over the DIMENSION-SCALE (group × bucket)
+    count table; the SQL mirror runs the identical expression in HUGEINT.
+    Input: (group, bucket, c) counts — the distributed combiner output."""
+    d = counts.groupby("bucket")["c"].sum()
+    M = int(counts["c"].sum())
+    rows = []
+    for g, sub in counts.groupby(group, sort=True):
+        N = int(sub["c"].sum())
+        byb = dict(zip(sub["bucket"], sub["c"]))
+        chi2 = 0
+        for bucket, di in d.items():
+            ci = int(byb.get(bucket, 0))
+            di = int(di)
+            diff = ci * M - di * N
+            chi2 += (1_000_000 * diff * diff) // (M * di * N)
+        rows.append({group: g, "n_docs": N, "chi2_micro": chi2})
+    return pd.DataFrame(rows).astype({"n_docs": "int64", "chi2_micro": "int64"})
+
+
 def latest_by_key(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -1053,3 +1053,64 @@ def test_latest_by_key_layout_stable(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_moment_sums_match_numpy(ray_session):
+    from searty_ray.stages.analytics import grouped_moment_sums
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q", "r"], 400),
+            "x": rng.integers(-50, 500, 400).astype(np.int64),
+            "y": rng.integers(0, 24, 400).astype(np.int64),
+        }
+    )
+    got = grouped_moment_sums(
+        ray.data.from_pandas(df, override_num_blocks=5), group="g", x="x", y="y"
+    )
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        x, y = sub["x"].to_numpy(np.int64), sub["y"].to_numpy(np.int64)
+        assert row["n"] == len(sub)
+        assert row["sx"] == x.sum() and row["sy"] == y.sum()
+        assert row["sxy"] == (x * y).sum()
+        assert row["sxx"] == (x * x).sum() and row["syy"] == (y * y).sum()
+    assert set(got["g"]) == set(df["g"].unique())
+
+
+def test_chi2_drift_matches_scalar():
+    from searty_ray.stages.analytics import chi2_drift
+
+    rng = np.random.default_rng(67)
+    counts = (
+        pd.DataFrame(
+            {
+                "source": rng.choice(["a", "b"], 300),
+                "bucket": rng.integers(0, 6, 300),
+            }
+        )
+        .groupby(["source", "bucket"])
+        .size()
+        .reset_index(name="c")
+    )
+    got = chi2_drift(counts, "source")
+    M = int(counts["c"].sum())
+    d = counts.groupby("bucket")["c"].sum()
+    for _, row in got.iterrows():
+        sub = counts[counts["source"] == row["source"]]
+        N = int(sub["c"].sum())
+        byb = dict(zip(sub["bucket"], sub["c"]))
+        exp = sum(
+            (10**6 * (int(byb.get(bk, 0)) * M - int(di) * N) ** 2)
+            // (M * int(di) * N)
+            for bk, di in d.items()
+        )
+        assert row["chi2_micro"] == exp and row["n_docs"] == N
+    # a zero-observed bucket must still contribute (expected>0, observed 0)
+    counts2 = pd.DataFrame(
+        {"source": ["a", "a", "b"], "bucket": [0, 1, 0], "c": [5, 5, 10]}
+    )
+    out = chi2_drift(counts2, "source")
+    b_row = out[out["source"] == "b"].iloc[0]
+    assert b_row["chi2_micro"] > 0  # b misses bucket 1 entirely

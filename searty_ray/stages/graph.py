@@ -454,6 +454,15 @@ def triangle_counts(
     def orient(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (
+            min(u.min(), v.min()) < 0 or max(u.max(), v.max()) >= (1 << 31)
+        ):
+            raise ValueError(
+                "triangle_counts requires vertex ids in [0, 2^31) — "
+                "(v<<32)|w key packing would overflow int64"
+            )
+        keep = u != v  # self-loops are never triangle corners
+        u, v = u[keep], v[keep]
         return pa.table(
             {
                 "src": pa.array(np.minimum(u, v), type=pa.int64()),

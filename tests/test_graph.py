@@ -347,3 +347,16 @@ def test_assortativity_sums_match_brute(ray_session):
     assert got["sx"] == x.sum() and got["sy"] == y.sum()
     assert got["sxy"] == (x * y).sum()
     assert got["sxx"] == (x * x).sum() and got["syy"] == (y * y).sum()
+
+
+def test_triangles_self_loops_dropped_and_ids_guarded(ray_session):
+    # self-loops can never be triangle corners; out-of-range ids must
+    # raise rather than silently corrupt the packed key
+    tri = pd.DataFrame({"u": [1, 2, 3, 2], "v": [2, 3, 1, 2]})
+    assert _tri(tri) == {1: 1, 2: 1, 3: 1}
+    import pytest as _pytest
+    from searty_ray.stages.graph import triangle_counts
+
+    bad = ray.data.from_pandas(pd.DataFrame({"u": [1 << 31], "v": [2]}))
+    with _pytest.raises(Exception):
+        triangle_counts(bad).to_pandas()

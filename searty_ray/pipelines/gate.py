@@ -6458,6 +6458,105 @@ GROUP BY source ORDER BY source
 """
 
 
+# --- graph_hits: integer HITS hubs/authorities -----------------------------
+
+
+def q_graph_hits(sf_dir: str):
+    """HITS (stages/graph.hits) over the DIRECTED customer→supplier trade
+    graph: hubs = customers, authorities = suppliers.  Mean-normalized
+    integer fixed point (L2 norm is a sqrt no integer mirror survives);
+    every score is an exact int64 the 4-iteration chained-CTE oracle
+    pins, including the exact zeros on pure sources/sinks."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import hits
+    from ..stages.joins import adaptive_join_partitions, hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    joined = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_partitions=adaptive_join_partitions(n_orders, n_li),
+    ).materialize()
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([c, sp], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(uniq[:, 0], type=pa.int64()),
+                "dst": pa.array(uniq[:, 1] + np.int64(PR_SUPP_OFFSET), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .materialize()
+    )
+    return (
+        hits(edges)
+        .to_pandas()  # vertex-scale, dimension-bounded at gate scale
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "hub_micro": "int64", "auth_micro": "int64"})
+    )
+
+
+def _sql_graph_hits() -> str:
+    from ..stages.graph import HITS_ITERATIONS, HITS_SCALE
+
+    S = HITS_SCALE
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT c AS src, s + {PR_SUPP_OFFSET} AS dst FROM pairs),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+h0 AS MATERIALIZED (SELECT node, {S}::BIGINT AS h FROM nodes)"""
+    prev_h = "h0"
+    for t in range(1, HITS_ITERATIONS + 1):
+        sql += f""",
+a{t}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h)::BIGINT AS v
+          FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst),
+a{t} AS MATERIALIZED (SELECT node, ((v * {S}) // greatest(
+            (SELECT sum(v) FROM a{t}r) // (SELECT n FROM nn), 1))::BIGINT AS a
+         FROM a{t}r),
+h{t}r AS MATERIALIZED (SELECT e.src AS node, sum(a.a)::BIGINT AS v
+          FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src),
+h{t} AS MATERIALIZED (SELECT node, ((v * {S}) // greatest(
+            (SELECT sum(v) FROM h{t}r) // (SELECT n FROM nn), 1))::BIGINT AS h
+         FROM h{t}r)"""
+        prev_h = f"h{t}"
+    k = HITS_ITERATIONS
+    return sql + f"""
+SELECT n.node, coalesce(h{k}.h, 0)::BIGINT AS hub_micro,
+       coalesce(a{k}.a, 0)::BIGINT AS auth_micro
+FROM nodes n
+LEFT JOIN h{k} ON h{k}.node = n.node
+LEFT JOIN a{k} ON a{k}.node = n.node
+ORDER BY n.node
+"""
+
+
+SQL_GRAPH_HITS = _sql_graph_hits()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -6487,7 +6586,6 @@ QUERIES = {
     "blocklist": q_blocklist,  # never reached
     "blocklist_multi": q_blocklist_multi,  # new in r5 (Rabin-Karp banks)
     "dsir_weights": q_dsir_weights,  # new in r5 (DSIR importance weights)
-    "dsir_select": q_dsir_select,  # new in r5 (DSIR top-N selection)
     "shuffle_export": q_shuffle_export,  # new in r5 (deterministic shuffle)
     "embedding_gram": q_embedding_gram,  # new in r5 (integer moment matrix)
     "sample_exact_n": q_sample_exact_n,  # new in r5 (exact-n uniform sample)
@@ -6521,6 +6619,7 @@ QUERIES = {
     "events_latest": q_events_latest,  # new in r5 (CDC latest-state compaction)
     "graph_triangles": q_graph_triangles,  # new in r5 (wedge-closure counts)
     "graph_kcore": q_graph_kcore,  # new in r5 (iterative peeling)
+    "graph_hits": q_graph_hits,  # new in r5 (integer HITS hubs/authorities)
     "events_outliers": q_events_outliers,  # new in r5 (Tukey IQR fences)
     "graph_assortativity": q_graph_assortativity,  # new in r5 (moment sums)
     "events_corr": q_events_corr,  # new in r5 (grouped moment sums)
@@ -6531,6 +6630,7 @@ QUERIES = {
     # prefilter ~ orders_bloom, estimates ~ events_cm_sketch, wildcard_docs
     # ~ wildcard_terms, near_ordered ~ near_search, cooc_capped ~
     # word_cooc) — all pass the full local sweep at sf0.001 AND sf0.01
+    "dsir_select": q_dsir_select,  # new in r5 (twin: dsir_weights)
     "near_ordered": q_near_ordered,  # never reached (twin: near_search)
     "word_cooc_capped": q_word_cooc_capped,  # new in r5 (twin: word_cooc)
     "pricing_cube": q_pricing_cube,  # new in r5 (all 2^k grouping sets)
@@ -6752,6 +6852,7 @@ ORACLE_SQL = {
     "events_latest": SQL_EVENTS_LATEST,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "graph_kcore": SQL_GRAPH_KCORE,
+    "graph_hits": SQL_GRAPH_HITS,
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "events_corr": SQL_EVENTS_CORR,

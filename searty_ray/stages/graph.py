@@ -94,6 +94,27 @@ def _adjacency(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset
     )
 
 
+def _fan(share: np.ndarray, col) -> "pa.Table":
+    """Fan per-vertex int64 values to packed out-neighbors and sum-combine
+    batch-locally (sorted reduceat, EXACT int64 — no float): ≤ distinct-dst
+    rows leave the stage.  The shared emit kernel of the Pregel operators."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+    counts = np.diff(offs[: len(arr) + 1])
+    dst_all = buf[offs[0] : offs[len(arr)]]
+    share_all = np.repeat(share, counts)
+    order = np.argsort(dst_all, kind="stable")
+    uniq, bounds = np.unique(dst_all[order], return_index=True)
+    exact = np.add.reduceat(share_all[order], bounds)
+    return pa.table(
+        {
+            "dst": pa.array(uniq, type=pa.int64()),
+            "c": pa.array(exact.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     iterations: int = PR_ITERATIONS,
@@ -121,26 +142,6 @@ def pagerank(
     adj = _adjacency(edges, num_partitions).materialize()
     n_nodes = adj.count()
     use_bcast = mode == "broadcast" or (mode == "auto" and n_nodes <= broadcast_below)
-
-    def _fan(share: np.ndarray, col) -> pa.Table:
-        # fan per-vertex shares to packed out-neighbors, combine batch-local
-        # in EXACT int64 (sorted reduceat, no float): ≤ distinct-dst rows
-        # leave the stage
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset :] // 8
-        buf = np.frombuffer(arr.buffers()[2], dtype=np.int64)
-        counts = np.diff(offs[: len(arr) + 1])
-        dst_all = buf[offs[0] : offs[len(arr)]]
-        share_all = np.repeat(share, counts)
-        order = np.argsort(dst_all, kind="stable")
-        uniq, bounds = np.unique(dst_all[order], return_index=True)
-        exact = np.add.reduceat(share_all[order], bounds)
-        return pa.table(
-            {
-                "dst": pa.array(uniq, type=pa.int64()),
-                "c": pa.array(exact.astype(np.int64), type=pa.int64()),
-            }
-        )
 
     _EMPTY = pa.table(
         {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
@@ -607,6 +608,91 @@ def degree_assortativity_sums(edges: ray.data.Dataset) -> pd.DataFrame:
     return (
         parts.sum().to_frame().T.astype("int64")
         [["n_edges", "sx", "sy", "sxy", "sxx", "syy"]]
+    )
+
+
+HITS_ITERATIONS = 4
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: ray.data.Dataset,
+    iterations: int = HITS_ITERATIONS,
+    num_partitions: int = NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities over a DIRECTED edge Dataset ``(src, dst)``
+    in exact integer fixed point — mean-normalized (Kleinberg's L2 norm is
+    a sqrt, which no integer mirror survives; dividing by the mean keeps
+    scores ~SCALE on average and preserves the ranking, the quantity HITS
+    is used for):
+
+        a_t(v) = (Σ_{u→v} h_{t-1}(u)) · S // max(A // n, 1)   A = Σ araw
+        h_t(v) = (Σ_{v→w} a_t(w))     · S // max(H // n, 1)   H = Σ hraw
+
+    (missing rows are exact zeros — sources have auth 0, sinks hub 0).
+    Returns ``(node, hub_micro, auth_micro)`` for every vertex.
+
+    SCALE: two adjacency maps (out + reversed) built once; per half-step
+    ONE streaming fan pass (the shared :func:`_fan` kernel, ≤ distinct-dst
+    partials per batch) and one global-sum scalar.  Vectors driver-resident
+    via ray.put (the pagerank-broadcast bounded contract, ≤ ~2M vertices;
+    the any-scale swap point is pagerank's per-iteration hash-join loop).
+    Int64 bound: n·S² < 2^63 ⇒ n ≤ ~9·10⁶ vertices at S=10⁶ (assert)."""
+    import ray as _ray
+
+    adj_out = _adjacency(edges, num_partitions).materialize()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    adj_in = _adjacency(
+        edges.map_batches(rev, batch_format="pyarrow"), num_partitions
+    ).materialize()
+
+    def uniq_nodes(ds: ray.data.Dataset) -> np.ndarray:
+        return ds.select_columns(["node"]).to_pandas()["node"].to_numpy(np.int64)
+
+    nodes = np.unique(np.concatenate([uniq_nodes(adj_out), uniq_nodes(adj_in)]))
+    n = len(nodes)
+    if n * HITS_SCALE**2 >= (1 << 63):
+        raise ValueError("hits: n*S^2 overflows int64 — reduce scale or vertices")
+
+    _EMPTY = pa.table(
+        {"dst": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+    )
+
+    def fan_pass(adj: ray.data.Dataset, vec: np.ndarray) -> np.ndarray:
+        """One half-step: fan `vec` along `adj`, return the raw sums
+        scattered over the global node array (zeros where absent)."""
+        ref = _ray.put((nodes, vec))
+        _cache: dict = {}
+
+        def emit(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _EMPTY
+            if "nv" not in _cache:
+                _cache["nv"] = _ray.get(ref)
+            bn, bv = _cache["nv"]
+            node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _fan(bv[np.searchsorted(bn, node)], b["dst_bytes"])
+
+        parts = adj.map_batches(emit, batch_format="pyarrow").to_pandas()
+        raw = np.zeros(n, dtype=np.int64)
+        if len(parts):
+            idx = np.searchsorted(nodes, parts["dst"].to_numpy(np.int64))
+            np.add.at(raw, idx, parts["c"].to_numpy(np.int64))
+        return raw
+
+    S = np.int64(HITS_SCALE)
+    h = np.full(n, HITS_SCALE, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        araw = fan_pass(adj_out, h)
+        a = (araw * S) // max(int(araw.sum()) // n, 1)
+        hraw = fan_pass(adj_in, a)
+        h = (hraw * S) // max(int(hraw.sum()) // n, 1)
+    return ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "hub_micro": h, "auth_micro": a})
     )
 
 

@@ -360,3 +360,73 @@ def test_triangles_self_loops_dropped_and_ids_guarded(ray_session):
     bad = ray.data.from_pandas(pd.DataFrame({"u": [1 << 31], "v": [2]}))
     with _pytest.raises(Exception):
         triangle_counts(bad).to_pandas()
+
+
+# --- HITS ------------------------------------------------------------------
+
+
+def _scalar_hits(edges: pd.DataFrame, iterations: int) -> pd.DataFrame:
+    from searty_ray.stages.graph import HITS_SCALE
+
+    S = HITS_SCALE
+    nodes = np.unique(np.concatenate([edges["src"], edges["dst"]])).astype(np.int64)
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    h = np.full(n, S, dtype=object)  # python ints — the exact reference
+    a = np.zeros(n, dtype=object)
+    src = [idx[v] for v in edges["src"]]
+    dst = [idx[v] for v in edges["dst"]]
+    for _ in range(iterations):
+        araw = np.zeros(n, dtype=object)
+        for s_, d_ in zip(src, dst):
+            araw[d_] += h[s_]
+        a = (araw * S) // max(int(araw.sum()) // n, 1)
+        hraw = np.zeros(n, dtype=object)
+        for s_, d_ in zip(src, dst):
+            hraw[s_] += a[d_]
+        h = (hraw * S) // max(int(hraw.sum()) // n, 1)
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "hub_micro": [int(x) for x in h],
+            "auth_micro": [int(x) for x in a],
+        }
+    )
+
+
+def test_hits_matches_scalar_reference(ray_session):
+    from searty_ray.stages.graph import HITS_ITERATIONS, hits
+
+    rng = np.random.default_rng(71)
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 30, 200).astype(np.int64),
+            "dst": (rng.integers(0, 20, 200) + 100).astype(np.int64),
+        }
+    ).drop_duplicates()
+    got = (
+        hits(ray.data.from_pandas(edges, override_num_blocks=4))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "hub_micro": "int64", "auth_micro": "int64"})
+    )
+    ref = _scalar_hits(edges, HITS_ITERATIONS).astype(
+        {"node": "int64", "hub_micro": "int64", "auth_micro": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    # bipartite structure: sources have auth 0, sinks hub 0
+    srcs = set(edges["src"]) - set(edges["dst"])
+    assert (got.loc[got["node"].isin(srcs), "auth_micro"] == 0).all()
+
+
+def test_hits_star_sink_dominates(ray_session):
+    from searty_ray.stages.graph import hits
+
+    k = 8
+    edges = pd.DataFrame(
+        {"src": np.arange(1, k + 1, dtype=np.int64), "dst": np.zeros(k, np.int64)}
+    )
+    out = hits(ray.data.from_pandas(edges)).to_pandas().set_index("node")
+    assert out.loc[0, "auth_micro"] > out.drop(0)["auth_micro"].max()
+    assert out.loc[0, "hub_micro"] == 0

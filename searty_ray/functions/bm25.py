@@ -68,3 +68,35 @@ def topk_dense(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     order = np.lexsort((cand, -scores[cand]))[:k]
     top = cand[order]
     return top.astype(np.int64), scores[top]
+
+
+RRF_K = 60
+
+
+def rrf_fuse(rankings, k_rrf: int = RRF_K):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked (doc_id,
+    score) lists in EXACT integer micro-units:
+
+        rrf_micro(d) = Σ_lists 1_000_000 // (k_rrf + rank_list(d))
+
+    Ranks are RE-DERIVED here by the canonical (round-6 score DESC,
+    doc_id ASC) order so the fusion is independent of each engine's
+    internal tie-break and bit-exact against a row_number() SQL mirror.
+    Input lists are top-k (driver-resident by construction); returns a
+    DataFrame (doc_id, rrf_micro) ordered by fused score."""
+    import pandas as pd
+
+    acc: dict[int, int] = {}
+    for df in rankings:
+        sub = df[["doc_id", "score"]].copy()
+        sub = sub.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        for rank, doc in enumerate(sub["doc_id"], start=1):
+            acc[int(doc)] = acc.get(int(doc), 0) + 1_000_000 // (k_rrf + rank)
+    out = pd.DataFrame(
+        {"doc_id": list(acc.keys()), "rrf_micro": list(acc.values())}
+    ).astype({"doc_id": "int64", "rrf_micro": "int64"})
+    return out.sort_values(
+        ["rrf_micro", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)

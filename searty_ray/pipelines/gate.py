@@ -6557,6 +6557,44 @@ ORDER BY n.node
 SQL_GRAPH_HITS = _sql_graph_hits()
 
 
+# --- rrf_fusion: reciprocal-rank fusion of the two BM25 rankings ----------
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (functions/bm25.rrf_fuse) of the trigram-BM25
+    and word-BM25 top-k lists for the same query — the standard
+    multi-retriever merge, in exact integer micro-units (1e6 // (60+rank));
+    ranks re-derived by (round-6 score DESC, doc_id) on both sides so the
+    mirror's row_number() sees the identical order.  The fusion input is
+    two k-row driver-resident lists — the distributed work is the two
+    searchers feeding it."""
+    from ..functions.bm25 import rrf_fuse
+
+    t1 = q_bm25_topk(sf_dir).to_pandas()
+    t2 = q_bm25_words(sf_dir).to_pandas()
+    return rrf_fuse([t1, t2])
+
+
+SQL_RRF_FUSION = f"""
+WITH r1 AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rnk
+  FROM ({SQL_BM25_TOPK})
+),
+r2 AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rnk
+  FROM ({SQL_BM25_WORDS})
+),
+u AS (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2)
+SELECT u.doc_id,
+       (coalesce(1000000 // (60 + r1.rnk), 0)
+        + coalesce(1000000 // (60 + r2.rnk), 0))::BIGINT AS rrf_micro
+FROM u LEFT JOIN r1 USING (doc_id) LEFT JOIN r2 USING (doc_id)
+ORDER BY rrf_micro DESC, u.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -6579,7 +6617,6 @@ QUERIES = {
     "c4_filters": q_c4_filters,  # never reached
     "near_search": q_near_search,  # never reached
     "normalize_text": q_normalize_text,  # never reached
-    "embedding_quantize": q_embedding_quantize,  # never reached
     "knn_quantized": q_knn_quantized,  # never reached
     "wildcard_terms": q_wildcard_terms,  # never reached
     "word_cooc": q_word_cooc,  # never reached
@@ -6620,6 +6657,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,  # new in r5 (wedge-closure counts)
     "graph_kcore": q_graph_kcore,  # new in r5 (iterative peeling)
     "graph_hits": q_graph_hits,  # new in r5 (integer HITS hubs/authorities)
+    "rrf_fusion": q_rrf_fusion,  # new in r5 (multi-retriever RRF merge)
     "events_outliers": q_events_outliers,  # new in r5 (Tukey IQR fences)
     "graph_assortativity": q_graph_assortativity,  # new in r5 (moment sums)
     "events_corr": q_events_corr,  # new in r5 (grouped moment sums)
@@ -6630,6 +6668,7 @@ QUERIES = {
     # prefilter ~ orders_bloom, estimates ~ events_cm_sketch, wildcard_docs
     # ~ wildcard_terms, near_ordered ~ near_search, cooc_capped ~
     # word_cooc) — all pass the full local sweep at sf0.001 AND sf0.01
+    "embedding_quantize": q_embedding_quantize,  # twin: knn_quantized
     "dsir_select": q_dsir_select,  # new in r5 (twin: dsir_weights)
     "near_ordered": q_near_ordered,  # never reached (twin: near_search)
     "word_cooc_capped": q_word_cooc_capped,  # new in r5 (twin: word_cooc)
@@ -6853,6 +6892,7 @@ ORACLE_SQL = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "graph_kcore": SQL_GRAPH_KCORE,
     "graph_hits": SQL_GRAPH_HITS,
+    "rrf_fusion": SQL_RRF_FUSION,
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "events_corr": SQL_EVENTS_CORR,

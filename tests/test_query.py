@@ -350,3 +350,25 @@ def test_snippets_multibyte_rune_offsets(reader, fixture_oracle):
         hi = min(row["end"] + 4, len(text))
         # offsets are RUNE offsets: Python slicing == substr on characters
         assert row["snippet"] == text[lo:hi]
+
+
+def test_rrf_fuse_matches_scalar():
+    import pandas as pd
+
+    from searty_ray.functions.bm25 import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [3, 1, 2], "score": [0.9, 0.8, 0.8]})
+    b = pd.DataFrame({"doc_id": [2, 9], "score": [1.0, 0.5]})
+    out = rrf_fuse([a, b])
+    # canonical ranks: a -> 3:1, 1:2 (tie 0.8 broken by doc_id), 2:3
+    #                  b -> 2:1, 9:2
+    exp = {
+        3: 10**6 // 61,
+        1: 10**6 // 62,
+        2: 10**6 // 63 + 10**6 // 61,
+        9: 10**6 // 62,
+    }
+    got = dict(zip(out["doc_id"], out["rrf_micro"]))
+    assert got == exp
+    # fused order: descending rrf, doc_id ascending on ties
+    assert list(out["doc_id"]) == sorted(exp, key=lambda d: (-exp[d], d))
